@@ -1,0 +1,303 @@
+"""E11/E12: from-scratch HTML tokenizer + boilerplate stripper.
+
+No external HTML library. A single tolerant tokenizer feeds three modes:
+
+* ``strip_html(payload, mode="file")`` — reference-compat file mode
+  (app/extractors.py:905-928): drop ``script``/``style`` subtrees, take the
+  concatenation of the remaining text nodes in document order (the
+  equivalent of BeautifulSoup ``get_text()``), then the reference's cleanup:
+  per-line strip, split lines on double-space into phrases, drop empties,
+  join with ``\\n``.
+* ``strip_html(payload, mode="page")`` — reference-compat page mode
+  (app/extractors.py:2988-3014): additionally drop ``nav``/``header``/
+  ``footer``/``aside``; cleanup is line-strip + drop empties + join ``\\n``
+  (no double-space phrase split).
+* ``extract_main_content(payload)`` — heuristic main-content mode (the
+  north-rule DOM-heuristics layer): block segmentation at block-level tags
+  with per-block text-density / link-density / stopword-density scoring in
+  the style of the published boilerpipe (Kohlschütter et al., WSDM 2010)
+  and jusText (Pomikálek 2011) heuristics, plus a neighbour-promotion pass.
+
+Tokenizer tolerances: comments, doctype, CDATA, quoted attributes containing
+``>``, unterminated tags at EOF, raw-text (CDATA-content) handling of
+``script``/``style``, void elements, HTML entity unescaping (stdlib
+``html.unescape`` — same named/numeric tables html.parser uses).
+"""
+
+from __future__ import annotations
+
+from html import unescape
+
+# Elements whose content html.parser treats as raw text (no nested tags).
+_RAWTEXT = {"script", "style"}
+
+# Void elements never push nesting depth.
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr",
+}
+
+# Block-level boundaries for the heuristic segmenter.
+_BLOCK_TAGS = {
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol",
+    "table", "tr", "td", "th", "blockquote", "pre", "article", "section",
+    "main", "nav", "header", "footer", "aside", "figure", "figcaption",
+    "br", "form", "dl", "dt", "dd", "body", "html", "title",
+}
+
+_STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as by at from not but have has had he she they we you i его на и "
+    "в не что с по как это из у за от так же то все она он".split()
+)
+
+
+def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
+    """Scan a tag starting at ``html[i] == '<'``.
+
+    Returns (index after tag, tag name lowercased, is_end_tag, self_closing).
+    Attribute values in single/double quotes may contain '>'.
+    """
+    n = len(html)
+    j = i + 1
+    is_end = False
+    if j < n and html[j] == "/":
+        is_end = True
+        j += 1
+    start = j
+    while j < n and (html[j].isalnum() or html[j] in "-_:"):
+        j += 1
+    name = html[start:j].lower()
+    # Scan to the closing '>', honouring quoted attribute values.
+    quote = ""
+    while j < n:
+        c = html[j]
+        if quote:
+            if c == quote:
+                quote = ""
+        elif c in "\"'":
+            quote = c
+        elif c == ">":
+            break
+        j += 1
+    self_closing = j > i and html[j - 1 : j] == "/" and not quote
+    return (j + 1 if j < n else n), name, is_end, self_closing
+
+
+def tokenize(html: str):
+    """Yield ('text', data) / ('start', tag) / ('end', tag) events."""
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if i < n:
+                yield ("text", unescape(html[i:]))
+            break
+        if lt > i:
+            yield ("text", unescape(html[i:lt]))
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            if end < 0:
+                yield ("text", html[lt + 9 :])
+                i = n
+            else:
+                yield ("text", html[lt + 9 : end])
+                i = end + 3
+            continue
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        nxt = html[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt == "/"):
+            # Bare '<' — html.parser emits it as text.
+            yield ("text", "<")
+            i = lt + 1
+            continue
+        i, name, is_end, self_closing = _scan_tag(html, lt)
+        if not name:
+            continue
+        if is_end:
+            yield ("end", name)
+            continue
+        yield ("start", name)
+        if self_closing or name in _VOID:
+            yield ("end", name)
+        elif name in _RAWTEXT:
+            # Raw-text content: everything up to the matching close tag.
+            close = html.lower().find(f"</{name}", i)
+            raw_end = n if close < 0 else close
+            # Raw text is *not* emitted here — callers always drop it; if a
+            # mode ever keeps script text, emit it as a text event instead.
+            yield ("rawtext", html[i:raw_end])
+            if close < 0:
+                i = n
+            else:
+                i, _, _, _ = _scan_tag(html, close)
+                yield ("end", name)
+    return
+
+
+def get_text(html: str, drop: frozenset | set = frozenset(_RAWTEXT)) -> str:
+    """BeautifulSoup-``get_text()`` equivalent with dropped subtrees.
+
+    Text nodes are concatenated in document order with no separator; any
+    element whose tag is in ``drop`` removes its whole subtree (matching
+    ``soup([tags]).decompose()`` at app/extractors.py:915-916, 2997-2998).
+    """
+    out: list[str] = []
+    skip: dict[str, int] = {}
+    skipping = 0
+    for ev, data in tokenize(html):
+        if ev == "start":
+            if data in drop:
+                skip[data] = skip.get(data, 0) + 1
+                skipping += 1
+        elif ev == "end":
+            if data in drop and skip.get(data, 0) > 0:
+                skip[data] -= 1
+                skipping -= 1
+        elif ev == "text":
+            if not skipping:
+                out.append(data)
+        # rawtext events are always dropped (script/style only).
+    return "".join(out)
+
+
+_FILE_DROP = frozenset({"script", "style"})
+_PAGE_DROP = frozenset({"script", "style", "nav", "header", "footer", "aside"})
+
+
+def strip_html(payload: str, mode: str = "file") -> str:
+    """Reference-compat HTML text extraction.
+
+    mode="file": app/extractors.py:905-928 (E11) — drop script/style;
+    line-strip; split on double-space; drop empties; join "\\n".
+    mode="page": app/extractors.py:2988-3014 (E12) — drop script/style/nav/
+    header/footer/aside; line-strip; drop empties; join "\\n".
+    """
+    if mode == "file":
+        text = get_text(payload, _FILE_DROP)
+        lines = (line.strip() for line in text.splitlines())
+        chunks = (phrase.strip() for line in lines for phrase in line.split("  "))
+        return "\n".join(chunk for chunk in chunks if chunk)
+    if mode == "page":
+        text = get_text(payload, _PAGE_DROP)
+        return "\n".join(
+            line.strip() for line in text.splitlines() if line.strip()
+        )
+    raise ValueError(f"unknown strip_html mode: {mode}")
+
+
+# ---------------------------------------------------------------------------
+# Heuristic main-content mode (boilerpipe/jusText-style densities)
+# ---------------------------------------------------------------------------
+
+class _Block:
+    __slots__ = ("text", "link_chars", "tag")
+
+    def __init__(self, tag: str):
+        self.text: list[str] = []
+        self.link_chars = 0
+        self.tag = tag
+
+
+def _segment_blocks(html: str) -> list[tuple[str, float, str]]:
+    """Segment into text blocks -> [(text, link_density, container_tag)]."""
+    blocks: list[tuple[str, float, str]] = []
+    cur = _Block("body")
+    link_depth = 0
+    drop: dict[str, int] = {}
+    dropping = 0
+    container = ["body"]
+
+    def flush() -> None:
+        nonlocal cur
+        text = " ".join("".join(cur.text).split())
+        if text:
+            total = sum(len(t) for t in cur.text)
+            ld = cur.link_chars / total if total else 0.0
+            blocks.append((text, ld, cur.tag))
+        cur = _Block(container[-1])
+
+    for ev, data in tokenize(html):
+        if ev == "start":
+            if data in _PAGE_DROP and data in {"script", "style"}:
+                drop[data] = drop.get(data, 0) + 1
+                dropping += 1
+            elif data == "a":
+                link_depth += 1
+            if data in _BLOCK_TAGS:
+                flush()
+                if data not in _VOID:
+                    container.append(data)
+                    cur.tag = data
+        elif ev == "end":
+            if data in {"script", "style"} and drop.get(data, 0) > 0:
+                drop[data] -= 1
+                dropping -= 1
+            elif data == "a" and link_depth:
+                link_depth -= 1
+            if data in _BLOCK_TAGS and data not in _VOID:
+                flush()
+                if len(container) > 1 and container[-1] == data:
+                    container.pop()
+                cur.tag = container[-1]
+        elif ev == "text":
+            if not dropping and data.strip():
+                cur.text.append(data)
+                if link_depth:
+                    cur.link_chars += len(data)
+    flush()
+    return blocks
+
+
+def _stopword_density(text: str) -> float:
+    words = text.lower().split()
+    if not words:
+        return 0.0
+    return sum(1 for w in words if w.strip(".,;:!?()\"'") in _STOPWORDS) / len(words)
+
+
+def extract_main_content(
+    payload: str,
+    min_good_len: int = 80,
+    max_link_density: float = 0.33,
+    min_stopword_density: float = 0.18,
+) -> str:
+    """Main-content extraction via text/link/stopword density scoring.
+
+    Classification per block (jusText-style):
+      * GOOD — long enough AND low link density AND prose-like stopword
+        density, and not inside chrome containers (nav/header/footer/aside).
+      * NEAR-GOOD promotion — short low-link blocks sandwiched between GOOD
+        neighbours are kept (headings between paragraphs).
+    Returns the kept blocks joined with "\\n".
+    """
+    blocks = _segment_blocks(payload)
+    chrome = {"nav", "header", "footer", "aside"}
+    labels: list[bool] = []
+    for text, ld, tag in blocks:
+        if tag in chrome:
+            labels.append(False)
+            continue
+        good = (
+            len(text) >= min_good_len
+            and ld <= max_link_density
+            and _stopword_density(text) >= min_stopword_density
+        )
+        labels.append(good)
+    # Neighbour promotion: short clean blocks adjacent to a good block.
+    promoted = list(labels)
+    for i, (text, ld, tag) in enumerate(blocks):
+        if labels[i] or tag in chrome or ld > 0.2 or not text:
+            continue
+        prev_good = any(labels[j] for j in range(max(0, i - 2), i))
+        next_good = any(labels[j] for j in range(i + 1, min(len(labels), i + 3)))
+        if prev_good or next_good:
+            promoted[i] = True
+    return "\n".join(b[0] for b, keep in zip(blocks, promoted) if keep)

@@ -1,0 +1,335 @@
+"""The distributed extraction pipeline.
+
+Stages (all declarative except the extraction kernel itself):
+
+1. **Archive fan-out** — ≤3 bounded rounds of pure Catalyst ops
+   (``from_json`` + ``explode`` + regexp path sanitation + guard filters),
+   reproducing A1-A8 of SURVEY.md §2.3 JVM-side with no Python.
+2. **Skew split** — documents above ``SKEW_SPLIT_BYTES`` whose spans are all
+   page-independent (``pdf_page``/``media``) are split into span chunks
+   (window-function chunk ids that keep a media span glued to its preceding
+   page), extracted as independent rows, and reassembled order-preserving
+   with ``collect_list`` — the oversized-PDF skew rule of the north star.
+3. **Salted repartition** — ``repartition(pmod(xxhash64(doc_id), P))``
+   spreads hot doc_ids; with AQE on, post-shuffle coalescing keeps small
+   runs tight.
+4. **Extraction kernel** — Arrow-batched ``mapInPandas`` (iterator form)
+   running ``extractors.extract_document`` per row; never per-row Python
+   UDFs, no driver-side collects.
+
+The output schema is
+``(doc_id, status, spans array<struct<kind,text,media_ref,offset>>,
+n_spans, n_chars, bytes_in)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
+)
+
+from .config import (
+    MAX_ARCHIVE_NESTING,
+    MAX_EXTRACTED_SIZE,
+    SKEW_CHUNK_SPANS,
+    SKEW_SPLIT_BYTES,
+)
+from .extractors.archive import SYSTEM_FILE_MARKERS
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+SPAN_TYPE = StructType([
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("offset", IntegerType()),
+])
+SPANS_TYPE = ArrayType(SPAN_TYPE)
+DOC_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("spans", SPANS_TYPE),
+])
+OUT_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("status", StringType()),
+    StructField("spans", SPANS_TYPE),
+    StructField("n_spans", IntegerType()),
+    StructField("n_chars", LongType()),
+    StructField("bytes_in", LongType()),
+])
+
+_MEMBER_TYPE = StructType([
+    StructField("path", StringType()),
+    StructField("kind", StringType()),
+    StructField("text", StringType()),
+    StructField("media_ref", StringType()),
+    StructField("is_archive", BooleanType()),
+    StructField("members", StringType()),
+])
+
+
+def _sanitize_path_col(path: Column) -> Column:
+    """A7 path sanitation as a regexp chain (app/extractors.py:1996-2014)."""
+    p = F.regexp_replace(path, r"\.\.", "")
+    p = F.regexp_replace(p, r"\\", "/")
+    p = F.regexp_replace(p, r"^/+|/+$", "")
+    parts = F.filter(F.split(p, "/"), lambda x: (x != "") & (x != F.lit(".")))
+    return F.array_join(parts, "/")
+
+
+def _is_system_file_col(path: Column) -> Column:
+    """A8 substring blacklist (app/extractors.py:2016-2035)."""
+    lowered = F.lower(path)
+    cond = F.lit(False)
+    for marker in SYSTEM_FILE_MARKERS:
+        cond = cond | lowered.contains(marker)
+    return cond
+
+
+def explode_archives_df(df: DataFrame) -> DataFrame:
+    """A1-A6 archive fan-out: ≤3 Catalyst explode rounds, JVM-side only.
+
+    Input: (doc_id, spans[, status]). Output adds guard-rejected rows with a
+    non-null ``status`` ('error: Archive content too large'); all other rows
+    have status null and no remaining archive_member spans (leftovers past
+    the nesting cap are dropped by the extraction kernel).
+    """
+    if "status" not in df.columns:
+        df = df.withColumn("status", F.lit(None).cast(StringType()))
+
+    for _ in range(MAX_ARCHIVE_NESTING):
+        is_arch = F.exists("spans", lambda s: s.kind == F.lit("archive_member"))
+        plain = df.filter(F.coalesce(~is_arch, F.lit(True)) | df.status.isNotNull())
+        arch = df.filter(F.coalesce(is_arch, F.lit(False)) & df.status.isNull())
+
+        arch = arch.withColumn(
+            "arch_spans",
+            F.array_sort(
+                F.filter("spans", lambda s: s.kind == F.lit("archive_member")),
+                lambda a, b: F.when(a.offset < b.offset, -1)
+                             .when(a.offset > b.offset, 1).otherwise(0),
+            ),
+        ).withColumn(
+            "rest_spans",
+            F.filter("spans", lambda s: s.kind != F.lit("archive_member")),
+        ).withColumn(
+            "members",
+            F.transform("arch_spans", lambda s: F.from_json(s.text, _MEMBER_TYPE)),
+        ).withColumn(
+            "total_bytes",
+            F.aggregate(
+                "members",
+                F.lit(0).cast(LongType()),
+                lambda acc, m: acc
+                + F.coalesce(F.length(m.text), F.lit(0))
+                + F.coalesce(F.length(m.members), F.lit(0)),
+            ),
+        )
+
+        too_big = arch.filter(F.col("total_bytes") > MAX_EXTRACTED_SIZE).select(
+            "doc_id",
+            F.array().cast(SPANS_TYPE).alias("spans"),
+            F.lit("error: Archive content too large").alias("status"),
+        )
+        ok = arch.filter(F.col("total_bytes") <= MAX_EXTRACTED_SIZE)
+
+        parents = ok.filter(F.size("rest_spans") > 0).select(
+            "doc_id", F.col("rest_spans").alias("spans"), "status"
+        )
+
+        children = (
+            ok.select("doc_id", F.explode("members").alias("m"))
+            .withColumn("path", _sanitize_path_col(F.col("m.path")))
+            .filter((F.col("path") != "") & ~_is_system_file_col(F.col("path")))
+            .select(
+                F.concat_ws("/", "doc_id", "path").alias("doc_id"),
+                F.when(
+                    F.col("m.is_archive")
+                    & F.col("m.members").isNotNull(),
+                    F.transform(
+                        F.from_json("m.members", ArrayType(_MEMBER_TYPE)),
+                        lambda mm, i: F.struct(
+                            F.lit("archive_member").alias("kind"),
+                            F.to_json(mm).alias("text"),
+                            F.lit(None).cast(StringType()).alias("media_ref"),
+                            i.cast(IntegerType()).alias("offset"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array(
+                        F.struct(
+                            F.col("m.kind").alias("kind"),
+                            F.col("m.text").alias("text"),
+                            F.col("m.media_ref").alias("media_ref"),
+                            F.lit(0).alias("offset"),
+                        )
+                    )
+                ).alias("spans"),
+                F.lit(None).cast(StringType()).alias("status"),
+            )
+        )
+        df = plain.unionByName(parents).unionByName(children)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Extraction kernel as Arrow-batched mapInPandas
+# ---------------------------------------------------------------------------
+
+def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    from .extractors import extract_document
+
+    for batch in batches:
+        rows = []
+        for doc_id, spans, status in zip(
+            batch["doc_id"], batch["spans"], batch["status"]
+        ):
+            if status is not None and not (isinstance(status, float)):
+                rows.append((doc_id, status, [], 0, 0, 0))
+                continue
+            span_dicts = [dict(s) for s in (spans if spans is not None else [])]
+            bytes_in = sum(len(s.get("text") or "") for s in span_dicts)
+            st, out = extract_document(doc_id, span_dicts)
+            n_chars = sum(len(s["text"] or "") for s in out if s["text"])
+            rows.append((doc_id, st, out, len(out), n_chars, bytes_in))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in"],
+        )
+
+
+def _split_skewed(df: DataFrame) -> DataFrame:
+    """Span-chunk oversized page-independent docs; adds (chunk_id, n_chunks).
+
+    Only docs whose every span is pdf_page/media are eligible (doc-level
+    semantics like the EPUB size budget must see the whole doc). Media spans
+    inherit the chunk of their preceding page so the page-then-images
+    interleaving survives chunk boundaries.
+    """
+    from pyspark.sql.window import Window
+
+    doc_bytes = F.aggregate(
+        "spans", F.lit(0).cast(LongType()),
+        lambda acc, s: acc + F.coalesce(F.length(s.text), F.lit(0)),
+    )
+    splittable = (doc_bytes > SKEW_SPLIT_BYTES) & F.forall(
+        "spans", lambda s: s.kind.isin("pdf_page", "media")
+    )
+    df = df.withColumn("_split", splittable)
+    small = df.filter(~F.col("_split")).select(
+        "doc_id", "spans", "status",
+        F.lit(0).alias("chunk_id"), F.lit(1).alias("n_chunks"),
+    )
+    big = df.filter(F.col("_split"))
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = (
+        big.select("doc_id", "status", F.posexplode("spans").alias("pos", "span"))
+        .withColumn(
+            "anchor",
+            F.sum(
+                F.when(F.col("span.kind") != "media", 1).otherwise(0)
+            ).over(w) - 1,
+        )
+        .withColumn("chunk_id", (F.greatest(F.col("anchor"), F.lit(0))
+                                 / SKEW_CHUNK_SPANS).cast(IntegerType()))
+    )
+    chunks = (
+        exploded.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "span"))
+            ).alias("ps"),
+            F.first("status").alias("status"),
+        )
+        .withColumn("spans", F.transform("ps", lambda x: x.span))
+        .withColumn(
+            "n_chunks",
+            F.count("*").over(Window.partitionBy("doc_id")).cast(IntegerType()),
+        )
+        .select("doc_id", "spans", "status", "chunk_id", "n_chunks")
+    )
+    return small.unionByName(chunks)
+
+
+def _reassemble(out: DataFrame) -> DataFrame:
+    """Merge chunked extraction outputs back into whole documents."""
+    single = out.filter(F.col("n_chunks") == 1).drop("chunk_id", "n_chunks")
+    multi = out.filter(F.col("n_chunks") > 1)
+    merged = (
+        multi.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "spans"))
+            ).alias("cs"),
+            F.max(F.when(F.col("status").startswith("error"), F.col("status"))).alias("err"),
+            F.max(F.when(F.col("status") == "ok", F.lit(1)).otherwise(0)).alias("any_ok"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("bytes_in").alias("bytes_in"),
+        )
+        .withColumn("flat", F.flatten(F.transform("cs", lambda c: c.spans)))
+        .withColumn(
+            "spans",
+            F.transform(
+                "flat",
+                lambda s, i: F.struct(
+                    s.kind.alias("kind"), s.text.alias("text"),
+                    s.media_ref.alias("media_ref"),
+                    i.cast(IntegerType()).alias("offset"),
+                ),
+            ),
+        )
+        .withColumn(
+            "status",
+            F.when(F.col("err").isNotNull(), F.col("err"))
+            .when(F.col("any_ok") == 1, F.lit("ok"))
+            .otherwise(F.lit("empty")),
+        )
+        .withColumn("n_spans", F.size("spans"))
+        .select("doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in")
+    )
+    return single.unionByName(merged)
+
+
+def extract_spans_df(
+    df: DataFrame,
+    salt_partitions: int | None = None,
+    skew_split: bool = True,
+) -> DataFrame:
+    """documents(doc_id, spans) -> extracted spans DataFrame (OUT_SCHEMA)."""
+    df = explode_archives_df(df)
+    if skew_split:
+        df = _split_skewed(df)
+    else:
+        df = df.select("doc_id", "spans", "status",
+                       F.lit(0).alias("chunk_id"), F.lit(1).alias("n_chunks"))
+    if salt_partitions:
+        df = df.repartition(
+            salt_partitions, F.pmod(F.xxhash64("doc_id", "chunk_id"),
+                                    F.lit(salt_partitions)),
+        )
+    # Chunk ids ride through the kernel so reassembly needs no extra join.
+    kernel_in = df.select("doc_id", "spans", "status", "chunk_id", "n_chunks")
+
+    def _run(batches):
+        import pandas as pd
+        for batch in batches:
+            meta = batch[["chunk_id", "n_chunks"]].reset_index(drop=True)
+            res_iter = _extract_batches(iter([batch]))
+            res = next(res_iter).reset_index(drop=True)
+            yield pd.concat([res, meta], axis=1)
+
+    out_schema = StructType(
+        OUT_SCHEMA.fields
+        + [StructField("chunk_id", IntegerType()), StructField("n_chunks", IntegerType())]
+    )
+    out = kernel_in.mapInPandas(_run, schema=out_schema)
+    return _reassemble(out)
