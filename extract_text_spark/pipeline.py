@@ -103,12 +103,15 @@ def explode_archives_df(df: DataFrame) -> DataFrame:
     if "status" not in df.columns:
         df = df.withColumn("status", F.lit(None).cast(StringType()))
 
-    for _ in range(MAX_ARCHIVE_NESTING):
-        is_arch = F.exists("spans", lambda s: s.kind == F.lit("archive_member"))
-        plain = df.filter(F.coalesce(~is_arch, F.lit(True)) | df.status.isNotNull())
-        arch = df.filter(F.coalesce(is_arch, F.lit(False)) & df.status.isNull())
+    # Only the (typically tiny) archive branch iterates; non-archive rows
+    # are unioned in once per depth. This keeps the Catalyst plan narrow —
+    # re-unioning the whole frame each round would grow it 3^depth wide.
+    is_arch = F.exists("spans", lambda s: s.kind == F.lit("archive_member"))
+    terminal = [df.filter(F.coalesce(~is_arch, F.lit(True)) | df.status.isNotNull())]
+    cur = df.filter(F.coalesce(is_arch, F.lit(False)) & df.status.isNull())
 
-        arch = arch.withColumn(
+    for _ in range(MAX_ARCHIVE_NESTING):
+        arch = cur.withColumn(
             "arch_spans",
             F.array_sort(
                 F.filter("spans", lambda s: s.kind == F.lit("archive_member")),
@@ -174,8 +177,18 @@ def explode_archives_df(df: DataFrame) -> DataFrame:
                 F.lit(None).cast(StringType()).alias("status"),
             )
         )
-        df = plain.unionByName(parents).unionByName(children)
-    return df
+        terminal.append(too_big)
+        terminal.append(parents)
+        terminal.append(children.filter(F.coalesce(~is_arch, F.lit(True))))
+        cur = children.filter(F.coalesce(is_arch, F.lit(False)))
+
+    # Past the nesting cap: keep the rows (the kernel drops the leftover
+    # archive_member spans, matching the reference's skip-on-depth).
+    terminal.append(cur)
+    out = terminal[0]
+    for part in terminal[1:]:
+        out = out.unionByName(part)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -206,7 +219,7 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         )
 
 
-def _split_skewed(df: DataFrame) -> DataFrame:
+def _split_skewed(df: DataFrame, threshold: int = SKEW_SPLIT_BYTES) -> DataFrame:
     """Span-chunk oversized page-independent docs; adds (chunk_id, n_chunks).
 
     Only docs whose every span is pdf_page/media are eligible (doc-level
@@ -220,7 +233,7 @@ def _split_skewed(df: DataFrame) -> DataFrame:
         "spans", F.lit(0).cast(LongType()),
         lambda acc, s: acc + F.coalesce(F.length(s.text), F.lit(0)),
     )
-    splittable = (doc_bytes > SKEW_SPLIT_BYTES) & F.forall(
+    splittable = (doc_bytes > threshold) & F.forall(
         "spans", lambda s: s.kind.isin("pdf_page", "media")
     )
     df = df.withColumn("_split", splittable)
@@ -303,11 +316,12 @@ def extract_spans_df(
     df: DataFrame,
     salt_partitions: int | None = None,
     skew_split: bool = True,
+    skew_threshold: int = SKEW_SPLIT_BYTES,
 ) -> DataFrame:
     """documents(doc_id, spans) -> extracted spans DataFrame (OUT_SCHEMA)."""
     df = explode_archives_df(df)
     if skew_split:
-        df = _split_skewed(df)
+        df = _split_skewed(df, skew_threshold)
     else:
         df = df.select("doc_id", "spans", "status",
                        F.lit(0).alias("chunk_id"), F.lit(1).alias("n_chunks"))

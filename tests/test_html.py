@@ -1,0 +1,88 @@
+"""E11/E12 HTML strip + heuristic main-content mode.
+
+File mode expecteds mirror app/extractors.py:905-928 (script/style dropped,
+per-line strip, double-space phrase split, empties dropped, join "\\n");
+page mode mirrors :2988-3014 (adds nav/header/footer/aside, no phrase
+split). get_text parity: text nodes concatenated in document order."""
+
+from extract_text_spark.extractors.html import (
+    extract_main_content,
+    get_text,
+    strip_html,
+)
+
+
+def test_get_text_concatenates_nodes():
+    assert get_text("<p>Hello</p>\n<p>World</p>") == "Hello\nWorld"
+
+
+def test_get_text_drops_script_style_subtrees():
+    html = "<div>a<script>var x = '<b>not text</b>';</script>b<style>p{}</style>c</div>"
+    assert get_text(html) == "abc"
+
+
+def test_get_text_entities():
+    assert get_text("<p>a &amp; b &lt;c&gt; &#8212;</p>") == "a & b <c> —"
+
+
+def test_get_text_comments_and_doctype():
+    assert get_text("<!DOCTYPE html><!-- hidden --><p>shown</p>") == "shown"
+
+
+def test_file_mode_double_space_split():
+    # "Welcome  to the site" -> two phrases on separate lines (:922-924).
+    # NB adjacent elements with no whitespace between them concatenate with
+    # no separator — get_text() parity — hence the \n in the markup.
+    html = "<html><body><h1>Header</h1>\n<p>Welcome  to the site</p></body></html>"
+    assert strip_html(html, "file") == "Header\nWelcome\nto the site"
+
+
+def test_file_mode_keeps_nav():
+    html = "<body><nav>Menu</nav>\n<p>Body text</p></body>"
+    assert strip_html(html, "file") == "Menu\nBody text"
+
+
+def test_page_mode_drops_chrome_no_phrase_split():
+    html = (
+        "<body><nav>Menu</nav>\n<header>Hdr</header>\n"
+        "<p>Main  content stays</p>\n<aside>Ads</aside>\n"
+        "<footer>foot</footer></body>"
+    )
+    # nav/header/aside/footer dropped; double-space survives page mode
+    assert strip_html(html, "page") == "Main  content stays"
+
+
+def test_quoted_attr_with_gt():
+    html = '<p data-x="a>b">ok</p>'
+    assert strip_html(html, "file") == "ok"
+
+
+def test_unclosed_tag_at_eof():
+    assert strip_html("<p>text<span", "file") == "text"
+
+
+def test_main_content_keeps_article_drops_boilerplate():
+    art = (
+        "The quick brown fox jumps over the lazy dog while the data "
+        "pipeline keeps running and the report is written for the reader."
+    )
+    nav = "".join(f'<a href="/{i}">link {i}</a> ' for i in range(8))
+    html = (
+        f"<body><nav>{nav}</nav><header><h1>Site</h1></header>"
+        f"<main><p>{art}</p><p>{art}</p></main>"
+        f"<aside>{nav}</aside><footer>copyright</footer></body>"
+    )
+    out = extract_main_content(html)
+    assert art in out
+    assert "link 1" not in out
+    assert "copyright" not in out
+
+
+def test_main_content_promotes_heading_between_paragraphs():
+    art = (
+        "This is a long paragraph of ordinary prose with the usual amount "
+        "of stopwords in it and it continues for a while to be long enough."
+    )
+    html = f"<body><p>{art}</p><h2>Short heading</h2><p>{art}</p></body>"
+    out = extract_main_content(html)
+    assert "Short heading" in out

@@ -1,0 +1,87 @@
+"""The correctness gate: distributed pipeline == single-process oracle on
+span-sequence equality (kind, text, media_ref, order) per document, plus
+skew-split equivalence and plan-shape checks."""
+
+import pytest
+
+from extract_text_spark.corpus import corpus_to_df, gen_corpus, oracle_extract
+from extract_text_spark.pipeline import extract_spans_df
+
+
+def _spanify(rows):
+    return {
+        r["doc_id"]: (
+            r["status"],
+            [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]],
+        )
+        for r in rows
+    }
+
+
+def _oracle(docs):
+    return {
+        k: (st, [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in sp])
+        for k, (st, sp) in oracle_extract(docs).items()
+    }
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return gen_corpus(120, seed=42)
+
+
+def test_span_sequence_equality(spark, corpus):
+    got = _spanify(extract_spans_df(corpus_to_df(spark, corpus),
+                                    salt_partitions=8).collect())
+    exp = _oracle(corpus)
+    assert set(got) == set(exp)
+    mismatched = [k for k in exp if got[k] != exp[k]]
+    assert mismatched == [], f"first mismatch: {mismatched[0]}: " \
+                             f"{got[mismatched[0]]} != {exp[mismatched[0]]}"
+
+
+def test_statuses_cover_negative_families(spark, corpus):
+    exp = _oracle(corpus)
+    statuses = {st for st, _ in exp.values()}
+    assert "ok" in statuses
+    # corpus contains empty + unsupported fixture families
+    assert any(st == "empty" for st, _ in exp.values())
+    assert any(st.startswith("error: Unsupported") for st, _ in exp.values())
+
+
+def test_skew_split_equivalence(spark):
+    # A 60-page interleaved PDF doc must extract identically whether the
+    # skew splitter is on or off (media spans glued to their pages).
+    docs = [d for d in gen_corpus(400, seed=7) if d["doc_id"].endswith("-skew")]
+    assert docs, "corpus must contain a skew doc"
+    df = corpus_to_df(spark, docs)
+    split = _spanify(
+        extract_spans_df(df, skew_split=True, skew_threshold=1).collect())
+    unsplit = _spanify(extract_spans_df(df, skew_split=False).collect())
+    assert split == unsplit
+    for st, spans in split.values():
+        assert st == "ok"
+        kinds = [k for k, *_ in spans]
+        assert "media" in kinds and "text" in kinds
+
+
+def test_archive_fanout_matches_oracle(spark):
+    docs = [d for d in gen_corpus(600, seed=9) if "-archive" in d["doc_id"]]
+    assert docs
+    got = _spanify(extract_spans_df(corpus_to_df(spark, docs)).collect())
+    exp = _oracle(docs)
+    assert got == exp
+    # fan-out actually produced children with path-suffixed doc_ids
+    assert any("/" in k for k in got)
+
+
+def test_no_python_in_fanout_plan(spark):
+    """Archive fan-out must be Catalyst-only (no BatchEvalPython/ArrowEval
+    before the single mapInPandas kernel)."""
+    from extract_text_spark.pipeline import explode_archives_df
+    docs = gen_corpus(30, seed=3)
+    plan = explode_archives_df(
+        corpus_to_df(spark, docs)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
