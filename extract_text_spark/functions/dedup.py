@@ -1,0 +1,156 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the part that matters at 10^12 docs):
+
+* **exact** — one shuffle on the md5 fingerprint; map-side partial counts.
+* **n-gram Jaccard** — inverted-index self-join on shingles. Exact but
+  quadratic in the worst case; at scale it is the *verifier*, not the
+  candidate generator.
+* **MinHash+LSH** — the scale path: k=16 min-hashes from md5(seed:shingle),
+  banded b=4×r=4; candidates = equi-join on band keys (shuffle on band
+  key, skew-safe because band keys are uniform md5 prefixes), then exact
+  Jaccard verification of candidates only.
+* **SimHash** — 16-bit signature via per-token md5 bit-majority; hamming
+  neighbours found by 4-nibble band join (any pair at distance<=3 shares
+  at least one exact nibble — pigeonhole).
+
+Portability: md5 everywhere (identical in DuckDB); min over hex *strings*
+is a valid uniform min-hash order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 rows per band
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    return F.split(text, " ")
+
+
+def shingles_col(text: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def fingerprint_col(text: str | Column = "text") -> Column:
+    return F.md5(text)
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: fingerprint -> group size + canonical id."""
+    return (
+        df.select(F.col(id_col), fingerprint_col(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def _shingled(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Exact Jaccard pairs via inverted-index self-join on shingles."""
+    s = _shingled(df, id_col, text_col).withColumn("n", F.size("sh"))
+    inv = s.select("id", "n", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("a_id", "b_id", "inter", "na", "nb", "jaccard")
+
+
+def minhash_sig_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hash values: min(md5('{seed}:{shingle}')) per seed (strings)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+        .alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification."""
+    r = k // bands
+    s = _shingled(df, id_col, text_col)
+    sig = s.select("id", "sh", *minhash_sig_cols(F.col("sh"), k))
+    band_keys = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    sig = sig.select("id", "sh", *band_keys)
+    bands_long = sig.select(
+        "id", "sh",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
+        .alias("band_idx", "band_key"),
+    )
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    verified = cand.select(
+        "a_id", "b_id",
+        F.size(F.array_intersect("sha", "shb")).alias("inter"),
+        F.size("sha").alias("na"), F.size("shb").alias("nb"),
+    ).withColumn(
+        "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).filter(F.col("jaccard") >= threshold)
+    return verified.select("a_id", "b_id", "inter", "na", "nb", "jaccard")
+
+
+def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
+    """bits-bit SimHash over distinct tokens (md5-prefix token hashes)."""
+    hashes = F.transform(
+        F.array_distinct(tokens_col(text)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+    )
+    def bit_term(kbit: int) -> Column:
+        balance = F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(
+                F.shiftright(h, kbit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
+        )
+        return F.when(balance > 0, F.lit(1 << kbit)).otherwise(F.lit(0))
+    out = F.lit(0)
+    for kbit in range(bits):
+        out = out + bit_term(kbit)
+    return out.cast("long")

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The reference OCRs images via a Tesseract subprocess (app/extractors.py:
+1386-1519) and fences it with size/mode validation (app/utils.py:639-682).
+In the Spark engine, media are ``binary`` columns with typed metadata; the
+*plumbing* — schema, Arrow batch shape, partitioning, validation gates —
+is real and tested, while codec work (decode/resize/frame-sample) is
+stubbed behind ``DecoderUnavailable`` because no image/audio libs ship in
+this environment. Swap ``_decode_stub`` for a PIL/ffmpeg call and the
+pipeline is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+MAX_PIXELS = 50_000_000  # app/utils.py:660 (50 MP OCR gate)
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("payload", BinaryType()),
+    StructField("mime", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("status", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("sniffed_mime", StringType()),
+    StructField("feature_hash", StringType()),
+])
+
+# Magic-byte prefix table (the reference's soft sniff,
+# app/extractors.py:1521-1573 — prefix signatures only).
+_MAGIC = [
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"II*\x00", "image/tiff"),
+    (b"MM\x00*", "image/tiff"),
+    (b"RIFF", "audio/wav"),
+    (b"\x1a\x45\xdf\xa3", "video/webm"),
+]
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised by codec stubs; replace with a real decoder in production."""
+
+
+def _decode_stub(payload: bytes, mime: str):  # pragma: no cover - stub
+    raise DecoderUnavailable(
+        f"no codec for {mime} in this environment; plug PIL/ffmpeg here"
+    )
+
+
+def sniff_mime(payload: bytes | None) -> str | None:
+    if not payload:
+        return None
+    for sig, mime in _MAGIC:
+        if payload.startswith(sig):
+            return mime
+    return "application/octet-stream"
+
+
+def validate_media_df(df: DataFrame) -> DataFrame:
+    """Column-level gates mirroring app/utils.py:639-682: pixel cap and
+    non-empty payload; quarantine rows get valid=false."""
+    return df.withColumn(
+        "valid",
+        F.col("payload").isNotNull()
+        & (F.coalesce(F.col("width") * F.col("height"), F.lit(0)) <= MAX_PIXELS),
+    )
+
+
+def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    import hashlib
+
+    import pandas as pd
+
+    for batch in batches:
+        rows = []
+        for ref, payload, mime in zip(batch["media_ref"], batch["payload"],
+                                      batch["mime"]):
+            payload = bytes(payload) if payload is not None else b""
+            sniffed = sniff_mime(payload)
+            try:
+                _decode_stub(payload, mime)
+                status = "decoded"
+            except DecoderUnavailable:
+                status = "stubbed"
+            # Deterministic "feature": content hash stands in for the real
+            # embedding/thumbnail so downstream plumbing is exercised.
+            rows.append((ref, status, len(payload), sniffed,
+                         hashlib.md5(payload).hexdigest()))
+        yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+
+def extract_media_features(df: DataFrame,
+                           partitions: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary media rows.
+
+    Real pipeline shape: validate -> salt-repartition (media payloads are
+    the skew magnets) -> mapInPandas decode/feature kernel.
+    """
+    valid = validate_media_df(df).filter("valid")
+    if partitions:
+        valid = valid.repartition(partitions, F.pmod(F.xxhash64("media_ref"),
+                                                     F.lit(partitions)))
+    return valid.select("media_ref", "payload", "mime").mapInPandas(
+        _feature_batches, schema=FEATURE_SCHEMA
+    )

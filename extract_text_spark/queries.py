@@ -1,0 +1,763 @@
+"""Query registry backing ``__spark_entry__``: each entry pairs an
+idiomatic-Spark DataFrame builder with an exact DuckDB-SQL oracle.
+
+Conventions that make the oracles *exact* (not approximate):
+* hashes are md5 hex strings (identical in both engines);
+* ratios are single double divisions of integers;
+* double aggregations go through DECIMAL (exact) and are cast back to
+  double at the end, so partial-aggregation order cannot perturb values;
+* timestamps compare as epoch seconds (session timezone pinned to UTC);
+* every computed column is aliased identically on both sides.
+
+Queries whose value is the Python extraction kernel itself (flagship
+pipeline, HTML strip, media features) still get SQL oracles because the
+synthesized inputs have closed-form expected outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+from .functions import dedup, similarity, text_stats
+
+JACCARD_T = 0.05      # word-soup corpus: low threshold yields real pairs
+MINHASH_T = 0.05
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (lineitem/orders/customer/events)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-side filter + partial-agg groupBy (1 shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c, s: F.col(c).cast(f"decimal(18,{s})")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            F.sum(dec("l_quantity", 2)).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice", 2)).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).cast("double").alias("sum_disc_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+           AS sum_disc_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_orders(spark, sf_dir):
+    """TPC-H Q3 shape: dim filter -> broadcast join -> agg -> top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(24,6)")
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type"),
+            F.unix_timestamp(F.date_trunc("hour", "ts")).alias("hour_epoch"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type", "hour_epoch")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, hour_epoch
+ORDER BY event_type, hour_epoch
+"""
+
+
+def events_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag window)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("timestamp").cast("long")
+            - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+            > 1800,
+            1,
+        ).otherwise(0),
+    )
+    return (
+        gapped.groupBy("user_id")
+        .agg(
+            (F.sum("new_session") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH gapped AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts)::BIGINT
+                   - lag(epoch(ts)::BIGINT)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, sum(new_session) + 1 AS n_sessions, count(*) AS n_events
+FROM gapped GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents)
+# ---------------------------------------------------------------------------
+
+_STOPS_SQL = "[" + ", ".join(f"'{s}'" for s in text_stats.EN_STOPWORDS) + "]"
+
+
+def ta_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_stats.token_count_col().alias("n_tokens"),
+        text_stats.uniq_token_count_col().alias("n_uniq"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+TA_TOKENS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def ta_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_stats.quality_score_col(as_millionths=True).alias("quality_milli"),
+    ).orderBy("doc_id")
+
+
+TA_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       CAST(floor((
+         least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+         + len(list_distinct(toks))::DOUBLE / len(toks) * 0.3
+         + least(len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
+                 / len(toks) * 3.0, 1.0) * 0.3
+       ) * 1000000.0 + 0.5) AS BIGINT) AS quality_milli
+FROM t ORDER BY doc_id
+"""
+
+
+def ta_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", text_stats.lang_id_col().alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+TA_LANGID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), p AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+                   / length(text) < 0.5 THEN 'non_latin'
+              WHEN len(list_filter(toks, x -> list_contains({_STOPS_SQL}, x)))::DOUBLE
+                   / len(toks) >= 0.12 THEN 'en'
+              ELSE 'other' END AS pred_lang
+  FROM t
+)
+SELECT pred_lang, count(*) AS n_docs FROM p GROUP BY pred_lang ORDER BY pred_lang
+"""
+
+
+def ta_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_stats.fingerprint_col().alias("fp"),
+        text_stats.rolling_fingerprint_col(window=8).alias("winnow_fp"),
+    ).orderBy("doc_id")
+
+
+TA_FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id, md5(text) AS fp,
+       list_min(list_transform(
+         range(1, greatest(len(toks) - 7, 1) + 1),
+         i -> md5(array_to_string(
+                list_transform(range(0, 8),
+                               j -> toks[least(i + j, len(toks))]), ' '))
+       )) AS winnow_fp
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d).orderBy("fp")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY fp ORDER BY fp
+"""
+
+_SHINGLES_SQL = """
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+
+def dedup_ngram_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = dedup.ngram_jaccard_pairs(d, JACCARD_T)
+    return p.select(
+        "a_id", "b_id", "inter", "na", "nb",
+        F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long")
+        .alias("jaccard_milli"),
+    ).orderBy("a_id", "b_id")
+
+
+DEDUP_NGRAM_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+inv AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, a.n AS na, b.n AS nb,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id, a.n, b.n
+)
+SELECT a_id, b_id, inter, na, nb,
+       CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000.0 + 0.5) AS BIGINT)
+           AS jaccard_milli
+FROM pairs
+WHERE inter::DOUBLE / (na + nb - inter) >= {JACCARD_T}
+ORDER BY a_id, b_id
+"""
+
+_MINHASH_SQL_SIGS = ",\n         ".join(
+    f"list_min(list_transform(sh, x -> md5('{seed}:' || x))) AS mh{seed}"
+    for seed in range(dedup.MINHASH_K)
+)
+_BANDS_SQL = ", ".join(
+    "md5(" + " || '|' || ".join(f"mh{b*4+j}" for j in range(4)) + f") AS band{b}"
+    for b in range(dedup.LSH_BANDS)
+)
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = dedup.minhash_lsh_pairs(d, MINHASH_T)
+    return p.select(
+        "a_id", "b_id", "inter", "na", "nb",
+        F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long")
+        .alias("jaccard_milli"),
+    ).orderBy("a_id", "b_id")
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH s AS ({_SHINGLES_SQL}),
+sigs AS (
+  SELECT id, sh,
+         {_MINHASH_SQL_SIGS}
+  FROM s
+),
+banded AS (
+  SELECT id, sh, {_BANDS_SQL} FROM sigs
+),
+lng AS (
+  SELECT id, sh,
+         unnest([0, 1, 2, 3]) AS band_idx,
+         unnest([band0, band1, band2, band3]) AS band_key
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sh AS sha, b.sh AS shb
+  FROM lng a JOIN lng b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+verified AS (
+  SELECT a_id, b_id,
+         len(list_intersect(sha, shb)) AS inter,
+         len(sha) AS na, len(shb) AS nb
+  FROM cand
+)
+SELECT a_id, b_id, inter, na, nb,
+       CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000.0 + 0.5) AS BIGINT)
+           AS jaccard_milli
+FROM verified
+WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
+ORDER BY a_id, b_id
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", dedup.simhash_col("text", bits=16).alias("simhash")
+    ).orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+                        x -> ('0x' || substr(md5(x), 1, 4))::BIGINT) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       list_aggregate(
+         list_transform(range(0, 16),
+           k -> CASE WHEN list_aggregate(
+                       list_transform(hs,
+                         h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END),
+                       'sum') > 0
+                THEN (1::BIGINT << k) ELSE 0 END),
+         'sum')::BIGINT AS simhash
+FROM t ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+N_QUERIES = 20
+TOP_K = 3
+
+
+def sim_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.cosine_topk(e, q, k=TOP_K).orderBy("query_id", "rnk")
+
+
+SIM_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {N_QUERIES}),
+v AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(floor(
+           list_aggregate(list_transform(range(1, len(qv)+1),
+             i -> qv[i]::DOUBLE * nv[i]::DOUBLE), 'sum')
+           / (sqrt(list_aggregate(list_transform(range(1, len(qv)+1),
+                i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+              * sqrt(list_aggregate(list_transform(range(1, len(nv)+1),
+                i -> nv[i]::DOUBLE * nv[i]::DOUBLE), 'sum')))
+           * 1000000.0 + 0.5) AS BIGINT) AS score_milli
+  FROM v CROSS JOIN q WHERE neighbor_id <> query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_milli DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, score_milli FROM ranked
+WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+"""
+
+
+def sim_ann_ivf(spark, sf_dir):
+    """IVF scale path (approximate — rows-only check, no SQL oracle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.ivf_topk(e, q, k=TOP_K, nprobe=2).orderBy("query_id", "rnk")
+
+
+# ---------------------------------------------------------------------------
+# Extraction semantics expressed relationally (S5/A7/A8/E10)
+# ---------------------------------------------------------------------------
+
+_EXTS = ["report.txt", "dump.tar.gz", "ARCH.TGZ", "Paper.PDF", "noext",
+         "data.tar.bz2", "script.py", "deck.pptx"]
+
+
+def _fname_col():
+    c = F.pmod(F.col("doc_id"), F.lit(len(_EXTS)))
+    expr = F.lit(_EXTS[0])
+    for i, e in enumerate(_EXTS[1:], 1):
+        expr = F.when(c == i, F.lit(e)).otherwise(expr)
+    return F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit("_"), expr)
+
+
+def ext_extension_infer(spark, sf_dir):
+    """S5 get_file_extension (app/utils.py:55-69) as column logic."""
+    d = _t(spark, sf_dir, "documents").withColumn("filename", _fname_col())
+    low = F.lower("filename")
+    ext = (
+        F.when(low.endswith(".tar.gz") | low.endswith(".tgz"), "tar.gz")
+        .when(low.endswith(".tar.bz2") | low.endswith(".tbz2"), "tar.bz2")
+        .when(low.endswith(".tar.xz") | low.endswith(".txz"), "tar.xz")
+        .when(~F.col("filename").contains("."), None)
+        .otherwise(F.element_at(F.split(low, "\\."), -1))
+    )
+    return d.select("doc_id", "filename", ext.alias("extension")).orderBy("doc_id")
+
+
+_FNAME_SQL = (
+    "concat('doc_', doc_id::VARCHAR, '_', CASE (doc_id % 8) "
+    + " ".join(f"WHEN {i} THEN '{e}'" for i, e in enumerate(_EXTS))
+    + " END)"
+)
+
+EXT_EXTENSION_SQL = f"""
+WITH f AS (SELECT doc_id, {_FNAME_SQL} AS filename FROM documents)
+SELECT doc_id, filename,
+       CASE WHEN ends_with(lower(filename), '.tar.gz')
+              OR ends_with(lower(filename), '.tgz') THEN 'tar.gz'
+            WHEN ends_with(lower(filename), '.tar.bz2')
+              OR ends_with(lower(filename), '.tbz2') THEN 'tar.bz2'
+            WHEN ends_with(lower(filename), '.tar.xz')
+              OR ends_with(lower(filename), '.txz') THEN 'tar.xz'
+            WHEN NOT contains(filename, '.') THEN NULL
+            ELSE list_extract(string_split(lower(filename), '.'), -1)
+       END AS extension
+FROM f ORDER BY doc_id
+"""
+
+
+def ext_sanitize_paths(spark, sf_dir):
+    """A7 sanitation chain (app/extractors.py:1996-2014) as regexp ops."""
+    from .pipeline import _sanitize_path_col
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(F.lit("../"), F.col("source"), F.lit("\\sub/./"),
+                     F.col("doc_id").cast("string"), F.lit(".txt"))
+    return d.select(
+        "doc_id", dirty.alias("dirty"), _sanitize_path_col(dirty).alias("clean")
+    ).orderBy("doc_id")
+
+
+EXT_SANITIZE_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         concat('../', source, '\sub/./', doc_id::VARCHAR, '.txt') AS dirty
+  FROM documents
+), s AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(replace(replace(dirty, '..', ''), '\', '/'),
+                          '^/+', '', 'g'),
+           '/+$', '', 'g') AS p
+  FROM f
+)
+SELECT doc_id, dirty,
+       array_to_string(list_filter(string_split(p, '/'),
+                                   x -> x <> '' AND x <> '.'), '/') AS clean
+FROM s ORDER BY doc_id
+"""
+
+
+def ext_system_file_filter(spark, sf_dir):
+    """A8 system-file blacklist (app/extractors.py:2016-2035)."""
+    from .pipeline import _is_system_file_col
+    d = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(F.pmod("doc_id", F.lit(5)) == 0,
+               F.concat(F.lit("__MACOSX/"), F.col("source"), F.lit(".txt")))
+        .when(F.pmod("doc_id", F.lit(5)) == 1,
+              F.concat(F.col("source"), F.lit("/.DS_Store")))
+        .otherwise(F.concat(F.col("source"), F.lit("/"),
+                            F.col("doc_id").cast("string"), F.lit(".txt")))
+    )
+    return (
+        d.select("doc_id", path.alias("path"))
+        .filter(~_is_system_file_col(F.col("path")))
+        .orderBy("doc_id")
+    )
+
+
+_MARKERS_SQL = " OR ".join(
+    f"contains(lower(path), '{m}')" for m in
+    [".ds_store", "thumbs.db", ".git/", ".svn/", ".hg/", "__macosx/",
+     ".localized", "desktop.ini", "folder.ini"]
+)
+
+EXT_SYSFILE_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN concat('__MACOSX/', source, '.txt')
+              WHEN doc_id % 5 = 1 THEN concat(source, '/.DS_Store')
+              ELSE concat(source, '/', doc_id::VARCHAR, '.txt') END AS path
+  FROM documents
+)
+SELECT doc_id, path FROM f WHERE NOT ({_MARKERS_SQL}) ORDER BY doc_id
+"""
+
+
+def ext_source_header(spark, sf_dir):
+    """E10 header formatting (app/extractors.py:889-903) as column logic."""
+    d = _t(spark, sf_dir, "documents")
+    fname = F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".py"))
+    n_lines = F.size(F.split("text", "\n"))
+    header = F.concat(
+        F.lit("=== Python File: "), fname, F.lit(" ===\nLines: "),
+        n_lines.cast("string"), F.lit("\n"),
+        F.when(n_lines > 1000,
+               F.concat(F.lit("Warning: Large file with "),
+                        n_lines.cast("string"), F.lit(" lines\n"))
+               ).otherwise(F.lit("")),
+    )
+    return d.select(
+        "doc_id", (F.concat(header, F.lit("=" * 50 + "\n"), F.col("text")))
+        .alias("extracted")
+    ).orderBy("doc_id")
+
+
+EXT_SOURCE_SQL = """
+WITH f AS (
+  SELECT doc_id, text,
+         len(string_split(text, chr(10))) AS n_lines,
+         concat('doc_', doc_id::VARCHAR, '.py') AS fname
+  FROM documents
+)
+SELECT doc_id,
+       concat('=== Python File: ', fname, ' ===', chr(10),
+              'Lines: ', n_lines::VARCHAR, chr(10),
+              CASE WHEN n_lines > 1000
+                   THEN concat('Warning: Large file with ', n_lines::VARCHAR,
+                               ' lines', chr(10))
+                   ELSE '' END,
+              repeat('=', 50), chr(10), text) AS extracted
+FROM f ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Extraction pipeline end-to-end (Python kernel) with closed-form oracles
+# ---------------------------------------------------------------------------
+
+def _docs_as_span_table(spark, sf_dir) -> DataFrame:
+    """Span-ify driver documents: one plain payload span (+ a media span on
+    every doc_id % 3 == 0) — interleaved text+media, closed-form expected."""
+    from .pipeline import SPAN_TYPE
+    d = _t(spark, sf_dir, "documents")
+    media = F.struct(
+        F.lit("media").alias("kind"), F.lit(None).cast("string").alias("text"),
+        F.concat(F.lit("m://"), F.col("doc_id").cast("string"), F.lit("/1"))
+        .alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    plain = F.struct(
+        F.lit("plain").alias("kind"), F.col("text").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+    )
+    spans = F.when(F.pmod("doc_id", F.lit(3)) == 0,
+                   F.array(plain, media)).otherwise(F.array(plain))
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        spans.cast(f"array<{SPAN_TYPE.simpleString()}>").alias("spans"),
+    )
+
+
+def extract_flagship(spark, sf_dir):
+    """Full pipeline over span-ified driver docs. ASCII plain payloads are
+    identity under the E9 chain, so the oracle is closed-form."""
+    from .pipeline import extract_spans_df
+    out = extract_spans_df(_docs_as_span_table(spark, sf_dir),
+                           salt_partitions=None)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "n_spans",
+        "n_chars",
+        F.element_at("spans", 1).getField("text").alias("first_text"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_FLAGSHIP_SQL = """
+SELECT doc_id, 'ok' AS status,
+       CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS n_spans,
+       length(text) AS n_chars,
+       text AS first_text
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_html_strip(spark, sf_dir):
+    """E11 file-mode strip through the real Python kernel; synthesized HTML
+    wraps the known text so the expected output is the text itself."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("<html><head><script>var x=1;</script></head><body>\n<p>"),
+                 F.col("text"), F.lit("</p>\n</body></html>")).alias("html"),
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        from .extractors.html import strip_html
+        for b in batches:
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "extracted": [strip_html(h, "file") for h in b["html"]],
+            })
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("extracted", StringType())])
+    return d.mapInPandas(kernel, schema=schema).orderBy("doc_id")
+
+
+EXT_HTML_STRIP_SQL = """
+SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+"""
+
+
+def mm_media_features(spark, sf_dir):
+    """Multimodal plumbing: text bytes as opaque binary payloads -> Arrow
+    feature kernel. md5(utf8 bytes) == md5(text) gives the SQL oracle."""
+    from .functions.multimodal import extract_media_features
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("m://"), F.col("doc_id").cast("string"), F.lit("/0"))
+        .alias("media_ref"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(100).alias("width"), F.lit(100).alias("height"),
+    )
+    return extract_media_features(d).orderBy("media_ref")
+
+
+MM_MEDIA_SQL = """
+SELECT concat('m://', doc_id::VARCHAR, '/0') AS media_ref,
+       'stubbed' AS status,
+       length(text)::BIGINT AS n_bytes,
+       'application/octet-stream' AS sniffed_mime,
+       md5(text) AS feature_hash
+FROM documents ORDER BY media_ref
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_orders": q3_top_orders,
+    "events_hourly": events_hourly,
+    "events_sessions": events_sessions,
+    "ta_tokens": ta_tokens,
+    "ta_quality": ta_quality,
+    "ta_langid": ta_langid,
+    "ta_fingerprint": ta_fingerprint,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_pairs": dedup_ngram_pairs,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_ann_ivf": sim_ann_ivf,
+    "ext_extension_infer": ext_extension_infer,
+    "ext_sanitize_paths": ext_sanitize_paths,
+    "ext_system_file_filter": ext_system_file_filter,
+    "ext_source_header": ext_source_header,
+    "extract_flagship": extract_flagship,
+    "ext_html_strip": ext_html_strip,
+    "mm_media_features": mm_media_features,
+}
+
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_orders": Q3_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_sessions": EVENTS_SESSIONS_SQL,
+    "ta_tokens": TA_TOKENS_SQL,
+    "ta_quality": TA_QUALITY_SQL,
+    "ta_langid": TA_LANGID_SQL,
+    "ta_fingerprint": TA_FINGERPRINT_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "sim_cosine_topk": SIM_TOPK_SQL,
+    # sim_ann_ivf: approximate -> rows-only check by design
+    "ext_extension_infer": EXT_EXTENSION_SQL,
+    "ext_sanitize_paths": EXT_SANITIZE_SQL,
+    "ext_system_file_filter": EXT_SYSFILE_SQL,
+    "ext_source_header": EXT_SOURCE_SQL,
+    "extract_flagship": EXTRACT_FLAGSHIP_SQL,
+    "ext_html_strip": EXT_HTML_STRIP_SQL,
+    "mm_media_features": MM_MEDIA_SQL,
+}
