@@ -1,0 +1,94 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline set = the flagship extraction pipeline over a seeded interleaved
+span corpus (the engine's real workload; reports docs/sec) plus the
+representative registry queries (scan-agg, join-topk, dedup, similarity,
+text stats, sessionization).
+
+Scaling evidence (north rule N->4N) is produced by tools/scaling_run.py,
+which runs *this* corpus extraction at two parallelism levels in separate
+JVMs and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+SIZE_MULT = 20  # ~5-50 KB/doc: realistic corpus documents
+
+
+def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
+                       cache_dir: str = "/root/repo/.bench_corpus",
+                       size_mult: int = SIZE_MULT) -> str:
+    """Materialize the seeded interleaved corpus as parquet (cached)."""
+    path = f"{cache_dir}/docs_n{n_docs}_s{seed}_m{size_mult}"
+    if not os.path.exists(f"{path}/_SUCCESS"):
+        from extract_text_spark.corpus import corpus_to_df, gen_corpus
+        docs = gen_corpus(n_docs, seed=seed, size_mult=size_mult)
+        corpus_to_df(spark, docs).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
+    from extract_text_spark.pipeline import extract_spans_df
+    from extract_text_spark.queries import QUERIES
+    from extract_text_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 32))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    n_docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_corpus = n_corpus_docs or max(4000, 4 * n_docs_tbl)
+
+    corpus_path = ensure_span_corpus(spark, n_corpus)
+    timings: dict[str, float] = {}
+
+    # 1. Flagship: full extraction over the interleaved span corpus.
+    # Warmup excluded from the measurement: Python workers fork + import
+    # pandas/engine once per core; a production job amortizes this over
+    # hours, so counting it into docs/sec would only measure JVM spin-up.
+    docs_df = spark.read.parquet(corpus_path)
+    extract_spans_df(docs_df.limit(256)).count()
+    t0 = time.monotonic()
+    n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
+    dt = time.monotonic() - t0
+    timings["extract_corpus"] = round(dt, 3)
+    docs_per_sec = round(n_out / dt, 1)
+
+    # 2. Registry headliners on the sf tables.
+    headliners = [
+        "extract_flagship", "q1_pricing_summary", "q3_top_orders",
+        "events_sessions", "ta_quality", "dedup_minhash_lsh",
+        "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
+    ]
+    for name in headliners:
+        t0 = time.monotonic()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "corpus_docs_in": n_corpus,
+        "corpus_docs_out": n_out,
+        "cpus": cpus,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    result = run(sf_dir, cpus)
+    print(json.dumps(result))
+    sys.stdout.flush()

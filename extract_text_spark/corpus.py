@@ -35,10 +35,14 @@ _RU = (
     "файл архив письмо тема учет обработка результат строка слово язык"
 ).split()
 
+# Content volume multiplier: 1 for unit-test corpora (fast oracle runs),
+# larger for benchmark corpora (realistic ~5-50 KB documents).
+SIZE_MULT = 1
+
 
 def _words(rng: random.Random, n: int, vocab=None) -> str:
     vocab = vocab or _EN
-    return " ".join(rng.choice(vocab) for _ in range(n))
+    return " ".join(rng.choices(vocab, k=n))
 
 
 def _sentence(rng: random.Random, n: int = 12) -> str:
@@ -60,7 +64,7 @@ def _b(data: bytes) -> str:
 # --------------------------------------------------------------------------
 
 def _f_plain_utf8(rng, doc_id):
-    text = "\n".join(_sentence(rng) for _ in range(rng.randint(2, 8)))
+    text = "\n".join(_sentence(rng) for _ in range(rng.randint(2, 8) * SIZE_MULT))
     return [_span("plain", _b(text.encode("utf-8")), None, 0)]
 
 
@@ -82,7 +86,8 @@ _SOURCE_EXTS = ["py", "js", "sql", "sh", "go", "rs", "xyzlang"]
 
 def _f_source(rng, doc_id):
     ext = rng.choice(_SOURCE_EXTS)
-    n_lines = rng.choice([3, 8, 20, 1500]) if rng.random() < 0.1 else rng.randint(3, 40)
+    n_lines = (rng.choice([3, 8, 20, 1500]) if rng.random() < 0.1
+               else rng.randint(3, 40) * SIZE_MULT)
     body = "\n".join(
         f"def f{i}(): return {i}" if ext == "py" else f"line {i} {_words(rng, 3)}"
         for i in range(n_lines)
@@ -91,7 +96,8 @@ def _f_source(rng, doc_id):
 
 
 def _f_html(rng, doc_id):
-    paras = [_sentence(rng, rng.randint(6, 15)) for _ in range(rng.randint(2, 5))]
+    paras = [_sentence(rng, rng.randint(6, 15))
+             for _ in range(rng.randint(2, 5) * SIZE_MULT)]
     body = "".join(f"<p>{p}</p>\n" for p in paras)
     html = (
         "<html><head><title>T</title><script>var x=1;</script>"
@@ -101,7 +107,7 @@ def _f_html(rng, doc_id):
 
 
 def _f_html_boiler(rng, doc_id):
-    art = [_sentence(rng, 20) for _ in range(3)]
+    art = [_sentence(rng, 20) for _ in range(3 * SIZE_MULT)]
     nav = "".join(f'<a href="/{w}">{w}</a> ' for w in _EN[:8])
     html = (
         "<html><body><nav>" + nav + "</nav><header><h1>Site</h1></header>"
@@ -113,12 +119,13 @@ def _f_html_boiler(rng, doc_id):
 
 
 def _f_markdown(rng, doc_id):
-    md = (
+    md = "\n\n".join(
         f"# {_words(rng, 3).title()}\n\n"
         f"{_sentence(rng, 15)} **{rng.choice(_EN)}** and `{rng.choice(_EN)}`.\n\n"
         f"- {_words(rng, 4)}\n- {_words(rng, 4)}\n\n"
-        f"> {_sentence(rng, 8)}\n"
-    )
+        f"> {_sentence(rng, 8)}"
+        for _ in range(SIZE_MULT)
+    ) + "\n"
     return [_span("markdown", md, None, 0)]
 
 
@@ -127,7 +134,7 @@ def _f_json(rng, doc_id):
         "title": _sentence(rng, 5),
         "count": rng.randint(1, 99),
         "tags": [rng.choice(_EN) for _ in range(3)],
-        "nested": {"body": _sentence(rng, 10), "ok": True},
+        "nested": {"body": _sentence(rng, 10 * SIZE_MULT), "ok": True},
     }
     return [_span("json", json.dumps(data), None, 0)]
 
@@ -195,11 +202,12 @@ def _f_pptx(rng, doc_id):
 
 
 def _f_pdf(rng, doc_id, n_pages=None):
-    n_pages = n_pages or rng.randint(2, 4)
+    n_pages = n_pages or rng.randint(2, 4) * max(1, SIZE_MULT // 4)
     spans, off, img = [], 0, 0
     for p in range(1, n_pages + 1):
         blocks = [
-            {"bbox": [50, 50 + 100 * i, 300, 120 + 100 * i], "text": _sentence(rng, 8)}
+            {"bbox": [50, 50 + 100 * i, 300, 120 + 100 * i],
+             "text": _sentence(rng, 8 * min(SIZE_MULT, 8))}
             for i in range(rng.randint(1, 3))
         ]
         if rng.random() < 0.5:  # two-column page
@@ -305,8 +313,14 @@ FAMILIES = [
 ]
 
 
-def gen_corpus(n_docs: int, seed: int = 42) -> list[dict]:
-    """n_docs deterministic documents with the FIXTURES.md family mix."""
+def gen_corpus(n_docs: int, seed: int = 42, size_mult: int = 1) -> list[dict]:
+    """n_docs deterministic documents with the FIXTURES.md family mix.
+
+    ``size_mult`` scales per-document content volume (1 = small unit-test
+    docs; bench uses ~20 for realistic multi-KB documents).
+    """
+    global SIZE_MULT
+    SIZE_MULT = size_mult
     rng = random.Random(seed)
     weights = [w for _, _, w in FAMILIES]
     docs = []

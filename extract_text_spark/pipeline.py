@@ -219,29 +219,26 @@ def _extract_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
         )
 
 
-def _split_skewed(df: DataFrame, threshold: int = SKEW_SPLIT_BYTES) -> DataFrame:
-    """Span-chunk oversized page-independent docs; adds (chunk_id, n_chunks).
+def _splittable_col(threshold: int):
+    """Oversized page-independent docs are eligible for span chunking.
 
-    Only docs whose every span is pdf_page/media are eligible (doc-level
-    semantics like the EPUB size budget must see the whole doc). Media spans
-    inherit the chunk of their preceding page so the page-then-images
-    interleaving survives chunk boundaries.
+    Only docs whose every span is pdf_page/media (doc-level semantics like
+    the EPUB size budget must see the whole doc). Media spans inherit the
+    chunk of their preceding page so the page-then-images interleaving
+    survives chunk boundaries.
     """
-    from pyspark.sql.window import Window
-
     doc_bytes = F.aggregate(
         "spans", F.lit(0).cast(LongType()),
         lambda acc, s: acc + F.coalesce(F.length(s.text), F.lit(0)),
     )
-    splittable = (doc_bytes > threshold) & F.forall(
+    return (doc_bytes > threshold) & F.forall(
         "spans", lambda s: s.kind.isin("pdf_page", "media")
     )
-    df = df.withColumn("_split", splittable)
-    small = df.filter(~F.col("_split")).select(
-        "doc_id", "spans", "status",
-        F.lit(0).alias("chunk_id"), F.lit(1).alias("n_chunks"),
-    )
-    big = df.filter(F.col("_split"))
+
+
+def _chunk_big(big: DataFrame) -> DataFrame:
+    """Span-chunk oversized docs; adds (chunk_id, n_chunks)."""
+    from pyspark.sql.window import Window
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     exploded = (
@@ -270,13 +267,11 @@ def _split_skewed(df: DataFrame, threshold: int = SKEW_SPLIT_BYTES) -> DataFrame
         )
         .select("doc_id", "spans", "status", "chunk_id", "n_chunks")
     )
-    return small.unionByName(chunks)
+    return chunks
 
 
-def _reassemble(out: DataFrame) -> DataFrame:
+def _reassemble(multi: DataFrame) -> DataFrame:
     """Merge chunked extraction outputs back into whole documents."""
-    single = out.filter(F.col("n_chunks") == 1).drop("chunk_id", "n_chunks")
-    multi = out.filter(F.col("n_chunks") > 1)
     merged = (
         multi.groupBy("doc_id")
         .agg(
@@ -309,7 +304,7 @@ def _reassemble(out: DataFrame) -> DataFrame:
         .withColumn("n_spans", F.size("spans"))
         .select("doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in")
     )
-    return single.unionByName(merged)
+    return merged
 
 
 def extract_spans_df(
@@ -318,32 +313,51 @@ def extract_spans_df(
     skew_split: bool = True,
     skew_threshold: int = SKEW_SPLIT_BYTES,
 ) -> DataFrame:
-    """documents(doc_id, spans) -> extracted spans DataFrame (OUT_SCHEMA)."""
-    df = explode_archives_df(df)
+    """documents(doc_id, spans) -> extracted spans DataFrame (OUT_SCHEMA).
+
+    The small/big split happens *before* the Python kernel, so every row
+    pays the Arrow/Python cost exactly once: the bulk path is
+    scan -> (salt shuffle) -> kernel with no post-kernel reshaping, and only
+    oversized docs take the chunk -> kernel -> collect_list reassembly
+    detour. (A post-kernel filter-into-union would re-run the kernel per
+    branch — 2x the Python work.)
+    """
+    fanned = explode_archives_df(df)
+
     if skew_split:
-        df = _split_skewed(df, skew_threshold)
+        split = _splittable_col(skew_threshold)
+        small = fanned.filter(~split)
+        big = fanned.filter(split)
     else:
-        df = df.select("doc_id", "spans", "status",
-                       F.lit(0).alias("chunk_id"), F.lit(1).alias("n_chunks"))
+        small, big = fanned, None
+
     if salt_partitions:
-        df = df.repartition(
-            salt_partitions, F.pmod(F.xxhash64("doc_id", "chunk_id"),
-                                    F.lit(salt_partitions)),
+        small = small.repartition(
+            salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
-    # Chunk ids ride through the kernel so reassembly needs no extra join.
-    kernel_in = df.select("doc_id", "spans", "status", "chunk_id", "n_chunks")
+    out_small = small.select("doc_id", "spans", "status").mapInPandas(
+        _extract_batches, schema=OUT_SCHEMA
+    )
+    if big is None:
+        return out_small
+
+    # Oversized docs: chunk (already a shuffle by doc_id+chunk), extract
+    # each chunk independently, reassemble order-preserving.
+    chunks = _chunk_big(big)
 
     def _run(batches):
         import pandas as pd
         for batch in batches:
             meta = batch[["chunk_id", "n_chunks"]].reset_index(drop=True)
-            res_iter = _extract_batches(iter([batch]))
-            res = next(res_iter).reset_index(drop=True)
+            res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
             yield pd.concat([res, meta], axis=1)
 
     out_schema = StructType(
         OUT_SCHEMA.fields
-        + [StructField("chunk_id", IntegerType()), StructField("n_chunks", IntegerType())]
+        + [StructField("chunk_id", IntegerType()),
+           StructField("n_chunks", IntegerType())]
     )
-    out = kernel_in.mapInPandas(_run, schema=out_schema)
-    return _reassemble(out)
+    out_big = chunks.select(
+        "doc_id", "spans", "status", "chunk_id", "n_chunks"
+    ).mapInPandas(_run, schema=out_schema)
+    return out_small.unionByName(_reassemble(out_big))

@@ -14,7 +14,11 @@ import os
 
 from pyspark.sql import SparkSession
 
-from .config import ARROW_MAX_RECORDS_PER_BATCH, DEFAULT_SHUFFLE_PARTITIONS
+from .config import (
+    ARROW_MAX_BYTES_PER_BATCH,
+    ARROW_MAX_RECORDS_PER_BATCH,
+    DEFAULT_SHUFFLE_PARTITIONS,
+)
 
 
 def get_spark(
@@ -35,6 +39,8 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.sql.execution.arrow.maxBytesPerBatch",
+                str(ARROW_MAX_BYTES_PER_BATCH))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

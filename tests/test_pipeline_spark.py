@@ -41,12 +41,19 @@ def test_span_sequence_equality(spark, corpus):
 
 
 def test_statuses_cover_negative_families(spark, corpus):
-    exp = _oracle(corpus)
-    statuses = {st for st, _ in exp.values()}
-    assert "ok" in statuses
-    # corpus contains empty + unsupported fixture families
-    assert any(st == "empty" for st, _ in exp.values())
-    assert any(st.startswith("error: Unsupported") for st, _ in exp.values())
+    negatives = [
+        {"doc_id": "neg-empty", "spans": [
+            {"kind": "plain", "text": "", "media_ref": None, "offset": 0}]},
+        {"doc_id": "neg-unsupported", "spans": [
+            {"kind": "xyz", "text": "payload", "media_ref": None, "offset": 0}]},
+    ]
+    docs = corpus[:20] + negatives
+    got = _spanify(extract_spans_df(corpus_to_df(spark, docs)).collect())
+    exp = _oracle(docs)
+    assert got == exp
+    assert got["neg-empty"][0] == "empty"
+    assert got["neg-unsupported"][0] == "error: Unsupported file format: xyz"
+    assert any(st == "ok" for st, _ in got.values())
 
 
 def test_skew_split_equivalence(spark):
