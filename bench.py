@@ -26,11 +26,11 @@ def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
                        cache_dir: str = "/root/repo/.bench_corpus",
                        size_mult: int = SIZE_MULT) -> str:
     """Materialize the seeded interleaved corpus as parquet (cached)."""
-    path = f"{cache_dir}/docs_n{n_docs}_s{seed}_m{size_mult}"
+    path = f"{cache_dir}/docs_n{n_docs}_s{seed}_m{size_mult}_d"
     if not os.path.exists(f"{path}/_SUCCESS"):
-        from extract_text_spark.corpus import corpus_to_df, gen_corpus
-        docs = gen_corpus(n_docs, seed=seed, size_mult=size_mult)
-        corpus_to_df(spark, docs).repartition(64).write.mode("overwrite").parquet(path)
+        from extract_text_spark.corpus import gen_corpus_spark
+        gen_corpus_spark(spark, n_docs, seed=seed, size_mult=size_mult) \
+            .write.mode("overwrite").parquet(path)
     return path
 
 
@@ -53,7 +53,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # pandas/engine once per core; a production job amortizes this over
     # hours, so counting it into docs/sec would only measure JVM spin-up.
     docs_df = spark.read.parquet(corpus_path)
-    extract_spans_df(docs_df.limit(256)).count()
+    extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
     t0 = time.monotonic()
     n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
     dt = time.monotonic() - t0

@@ -395,3 +395,40 @@ def corpus_to_df(spark, docs: list[dict]):
         for d in docs
     ]
     return spark.createDataFrame(rows, schema=DOC_SCHEMA)
+
+
+def gen_corpus_spark(spark, n_docs: int, seed: int = 42, size_mult: int = 1,
+                     partitions: int | None = None):
+    """Distributed corpus generation: one deterministic doc per index.
+
+    Unlike ``gen_corpus`` (sequential RNG stream, driver-side list — fine
+    for unit-test scales), each document here is derived from
+    ``Random((seed, i))`` so generation parallelizes over executors and
+    never materializes on the driver. Used for benchmark corpora (GBs).
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from .pipeline import DOC_SCHEMA
+
+    parts = partitions or max(32, n_docs // 2000)
+    base = spark.range(0, n_docs, 1, parts)
+    weights = [w for _, _, w in FAMILIES]
+
+    def gen(batches):
+        import pandas as pd
+
+        global SIZE_MULT
+        SIZE_MULT = size_mult
+        for batch in batches:
+            rows = []
+            for i in batch["id"]:
+                rng = random.Random(f"{seed}:{int(i)}")
+                name, builder, _ = rng.choices(FAMILIES, weights=weights, k=1)[0]
+                doc_id = f"d{int(i):09d}-{name}"
+                spans = builder(rng, doc_id)
+                rows.append((doc_id,
+                             [(s["kind"], s["text"], s["media_ref"],
+                               s["offset"]) for s in spans]))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return base.mapInPandas(gen, schema=DOC_SCHEMA)

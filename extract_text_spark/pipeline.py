@@ -92,103 +92,131 @@ def _is_system_file_col(path: Column) -> Column:
     return cond
 
 
-def explode_archives_df(df: DataFrame) -> DataFrame:
-    """A1-A6 archive fan-out: ≤3 Catalyst explode rounds, JVM-side only.
+_DOC_STRUCT = StructType([
+    StructField("doc_id", StringType()),
+    StructField("spans", SPANS_TYPE),
+    StructField("status", StringType()),
+])
+_DOCS_TYPE = ArrayType(_DOC_STRUCT)
+ARCHIVE_TOO_LARGE = "error: Archive content too large"
 
-    Input: (doc_id, spans[, status]). Output adds guard-rejected rows with a
-    non-null ``status`` ('error: Archive content too large'); all other rows
-    have status null and no remaining archive_member spans (leftovers past
-    the nesting cap are dropped by the extraction kernel).
+
+def _empty_docs() -> Column:
+    return F.array().cast(_DOCS_TYPE.simpleString())
+
+
+def _doc_struct(doc_id: Column, spans: Column, status: Column | None = None) -> Column:
+    return F.struct(
+        doc_id.alias("doc_id"),
+        spans.cast(SPANS_TYPE.simpleString()).alias("spans"),
+        (status if status is not None
+         else F.lit(None).cast(StringType())).alias("status"),
+    )
+
+
+def _member_budget(members: Column) -> Column:
+    """Zip-bomb guard sum (A2, app/extractors.py:1668-1677)."""
+    return F.aggregate(
+        members, F.lit(0).cast(LongType()),
+        lambda acc, m: acc + F.coalesce(F.length(m.text), F.lit(0))
+        + F.coalesce(F.length(m.members), F.lit(0)),
+    )
+
+
+def _expand_member(parent_id: Column, m: Column, depth: int) -> Column:
+    """One parsed member -> array<doc> (recursively inlined to the cap)."""
+    path = _sanitize_path_col(m.path)
+    child_id = F.concat_ws("/", parent_id, path)
+    leaf = F.array(_doc_struct(
+        child_id,
+        F.array(F.struct(
+            m.kind.alias("kind"), m.text.alias("text"),
+            m.media_ref.alias("media_ref"), F.lit(0).alias("offset"),
+        )),
+    ))
+    is_nested = F.coalesce(m.is_archive, F.lit(False)) & m.members.isNotNull()
+    if depth < MAX_ARCHIVE_NESTING:
+        nested = _expand_archive(
+            child_id, F.from_json(m.members, ArrayType(_MEMBER_TYPE)), depth + 1
+        )
+    else:
+        # Past the nesting cap: keep the child with unexpanded
+        # archive_member spans (the kernel drops them — the reference's
+        # skip-on-depth, app/extractors.py:1580-1584).
+        nested = F.array(_doc_struct(
+            child_id,
+            F.transform(
+                F.from_json(m.members, ArrayType(_MEMBER_TYPE)),
+                lambda mm, i: F.struct(
+                    F.lit("archive_member").alias("kind"),
+                    F.to_json(mm).alias("text"),
+                    F.lit(None).cast(StringType()).alias("media_ref"),
+                    i.cast(IntegerType()).alias("offset"),
+                ),
+            ),
+        ))
+    return (
+        F.when((path == "") | _is_system_file_col(path), _empty_docs())
+        .when(is_nested, nested)
+        .otherwise(leaf)
+    )
+
+
+def _expand_archive(doc_id: Column, members: Column, depth: int) -> Column:
+    """Parsed member list -> array<doc>, with the bomb guard per archive."""
+    expanded = F.flatten(
+        F.transform(members, lambda m: _expand_member(doc_id, m, depth))
+    )
+    return F.when(
+        _member_budget(members) > MAX_EXTRACTED_SIZE,
+        F.array(_doc_struct(doc_id, F.array().cast(SPANS_TYPE.simpleString()),
+                            F.lit(ARCHIVE_TOO_LARGE))),
+    ).otherwise(expanded)
+
+
+def explode_archives_df(df: DataFrame) -> DataFrame:
+    """A1-A6 archive fan-out in ONE scan: a single nested-transform
+    expression computes every fan-out level (bounded depth 3) per row, then
+    one ``posexplode`` emits the documents — no unions, no repeated scans.
+    Path sanitation (A7), system-file filter (A8) and the 100 MB bomb guard
+    (A2) are inlined as column predicates; guard-rejected rows surface with
+    a non-null ``status``.
     """
     if "status" not in df.columns:
         df = df.withColumn("status", F.lit(None).cast(StringType()))
 
-    # Only the (typically tiny) archive branch iterates; non-archive rows
-    # are unioned in once per depth. This keeps the Catalyst plan narrow —
-    # re-unioning the whole frame each round would grow it 3^depth wide.
-    is_arch = F.exists("spans", lambda s: s.kind == F.lit("archive_member"))
-    terminal = [df.filter(F.coalesce(~is_arch, F.lit(True)) | df.status.isNotNull())]
-    cur = df.filter(F.coalesce(is_arch, F.lit(False)) & df.status.isNull())
+    arch = F.array_sort(
+        F.filter("spans", lambda s: s.kind == F.lit("archive_member")),
+        lambda a, b: F.when(a.offset < b.offset, -1)
+                     .when(a.offset > b.offset, 1).otherwise(0),
+    )
+    rest = F.filter("spans", lambda s: s.kind != F.lit("archive_member"))
+    members = F.transform(arch, lambda s: F.from_json(s.text, _MEMBER_TYPE))
 
-    for _ in range(MAX_ARCHIVE_NESTING):
-        arch = cur.withColumn(
-            "arch_spans",
-            F.array_sort(
-                F.filter("spans", lambda s: s.kind == F.lit("archive_member")),
-                lambda a, b: F.when(a.offset < b.offset, -1)
-                             .when(a.offset > b.offset, 1).otherwise(0),
-            ),
-        ).withColumn(
-            "rest_spans",
-            F.filter("spans", lambda s: s.kind != F.lit("archive_member")),
-        ).withColumn(
-            "members",
-            F.transform("arch_spans", lambda s: F.from_json(s.text, _MEMBER_TYPE)),
-        ).withColumn(
-            "total_bytes",
-            F.aggregate(
-                "members",
-                F.lit(0).cast(LongType()),
-                lambda acc, m: acc
-                + F.coalesce(F.length(m.text), F.lit(0))
-                + F.coalesce(F.length(m.members), F.lit(0)),
-            ),
+    doc_id, status = F.col("doc_id"), F.col("status")
+    passthrough = F.array(_doc_struct(doc_id, F.col("spans"), status))
+    parent_part = F.when(
+        F.size(rest) > 0, F.array(_doc_struct(doc_id, rest))
+    ).otherwise(_empty_docs())
+    fanned = F.when(
+        _member_budget(members) > MAX_EXTRACTED_SIZE,
+        F.array(_doc_struct(doc_id, F.array().cast(SPANS_TYPE.simpleString()),
+                            F.lit(ARCHIVE_TOO_LARGE))),
+    ).otherwise(
+        F.concat(
+            parent_part,
+            F.flatten(F.transform(members,
+                                  lambda m: _expand_member(doc_id, m, 1))),
         )
+    )
+    out_docs = F.when(
+        (F.size(arch) == 0) | status.isNotNull(), passthrough
+    ).otherwise(fanned)
 
-        too_big = arch.filter(F.col("total_bytes") > MAX_EXTRACTED_SIZE).select(
-            "doc_id",
-            F.array().cast(SPANS_TYPE).alias("spans"),
-            F.lit("error: Archive content too large").alias("status"),
-        )
-        ok = arch.filter(F.col("total_bytes") <= MAX_EXTRACTED_SIZE)
-
-        parents = ok.filter(F.size("rest_spans") > 0).select(
-            "doc_id", F.col("rest_spans").alias("spans"), "status"
-        )
-
-        children = (
-            ok.select("doc_id", F.explode("members").alias("m"))
-            .withColumn("path", _sanitize_path_col(F.col("m.path")))
-            .filter((F.col("path") != "") & ~_is_system_file_col(F.col("path")))
-            .select(
-                F.concat_ws("/", "doc_id", "path").alias("doc_id"),
-                F.when(
-                    F.col("m.is_archive")
-                    & F.col("m.members").isNotNull(),
-                    F.transform(
-                        F.from_json("m.members", ArrayType(_MEMBER_TYPE)),
-                        lambda mm, i: F.struct(
-                            F.lit("archive_member").alias("kind"),
-                            F.to_json(mm).alias("text"),
-                            F.lit(None).cast(StringType()).alias("media_ref"),
-                            i.cast(IntegerType()).alias("offset"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array(
-                        F.struct(
-                            F.col("m.kind").alias("kind"),
-                            F.col("m.text").alias("text"),
-                            F.col("m.media_ref").alias("media_ref"),
-                            F.lit(0).alias("offset"),
-                        )
-                    )
-                ).alias("spans"),
-                F.lit(None).cast(StringType()).alias("status"),
-            )
-        )
-        terminal.append(too_big)
-        terminal.append(parents)
-        terminal.append(children.filter(F.coalesce(~is_arch, F.lit(True))))
-        cur = children.filter(F.coalesce(is_arch, F.lit(False)))
-
-    # Past the nesting cap: keep the rows (the kernel drops the leftover
-    # archive_member spans, matching the reference's skip-on-depth).
-    terminal.append(cur)
-    out = terminal[0]
-    for part in terminal[1:]:
-        out = out.unionByName(part)
-    return out
+    return (
+        df.select(F.explode(out_docs).alias("d"))
+        .select("d.doc_id", "d.spans", "d.status")
+    )
 
 
 # ---------------------------------------------------------------------------
