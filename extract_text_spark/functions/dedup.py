@@ -6,16 +6,17 @@ Scale design (the part that matters at 10^12 docs):
 * **n-gram Jaccard** — inverted-index self-join on shingles. Exact but
   quadratic in the worst case; at scale it is the *verifier*, not the
   candidate generator.
-* **MinHash+LSH** — the scale path: k=16 min-hashes from md5(seed:shingle),
-  banded b=4×r=4; candidates = equi-join on band keys (shuffle on band
-  key, skew-safe because band keys are uniform md5 prefixes), then exact
-  Jaccard verification of candidates only.
+* **MinHash+LSH** — the scale path: k=16 min-hashes from the affine
+  Carter-Wegman family g_i = (h1 + i*h2) mod (2^31-1) with h1/h2 two
+  32-bit slices of one md5 per shingle; banded b=4×r=4; candidates =
+  equi-join on band keys (shuffle on uniform band keys, skew-safe), then
+  exact Jaccard verification of candidates only.
 * **SimHash** — 16-bit signature via per-token md5 bit-majority; hamming
   neighbours found by 4-nibble band join (any pair at distance<=3 shares
   at least one exact nibble — pigeonhole).
 
-Portability: md5 everywhere (identical in DuckDB); min over hex *strings*
-is a valid uniform min-hash order.
+Portability: md5 + integer arithmetic only — every operator here has an
+exact DuckDB oracle (see queries.py).
 """
 
 from __future__ import annotations
@@ -88,11 +89,33 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     return pairs.select("a_id", "b_id", "inter", "na", "nb", "jaccard")
 
 
-def minhash_sig_cols(sh: Column, k: int = MINHASH_K) -> list[Column]:
-    """k min-hash values: min(md5('{seed}:{shingle}')) per seed (strings)."""
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def minhash_hash_pairs_col(sh: Column) -> Column:
+    """Per-shingle (h1, h2) 32-bit hash pairs from ONE md5 per shingle.
+
+    Materialize this as a real column before deriving the k signatures —
+    Catalyst does not common-subexpression-eliminate inside higher-order
+    lambdas, so inlining it would recompute the md5 per seed.
+    """
+    hx = F.transform(sh, lambda s: F.md5(s))
+    return F.transform(
+        hx,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
+        ),
+    )
+
+
+def minhash_sig_cols(pairs: Column, k: int = MINHASH_K) -> list[Column]:
+    """k min-hash values from the affine family g_i = (h1 + i*h2) mod p
+    (Carter-Wegman 2-universal family). Integer-only: engine-portable."""
     return [
-        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
-        .alias(f"mh{seed}")
+        F.array_min(
+            F.transform(pairs, lambda p: F.pmod(p.a + seed * p.b, F.lit(_MERSENNE)))
+        ).alias(f"mh{seed}")
         for seed in range(k)
     ]
 
@@ -103,15 +126,19 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     """MinHash-LSH candidate generation + exact-Jaccard verification."""
     r = k // bands
     s = _shingled(df, id_col, text_col)
-    sig = s.select("id", "sh", *minhash_sig_cols(F.col("sh"), k))
+    sig = s.withColumn("hp", minhash_hash_pairs_col(F.col("sh")))
+    sig = sig.select("id", "sh", *minhash_sig_cols(F.col("hp"), k))
     band_keys = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
         .alias(f"band{b}")
         for b in range(bands)
     ]
-    sig = sig.select("id", "sh", *band_keys)
+    # Band join carries only (id, band) — never the shingle arrays: at
+    # corpus scale the arrays are the payload and would 4x the shuffle.
+    # Candidate pairs join back to the shingle table for verification.
+    sig = sig.select("id", *band_keys)
     bands_long = sig.select(
-        "id", "sh",
+        "id",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
         .alias("band_idx", "band_key"),
     )
@@ -120,16 +147,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
         a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    verified = cand.select(
-        "a_id", "b_id",
-        F.size(F.array_intersect("sha", "shb")).alias("inter"),
-        F.size("sha").alias("na"), F.size("shb").alias("nb"),
+    sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(sh_a, "a_id").join(sh_b, "b_id")
+        .select(
+            "a_id", "b_id",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"), F.size("shb").alias("nb"),
+        )
     ).withColumn(
         "jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
     ).filter(F.col("jaccard") >= threshold)

@@ -321,7 +321,9 @@ ORDER BY a_id, b_id
 """
 
 _MINHASH_SQL_SIGS = ",\n         ".join(
-    f"list_min(list_transform(sh, x -> md5('{seed}:' || x))) AS mh{seed}"
+    f"list_min(list_transform(hp, p -> (p.a + {seed} * p.b) % 2147483647"
+    f" + CASE WHEN (p.a + {seed} * p.b) % 2147483647 < 0"
+    f" THEN 2147483647 ELSE 0 END)) AS mh{seed}"
     for seed in range(dedup.MINHASH_K)
 )
 _BANDS_SQL = ", ".join(
@@ -342,10 +344,17 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 DEDUP_MINHASH_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
+hp AS (
+  SELECT id, sh,
+         list_transform(sh, x -> struct_pack(
+           a := ('0x' || substr(md5(x), 1, 8))::BIGINT,
+           b := ('0x' || substr(md5(x), 9, 8))::BIGINT)) AS hp
+  FROM s
+),
 sigs AS (
   SELECT id, sh,
          {_MINHASH_SQL_SIGS}
-  FROM s
+  FROM hp
 ),
 banded AS (
   SELECT id, sh, {_BANDS_SQL} FROM sigs
