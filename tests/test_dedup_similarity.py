@@ -1,0 +1,151 @@
+"""Training-pipeline operators: dedup / similarity / text stats /
+multimodal plumbing — semantic tests with constructed ground truth."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from extract_text_spark.functions import dedup, similarity, text_stats
+from extract_text_spark.functions.multimodal import (
+    extract_media_features,
+    sniff_mime,
+    validate_media_df,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy dog", "sleepy dog", 1)      # one shingle edit
+    other = "completely different content about spark partitions and shuffles"
+    rows = [
+        ("a1", base.strip()),
+        ("a2", base.strip()),                # exact duplicate of a1
+        ("a3", near.strip()),                # near-duplicate of a1
+        ("b1", (other + " ") * 6),
+        ("c1", "tiny"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(spark, docs):
+    out = {r["fp"]: r for r in dedup.exact_duplicates(docs).collect()}
+    dups = [r for r in out.values() if r["n_docs"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["n_docs"] == 2 and dups[0]["keep_id"] == "a1"
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert pairs[("a1", "a2")] == 1.0
+    assert 0.5 <= pairs[("a1", "a3")] < 1.0
+    assert ("a1", "b1") not in pairs
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, docs):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    # identical docs share every band -> always candidates; verified exact
+    assert pairs[("a1", "a2")] == 1.0
+    assert ("a1", "a3") in pairs            # high-jaccard pair found by LSH
+    assert all(j >= 0.5 for j in pairs.values())
+
+
+def test_simhash_similarity_structure(spark, docs):
+    sh = {r["doc_id"]: r["simhash"]
+          for r in docs.select("doc_id",
+                               dedup.simhash_col().alias("simhash")).collect()}
+    assert sh["a1"] == sh["a2"]             # identical text, identical hash
+    ham_near = bin(sh["a1"] ^ sh["a3"]).count("1")
+    ham_far = bin(sh["a1"] ^ sh["b1"]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= sh["a1"] < 2 ** 16
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # 3 tight clusters in 4-d; known nearest neighbours
+    rows = []
+    for cid, base in enumerate([(1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0)]):
+        for j in range(4):
+            vec = [float(b) + (0.01 * j if i == 3 else 0.0)
+                   for i, b in enumerate(base)]
+            rows.append((cid * 4 + j, vec, cid))
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_cosine_topk_exact(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(vectors, q, k=3).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2, 3]  # same cluster
+    assert all(r["score_milli"] > 990000 for r in out)
+
+
+def test_ivf_topk_matches_bruteforce_here(spark, vectors):
+    """With clean clusters and nprobe=1, IVF must equal brute force."""
+    q = vectors.filter(F.col("vec_id") < 3)
+    bf = similarity.cosine_topk(vectors, q, k=2).collect()
+    ivf = similarity.ivf_topk(vectors, q, k=2, nprobe=1).collect()
+    key = lambda rows: {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
+    assert key(ivf) == key(bf)
+
+
+def test_cosine_is_normalized(spark, vectors):
+    a = vectors.filter(F.col("vec_id") == 0).select(
+        similarity.cosine_col(F.col("embedding"), F.col("embedding")).alias("c")
+    ).collect()[0]["c"]
+    assert math.isclose(a, 1.0, rel_tol=1e-12)
+
+
+def test_text_stats_basics(spark):
+    df = spark.createDataFrame(
+        [("d1", "the cat sat on the mat"), ("d2", "Текст на русском языке")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id",
+        text_stats.token_count_col().alias("n"),
+        text_stats.stopword_ratio_col().alias("sr"),
+        text_stats.lang_id_col().alias("lang"),
+        text_stats.quality_score_col().alias("q"),
+    ).collect()}
+    assert out["d1"]["n"] == 6
+    assert math.isclose(out["d1"]["sr"], 3 / 6)
+    assert out["d1"]["lang"] == "en"
+    assert out["d2"]["lang"] == "non_latin"
+    assert 0.0 <= out["d1"]["q"] <= 1.0
+
+
+def test_rolling_fingerprint_matches_python_min_gram(spark):
+    import hashlib
+
+    text = " ".join(f"w{i}" for i in range(30))
+    toks = text.split(" ")
+    grams = [" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)]
+    expected = min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+    df = spark.createDataFrame([("d1", text)], ["doc_id", "text"])
+    got = df.select(
+        text_stats.rolling_fingerprint_col(window=8).alias("wfp")
+    ).collect()[0]["wfp"]
+    assert got == expected
+
+
+def test_multimodal_plumbing(spark):
+    rows = [
+        ("m1", b"\x89PNG\r\n\x1a\nrest", "image/png", 10, 10),
+        ("m2", b"\xff\xd8\xffjpegdata", "image/jpeg", 10_000, 10_000),  # >50MP
+        ("m3", b"random bytes", "application/octet-stream", 1, 1),
+        ("m4", None, "image/png", 1, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_ref string, payload binary, mime string, width int, height int")
+    valid = {r["media_ref"]: r["valid"] for r in validate_media_df(df).collect()}
+    assert valid == {"m1": True, "m2": False, "m3": True, "m4": False}
+    feats = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert set(feats) == {"m1", "m3"}
+    assert feats["m1"]["sniffed_mime"] == "image/png"
+    assert feats["m1"]["status"] == "stubbed"
+    assert feats["m3"]["sniffed_mime"] == "application/octet-stream"
+    assert sniff_mime(b"\xff\xd8\xff...") == "image/jpeg"
+    assert sniff_mime(b"") is None
