@@ -1,0 +1,122 @@
+"""Structured Streaming paths.
+
+The reference is a request/response service; its streaming analogue here is
+a continuously-ingesting extraction job:
+
+* ``stream_extract_spans`` — ``readStream`` over the documents table (file
+  source) -> archive fan-out + the same Arrow-batched extraction kernel ->
+  parquet sink with a streaming checkpoint. Exactly-once per input file via
+  the file-source offset log + sink commit log: re-running with the same
+  checkpoint emits nothing new. The skew span-splitter is not applied on
+  the streaming path (it needs a window function; micro-batches bound work
+  per trigger at the source instead via ``maxFilesPerTrigger``).
+* ``windowed_event_counts`` — event-time tumbling-window aggregation with a
+  watermark for late data (append mode: only closed windows emit).
+* ``sessionize_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: per-user session counting with a 30-minute
+  inactivity gap, GroupState carrying (last_ts, n_sessions, n_events).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from ..pipeline import DOC_SCHEMA, OUT_SCHEMA, explode_archives_df, _extract_batches
+
+SESSION_GAP_S = 1800
+
+
+def stream_extract_spans(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming extraction: parquet file source -> kernel -> parquet sink."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+    fanned = explode_archives_df(docs)
+    out = fanned.select("doc_id", "spans", "status").mapInPandas(
+        _extract_batches, schema=OUT_SCHEMA
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (append-safe)."""
+    # watermarks need TIMESTAMP (not NTZ); session tz is pinned to UTC
+    events = events.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+             .alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n_events", "sum_value")
+    )
+
+
+_SESSION_STATE = StructType([
+    StructField("last_ts", LongType()),
+    StructField("n_sessions", IntegerType()),
+    StructField("n_events", LongType()),
+])
+_SESSION_OUT = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_sessions", IntegerType()),
+    StructField("n_events", LongType()),
+])
+
+
+def _session_fn(key, pdfs: Iterator, state: GroupState) -> Iterator:
+    import pandas as pd
+
+    if state.exists:
+        last_ts, n_sessions, n_events = state.get
+    else:
+        last_ts, n_sessions, n_events = None, 0, 0
+    ts_all = []
+    for pdf in pdfs:
+        ts_all.extend(int(t.timestamp()) for t in pdf["ts"])
+    for t in sorted(ts_all):
+        if last_ts is None or t - last_ts > SESSION_GAP_S:
+            n_sessions += 1
+        last_ts = t
+        n_events += 1
+    state.update((last_ts, n_sessions, n_events))
+    yield pd.DataFrame([(key[0], n_sessions, n_events)],
+                       columns=["user_id", "n_sessions", "n_events"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: 30-min-gap sessions per user.
+
+    ``applyInPandasWithState`` keeps (last_ts, n_sessions, n_events) per
+    user across micro-batches; update mode emits the running totals."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_SESSION_OUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming: exactly-once extraction, watermarked windows,
+custom stateful sessionization."""
+
+import pyspark.sql.functions as F
+
+from extract_text_spark.corpus import corpus_to_df, gen_corpus, oracle_extract
+from extract_text_spark.streaming.stream import (
+    sessionize_stream,
+    stream_extract_spans,
+    windowed_event_counts,
+)
+
+
+def test_stream_extract_matches_batch_and_is_exactly_once(spark, tmp_path):
+    docs = gen_corpus(60, seed=11)
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    corpus_to_df(spark, docs).write.parquet(inp)
+
+    q = stream_extract_spans(spark, inp, out, ckpt)
+    q.awaitTermination()
+
+    got = {
+        r["doc_id"]: (r["status"],
+                      [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                       for s in r["spans"]])
+        for r in spark.read.parquet(out).collect()
+    }
+    exp = {k: (st, [(s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in sp])
+           for k, (st, sp) in oracle_extract(docs).items()}
+    assert got == exp
+
+    # Exactly-once: same checkpoint, no new files -> no new rows.
+    n1 = spark.read.parquet(out).count()
+    q2 = stream_extract_spans(spark, inp, out, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+
+def test_stream_extract_incremental_files(spark, tmp_path):
+    inp, out, ckpt = (str(tmp_path / d) for d in ["in", "out", "ckpt"])
+    corpus_to_df(spark, gen_corpus(20, seed=12)).write.parquet(inp)
+    stream_extract_spans(spark, inp, out, ckpt).awaitTermination()
+    n1 = spark.read.parquet(out).count()
+
+    # New file arrives; only the increment is processed.
+    more = [{**d, "doc_id": "x" + d["doc_id"]} for d in gen_corpus(10, seed=13)]
+    corpus_to_df(spark, more).write.mode("append").parquet(inp)
+    stream_extract_spans(spark, inp, out, ckpt).awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() > n1
+    assert got.filter(F.col("doc_id").startswith("x")).count() >= 10
+
+
+def test_windowed_counts_match_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "ev")
+    events.write.parquet(inp)
+    stream = spark.readStream.schema(events.schema).parquet(inp)
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("winagg")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.sql("select * from winagg").collect()}
+    exp = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in events.groupBy(
+               F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                .alias("sum_value")).collect()}
+    # append mode emits only windows closed by the final watermark
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    inp = str(tmp_path / "ev")
+    events.write.parquet(inp)
+    stream = spark.readStream.schema(events.schema).parquet(inp)
+    q = (sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sess").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.sql(
+        "select user_id, max(n_sessions) n_sessions, max(n_events) n_events "
+        "from sess group by user_id").collect()
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in rows}
+
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    batch = (
+        events.withColumn(
+            "new_s",
+            F.when(F.col("ts").cast("timestamp").cast("long")
+                   - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+                   > 1800, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((F.sum("new_s") + 1).alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+    exp = {r["user_id"]: (r["n_sessions"], r["n_events"])
+           for r in batch.collect()}
+    assert got == exp
