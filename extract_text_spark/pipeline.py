@@ -123,9 +123,20 @@ def _member_budget(members: Column) -> Column:
     )
 
 
-def _expand_member(parent_id: Column, m: Column, depth: int) -> Column:
-    """One parsed member -> array<doc> (recursively inlined to the cap)."""
-    path = _sanitize_path_col(m.path)
+def _with_paths(members: Column) -> Column:
+    """Bind each member to its sanitized path ONCE. Catalyst does not CSE
+    inside lambdas, so referencing _sanitize_path_col(m.path) repeatedly
+    (empty-check, 9 system-file Contains, child id) would inline the whole
+    regexp chain ~11x per member."""
+    return F.transform(
+        members,
+        lambda m: F.struct(m.alias("m"), _sanitize_path_col(m.path).alias("path")),
+    )
+
+
+def _expand_member(parent_id: Column, mp: Column, depth: int) -> Column:
+    """One (member, path) pair -> array<doc> (recursively inlined)."""
+    m, path = mp.m, mp.path
     child_id = F.concat_ws("/", parent_id, path)
     leaf = F.array(_doc_struct(
         child_id,
@@ -165,7 +176,8 @@ def _expand_member(parent_id: Column, m: Column, depth: int) -> Column:
 def _expand_archive(doc_id: Column, members: Column, depth: int) -> Column:
     """Parsed member list -> array<doc>, with the bomb guard per archive."""
     expanded = F.flatten(
-        F.transform(members, lambda m: _expand_member(doc_id, m, depth))
+        F.transform(_with_paths(members),
+                    lambda mp: _expand_member(doc_id, mp, depth))
     )
     return F.when(
         _member_budget(members) > MAX_EXTRACTED_SIZE,
@@ -205,8 +217,8 @@ def explode_archives_df(df: DataFrame) -> DataFrame:
     ).otherwise(
         F.concat(
             parent_part,
-            F.flatten(F.transform(members,
-                                  lambda m: _expand_member(doc_id, m, 1))),
+            F.flatten(F.transform(_with_paths(members),
+                                  lambda mp: _expand_member(doc_id, mp, 1))),
         )
     )
     out_docs = F.when(

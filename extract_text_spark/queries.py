@@ -580,6 +580,28 @@ SELECT doc_id, path FROM f WHERE NOT ({_MARKERS_SQL}) ORDER BY doc_id
 """
 
 
+def ext_base64_source(spark, sf_dir):
+    """S2 base64 source (app/main.py:369-513): payloads arrive base64-
+    encoded; decode is the built-in unbase64 column op — no Python."""
+    d = _t(spark, sf_dir, "documents")
+    # NB Spark's base64() MIME-wraps at 76 chars (Java Base64.Mime);
+    # unbase64 tolerates the wrapping, so compare the decoded payload.
+    encoded = F.base64(F.encode("text", "utf-8"))
+    return d.select(
+        "doc_id",
+        F.decode(F.unbase64(encoded), "utf-8").alias("decoded"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+EXT_BASE64_SQL = """
+SELECT doc_id,
+       decode(from_base64(to_base64(encode(text)))) AS decoded,
+       length(text) AS n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
 def ext_source_header(spark, sf_dir):
     """E10 header formatting (app/extractors.py:889-903) as column logic."""
     d = _t(spark, sf_dir, "documents")
@@ -742,6 +764,7 @@ QUERIES = {
     "ext_sanitize_paths": ext_sanitize_paths,
     "ext_system_file_filter": ext_system_file_filter,
     "ext_source_header": ext_source_header,
+    "ext_base64_source": ext_base64_source,
     "extract_flagship": extract_flagship,
     "ext_html_strip": ext_html_strip,
     "mm_media_features": mm_media_features,
@@ -766,6 +789,7 @@ ORACLES = {
     "ext_sanitize_paths": EXT_SANITIZE_SQL,
     "ext_system_file_filter": EXT_SYSFILE_SQL,
     "ext_source_header": EXT_SOURCE_SQL,
+    "ext_base64_source": EXT_BASE64_SQL,
     "extract_flagship": EXTRACT_FLAGSHIP_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
     "mm_media_features": MM_MEDIA_SQL,
