@@ -1,0 +1,35 @@
+"""Driver-contract smoke: entry() runs on sf0.001 and returns rows with a
+stable schema; every queries() key with an oracle is present; size caps."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from extract_text_spark.config import MAX_FILE_SIZE
+from extract_text_spark.extractors import extract_document
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.columns == ["doc_id", "status", "n_spans", "n_chars", "first_text"]
+    rows = df.limit(5).collect()
+    assert len(rows) > 0
+
+
+def test_queries_oracles_aligned():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+    # documented rows-only exceptions
+    assert set(qs) - set(oracles) == {"sim_ann_ivf"}
+
+
+@pytest.mark.parametrize("kind", ["plain", "html"])
+def test_file_size_cap(kind):
+    big = "x" * (MAX_FILE_SIZE + 1)
+    status, out = extract_document(
+        "d", [{"kind": kind, "text": big, "media_ref": None, "offset": 0}])
+    assert status == "error: File too large" and out == []

@@ -1,0 +1,112 @@
+"""Property-based tests (hypothesis) for the pure extraction kernels:
+total functions (never raise), determinism, and structural invariants —
+the robustness bar a 10^12-doc corpus demands (any byte soup will occur)."""
+
+import json
+import string
+
+from hypothesis import given, settings, strategies as st
+
+from extract_text_spark.extractors import extract_document
+from extract_text_spark.extractors.archive import sanitize_archive_filename
+from extract_text_spark.extractors.encodings import decode_text_content
+from extract_text_spark.extractors.html import get_text, strip_html
+from extract_text_spark.extractors.markdown import md_to_text
+from extract_text_spark.extractors.pdf_layout import xy_cut
+from extract_text_spark.extractors.rtf import rtf_to_text
+
+_SETTINGS = dict(max_examples=150, deadline=None)
+
+
+@given(st.binary(max_size=2000))
+@settings(**_SETTINGS)
+def test_decode_total_and_deterministic(data):
+    out = decode_text_content(data)
+    assert isinstance(out, str)
+    assert decode_text_content(data) == out
+
+
+@given(st.text(max_size=2000))
+@settings(**_SETTINGS)
+def test_html_tokenizer_total(text):
+    assert isinstance(get_text(text), str)
+    assert isinstance(strip_html(text, "file"), str)
+    assert isinstance(strip_html(text, "page"), str)
+
+
+@given(st.text(alphabet=string.printable, max_size=1000))
+@settings(**_SETTINGS)
+def test_markdown_and_rtf_total(text):
+    assert isinstance(md_to_text(text), str)
+    assert isinstance(rtf_to_text(text), str)
+
+
+@given(st.text(max_size=300))
+@settings(**_SETTINGS)
+def test_sanitize_invariants(path):
+    out = sanitize_archive_filename(path)
+    assert ".." not in out
+    assert "\\" not in out
+    assert not out.startswith("/")
+    assert "//" not in out
+    assert all(seg not in ("", ".") for seg in out.split("/")) or out == ""
+    # idempotent
+    assert sanitize_archive_filename(out) == out
+
+
+@given(st.lists(
+    st.tuples(st.floats(0, 500), st.floats(0, 500),
+              st.floats(1, 100), st.floats(1, 100), st.integers(0, 10 ** 6)),
+    min_size=0, max_size=12))
+@settings(**_SETTINGS)
+def test_xy_cut_is_permutation(raw):
+    blocks = [
+        {"bbox": [x, y, x + w, y + h], "text": f"b{i}"}
+        for (x, y, w, h, i) in raw
+    ]
+    out = xy_cut(blocks)
+    assert sorted(b["text"] for b in out) == sorted(b["text"] for b in blocks)
+
+
+_KINDS = st.sampled_from(
+    ["plain", "source:py", "html", "html_page", "html_main", "markdown",
+     "json", "xml", "yaml", "csv", "rtf", "eml", "msg", "media", "bogus"])
+
+
+@given(st.lists(
+    st.tuples(_KINDS, st.one_of(st.none(), st.text(max_size=300))),
+    min_size=0, max_size=6))
+@settings(**_SETTINGS)
+def test_extract_document_total(spans_raw):
+    spans = [
+        {"kind": k,
+         "text": None if k == "media" else t,
+         "media_ref": "m://x/1" if k == "media" else None,
+         "offset": i}
+        for i, (k, t) in enumerate(spans_raw)
+    ]
+    status, out = extract_document("docX", spans)
+    assert isinstance(status, str)
+    assert status == "ok" or status == "empty" or status.startswith("error")
+    assert [s["offset"] for s in out] == list(range(len(out)))
+    if status != "ok":
+        assert out == []
+    for s in out:
+        assert s["kind"] in ("text", "heading", "table", "code", "media")
+
+
+@given(st.dictionaries(st.text(max_size=8),
+                       st.recursive(
+                           st.one_of(st.text(max_size=8), st.integers(),
+                                     st.booleans(), st.none()),
+                           lambda c: st.lists(c, max_size=3)
+                           | st.dictionaries(st.text(max_size=4), c, max_size=3),
+                           max_leaves=8),
+                       max_size=4))
+@settings(**_SETTINGS)
+def test_json_kernel_string_leaves_only(data):
+    from extract_text_spark.extractors.structured import extract_json
+    out = extract_json(json.dumps(data))
+    for line in out.split("\n"):
+        if line:
+            assert ": " in line or line.strip()
