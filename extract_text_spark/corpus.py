@@ -221,6 +221,11 @@ def _f_pdf(rng, doc_id, n_pages=None):
     return spans
 
 
+def _f_odt(rng, doc_id):
+    data = {"paragraphs": [_sentence(rng, 8) for _ in range(3)] + [" "]}
+    return [_span("odt_part", json.dumps(data), None, 0)]
+
+
 def _f_eml(rng, doc_id):
     body = _sentence(rng, 12)
     raw = (
@@ -301,6 +306,7 @@ FAMILIES = [
     ("rtf", _f_rtf, 2),
     ("docx", _f_docx, 3),
     ("pptx", _f_pptx, 2),
+    ("odt", _f_odt, 1),
     ("pdf", _f_pdf, 8),
     ("eml", _f_eml, 2),
     ("msg", _f_msg, 1),

@@ -170,6 +170,89 @@ FROM gapped GROUP BY user_id ORDER BY user_id
 """
 
 
+def q5_region_volume(spark, sf_dir):
+    """TPC-H Q5 shape: snowflake joins (broadcastable dims) + agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(24,6)")).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+           AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def events_rollup(spark, sf_dir):
+    """Grouping sets: per-type counts + grand total via ROLLUP."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"))
+        .orderBy(F.col("event_type").asc_nulls_first())
+    )
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY ROLLUP (event_type)
+ORDER BY event_type ASC NULLS FIRST
+"""
+
+
+def part_topk_per_brand(spark, sf_dir):
+    """Window top-k: 3 priciest parts per brand (rank + tie-break)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        p.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "rnk", "p_partkey", "p_retailprice")
+        .orderBy("p_brand", "rnk")
+    )
+
+
+PART_TOPK_SQL = """
+SELECT p_brand, rnk, p_partkey, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part
+)
+WHERE rnk <= 3 ORDER BY p_brand, rnk
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -748,8 +831,11 @@ FROM documents ORDER BY media_ref
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
+    "q5_region_volume": q5_region_volume,
     "events_hourly": events_hourly,
     "events_sessions": events_sessions,
+    "events_rollup": events_rollup,
+    "part_topk_per_brand": part_topk_per_brand,
     "ta_tokens": ta_tokens,
     "ta_quality": ta_quality,
     "ta_langid": ta_langid,
@@ -773,8 +859,11 @@ QUERIES = {
 ORACLES = {
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,
+    "q5_region_volume": Q5_SQL,
     "events_hourly": EVENTS_HOURLY_SQL,
     "events_sessions": EVENTS_SESSIONS_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
+    "part_topk_per_brand": PART_TOPK_SQL,
     "ta_tokens": TA_TOKENS_SQL,
     "ta_quality": TA_QUALITY_SQL,
     "ta_langid": TA_LANGID_SQL,
