@@ -286,7 +286,12 @@ def _f_unsupported(rng, doc_id):
 
 
 def _f_skew(rng, doc_id):
-    # Oversized many-page PDF doc: 100x median size (F23).
+    # F23: oversized many-page PDF docs. At bench scale (SIZE_MULT >= 8)
+    # one in ten is a genuine whale (hundreds of pages, >SKEW_SPLIT_BYTES)
+    # so the span-chunk splitter exercises for real, not only under a
+    # forced threshold; the rest are merely large.
+    if SIZE_MULT >= 8 and rng.random() < 0.1:
+        return _f_pdf(rng, doc_id, n_pages=400)
     return _f_pdf(rng, doc_id, n_pages=60)
 
 
@@ -423,8 +428,11 @@ def gen_corpus_spark(spark, n_docs: int, seed: int = 42, size_mult: int = 1,
     def gen(batches):
         import pandas as pd
 
-        global SIZE_MULT
-        SIZE_MULT = size_mult
+        # NB: a plain `global SIZE_MULT` here would rebind cloudpickle's
+        # synthetic globals for this closure, not the real module attribute
+        # the family builders read on the worker — set the module directly.
+        import extract_text_spark.corpus as corpus_mod
+        corpus_mod.SIZE_MULT = size_mult
         for batch in batches:
             rows = []
             for i in batch["id"]:

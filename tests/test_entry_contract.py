@@ -33,3 +33,15 @@ def test_file_size_cap(kind):
     status, out = extract_document(
         "d", [{"kind": kind, "text": big, "media_ref": None, "offset": 0}])
     assert status == "error: File too large" and out == []
+
+
+def test_sink_fallback_roundtrip(spark, tmp_path):
+    from extract_text_spark.sinks import iceberg_available, read_table, write_table
+
+    assert not iceberg_available(spark)  # no Iceberg jar in this sandbox
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    backend = write_table(df, str(tmp_path / "t"), mode="overwrite_partitions",
+                          partition_by=["k"])
+    assert backend == "parquet"
+    back = read_table(spark, str(tmp_path / "t"))
+    assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]

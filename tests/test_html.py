@@ -86,3 +86,22 @@ def test_main_content_promotes_heading_between_paragraphs():
     html = f"<body><p>{art}</p><h2>Short heading</h2><p>{art}</p></body>"
     out = extract_main_content(html)
     assert "Short heading" in out
+
+
+def test_uppercase_tags_and_void_elements():
+    assert strip_html("<P>One</P>\n<BR/><p>Two</p>", "file") == "One\nTwo"
+
+
+def test_nested_dropped_subtrees():
+    html = "<div>keep1<nav>a<nav>b</nav>c</nav>\nkeep2</div>"
+    assert strip_html(html, "page") == "keep1\nkeep2"
+
+
+def test_rawtext_script_with_markup_inside():
+    html = "<p>a</p><script>if (x<1) document.write('<p>no</p>')</script><p>b</p>"
+    assert strip_html(html, "file") == "ab"
+
+
+def test_title_text_is_kept():
+    html = "<html><head><title>The Title</title></head><body>\n<p>Body</p></body></html>"
+    assert strip_html(html, "file") == "The Title\nBody"
