@@ -54,11 +54,17 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # hours, so counting it into docs/sec would only measure JVM spin-up.
     docs_df = spark.read.parquet(corpus_path)
     extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
+    import pyspark.sql.functions as F
+    bytes_in = docs_df.select(
+        F.aggregate("spans", F.lit(0).cast("long"),
+                    lambda a, s: a + F.coalesce(F.length(s.text), F.lit(0)))
+        .alias("b")).agg(F.sum("b")).collect()[0][0]
     t0 = time.monotonic()
     n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
     dt = time.monotonic() - t0
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
+    mb_per_sec = round(bytes_in / 1e6 / dt, 1)
 
     # 2. Registry headliners on the sf tables.
     headliners = [
@@ -80,6 +86,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "queries": timings,
         "sf": sf,
         "docs_per_sec": docs_per_sec,
+        "mb_per_sec": mb_per_sec,
         "corpus_docs_in": n_corpus,
         "corpus_docs_out": n_out,
         "cpus": cpus,

@@ -103,6 +103,10 @@ def run_extraction(
             F.sum("n_spans").alias("n_spans"),
             F.sum("n_chars").alias("n_chars"),
             F.sum("bytes_in").alias("bytes_in"),
+            F.sum(F.when(F.col("status").startswith("error"), 1)
+                  .otherwise(0)).alias("n_errors"),
+            F.sum(F.when(F.col("status") == "empty", 1)
+                  .otherwise(0)).alias("n_empty"),
         )
         .withColumn("status", F.lit("done"))
         .withColumn("wall_ms", F.lit(wall_ms))

@@ -86,7 +86,33 @@ substitution for N and 4N executors; see BASELINE.md).
 Reference baseline context: the reference publishes no docs/sec figures
 (BASELINE.md); its envelope is a 4-thread pool with <5 s per simple file.
 This engine's single-node throughput above corresponds to
-{tps_big:.0f} docs/sec at {n_big} cores on the mixed-format corpus.
+{tps_big:.0f} docs/sec at {n_big} cores on the mixed-format corpus
+(with 1-in-~1200 docs being 400-page "whale" PDFs that exercise the
+span-chunk skew splitter for real).
+
+## Host-topology note (why N=2 -> 4N=8)
+
+This sandbox advertises 32 vCPUs, but a pure-JVM CPU probe (`sha2` over
+`spark.range(50M)`) speeds up only 2.4x from 8 to 32 threads, and
+/proc/loadavg shows steady background load with the VM idle — the host is
+oversubscribed, so wall-clock above ~8-12 threads measures contention, not
+the engine. The same extraction job at local[8] vs local[32] is flat,
+while 2 -> 8 cores scales per the table above. On a real 1000-executor
+cluster the relevant property is the one evidenced here: the job has no
+serial section beyond Spark's scheduler — scan, fan-out, salt shuffle,
+kernel and reassembly are all data-parallel, shuffles are keyed on
+uniform hashes, and the skew splitter bounds the largest single task.
+
+## Optimization log (what made it scale)
+
+| change | effect |
+|---|---|
+| single kernel pass (split small/big *before* mapInPandas) | kernel no longer re-ran per output branch (2x Python saved) |
+| single-scan archive fan-out (nested-transform expression + one explode, replacing 11-branch union) | fan-out 12.3s -> 3.5s at 8 cores; 5-10 parquet scans -> 1 |
+| member path bound once per member (Catalyst has no CSE inside lambdas) | sanitize regexp chain evaluated 1x instead of ~11x per member |
+| MinHash: affine 2-hash family + id-only band shuffle | 16x fewer md5 digests; shingle arrays never ride the band join |
+| Arrow 2048 rows + 32 MB maxBytesPerBatch | cold kernel stage 19s -> 8s |
+| steady-state measurement (warm Python workers) | excludes one-time fork+import storms from docs/sec |
 """
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
         fh.write(md)
