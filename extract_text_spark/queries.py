@@ -772,6 +772,55 @@ FROM documents ORDER BY doc_id
 """
 
 
+def extract_multi_format(spark, sf_dir):
+    """Five kernels (E9/E11/E13/E14/E15) through the REAL distributed
+    pipeline under the DuckDB gate: each doc's payload kind is chosen by
+    doc_id %% 5 and wraps the known text so the expected extraction is
+    closed-form (word-soup text has no markup/quotes/double spaces)."""
+    from .pipeline import SPAN_TYPE, extract_spans_df
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(5))
+    kind = (F.when(m == 0, "plain").when(m == 1, "html")
+            .when(m == 2, "markdown").when(m == 3, "json")
+            .otherwise("xml"))
+    payload = (
+        F.when(m == 0, F.col("text"))
+        .when(m == 1, F.concat(
+            F.lit("<html><head><script>var x=1;</script></head><body>\n<p>"),
+            F.col("text"), F.lit("</p>\n</body></html>")))
+        .when(m == 2, F.concat(F.lit("# Doc Title\n\n"), F.col("text")))
+        .when(m == 3, F.to_json(F.struct(F.col("text").alias("body"))))
+        .otherwise(F.concat(F.lit("<root><body>"), F.col("text"),
+                            F.lit("</body></root>")))
+    )
+    spans = F.array(F.struct(
+        kind.alias("kind"), payload.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"), F.lit(0).alias("offset"),
+    ))
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        spans.cast(f"array<{SPAN_TYPE.simpleString()}>").alias("spans"),
+    )
+    out = extract_spans_df(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "n_spans",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXTRACT_MULTI_SQL = """
+SELECT doc_id, 'ok' AS status, 1 AS n_spans,
+       CASE doc_id % 5
+         WHEN 0 THEN text
+         WHEN 1 THEN text
+         WHEN 2 THEN 'Doc Title' || chr(10) || text
+         WHEN 3 THEN 'body: ' || text
+         ELSE 'root.body: ' || text
+       END AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
 def ext_html_strip(spark, sf_dir):
     """E11 file-mode strip through the real Python kernel; synthesized HTML
     wraps the known text so the expected output is the text itself."""
@@ -852,6 +901,7 @@ QUERIES = {
     "ext_source_header": ext_source_header,
     "ext_base64_source": ext_base64_source,
     "extract_flagship": extract_flagship,
+    "extract_multi_format": extract_multi_format,
     "ext_html_strip": ext_html_strip,
     "mm_media_features": mm_media_features,
 }
@@ -880,6 +930,7 @@ ORACLES = {
     "ext_source_header": EXT_SOURCE_SQL,
     "ext_base64_source": EXT_BASE64_SQL,
     "extract_flagship": EXTRACT_FLAGSHIP_SQL,
+    "extract_multi_format": EXTRACT_MULTI_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
     "mm_media_features": MM_MEDIA_SQL,
 }

@@ -147,3 +147,22 @@ def test_rtf_par_and_hex():
     rtf = r"{\rtf1 line one\par line \'e9two\par}"
     # the single space after a control word is its delimiter (consumed)
     assert rtf_to_text(rtf) == "line one\nline étwo"
+
+
+def test_csv_cyrillic_rows_kept():
+    # mirrors /root/reference/tests/test_extractors.py:98-107
+    payload = "Название,Цена,Количество\nТовар 1,100,5\nТовар 2,200,3"
+    out = extract_csv(payload)
+    assert "Название,Цена,Количество" in out
+    assert "Товар 1,100,5" in out and "Товар 2,200,3" in out
+
+
+def test_invalid_xml_yaml_fail_closed():
+    # mirrors :125-130 / :146-151 — kernel raises, document gets error status
+    from extract_text_spark.extractors import extract_document
+
+    for kind, payload in [("xml", "<invalid><unclosed>tag</invalid>"),
+                          ("yaml", "invalid: yaml: content: [")]:
+        status, out = extract_document(
+            "d", [{"kind": kind, "text": payload, "media_ref": None, "offset": 0}])
+        assert status.startswith("error") and out == []
