@@ -291,13 +291,19 @@ def extract_main_content(
             and _stopword_density(text) >= min_stopword_density
         )
         labels.append(good)
-    # Neighbour promotion: short clean blocks adjacent to a good block.
+    # Neighbour promotion — deliberately narrow: only heading-tagged blocks
+    # next to good content, or short blocks directly sandwiched between two
+    # good blocks (jusText's "near-good" idea). Promoting any short
+    # neighbour would resurrect chrome like "SUBSCRIBE NOW" banners.
+    headings = {"h1", "h2", "h3", "h4", "h5", "h6", "title"}
     promoted = list(labels)
     for i, (text, ld, tag) in enumerate(blocks):
         if labels[i] or tag in chrome or ld > 0.2 or not text:
             continue
-        prev_good = any(labels[j] for j in range(max(0, i - 2), i))
-        next_good = any(labels[j] for j in range(i + 1, min(len(labels), i + 3)))
-        if prev_good or next_good:
+        prev_good = i > 0 and labels[i - 1]
+        next_good = i + 1 < len(labels) and labels[i + 1]
+        if tag in headings and (prev_good or next_good):
+            promoted[i] = True
+        elif prev_good and next_good:
             promoted[i] = True
     return "\n".join(b[0] for b, keep in zip(blocks, promoted) if keep)

@@ -105,3 +105,36 @@ def test_rawtext_script_with_markup_inside():
 def test_title_text_is_kept():
     html = "<html><head><title>The Title</title></head><body>\n<p>Body</p></body></html>"
     assert strip_html(html, "file") == "The Title\nBody"
+
+
+ARTICLE = (
+    "The report shows that the data pipeline is running well and the "
+    "team is happy with the results of this quarter as a whole overall."
+)
+
+
+def test_main_content_drops_link_farm_div():
+    # boilerplate chrome marked up as a plain div: caught by link density
+    farm = "".join(f'<a href="/t/{i}">related story {i}</a> ' for i in range(12))
+    html = (f"<body><div>{farm}</div><p>{ARTICLE}</p><p>{ARTICLE}</p>"
+            f"<div>{farm}</div></body>")
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    assert "related story 3" not in out
+
+
+def test_main_content_keeps_article_with_inline_links():
+    linked = (f"The report shows that the <a href='/x'>data pipeline</a> is "
+              f"running well and the team is happy with the results of this "
+              f"quarter as a whole overall and then some more of it here.")
+    html = f"<body><p>{linked}</p><p>{ARTICLE}</p></body>"
+    out = extract_main_content(html)
+    assert "data pipeline" in out  # moderate link density is fine
+
+
+def test_main_content_drops_short_shouty_chrome():
+    html = (f"<body><div>SUBSCRIBE NOW</div><p>{ARTICLE}</p>"
+            f"<div>Cookie settings</div><div>Share on social</div></body>")
+    out = extract_main_content(html)
+    assert ARTICLE in out
+    assert "SUBSCRIBE" not in out and "Cookie" not in out
