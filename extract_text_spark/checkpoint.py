@@ -23,6 +23,10 @@ Crash-safety: the manifest append happens only after the data write
 returns, so a failure mid-write leaves at worst a torn partition that the
 next run's dynamic overwrite replaces — manifests never point at
 unfinished buckets (write-ahead of data, write-behind of manifest).
+Out-of-band data loss *after* a manifest commit (someone deletes files
+under {output}/data) is not detected — resume trusts the manifest; that is
+the gap Iceberg snapshot isolation closes on the production path (delete
+the manifest rows for affected buckets to force reprocessing).
 """
 
 from __future__ import annotations

@@ -196,6 +196,12 @@ def explode_archives_df(df: DataFrame) -> DataFrame:
     """
     if "status" not in df.columns:
         df = df.withColumn("status", F.lit(None).cast(StringType()))
+    # Fail-closed on malformed rows: a null spans array would null-propagate
+    # through the fan-out expression and the document would vanish from the
+    # output silently; coalesce to empty so it surfaces as status='empty'.
+    df = df.withColumn(
+        "spans", F.coalesce("spans", F.array().cast(SPANS_TYPE.simpleString()))
+    )
 
     arch = F.array_sort(
         F.filter("spans", lambda s: s.kind == F.lit("archive_member")),

@@ -92,3 +92,13 @@ def test_no_python_in_fanout_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_null_spans_surface_as_empty_not_dropped(spark):
+    """Fail-closed: malformed rows (null spans) must surface with a status,
+    never vanish from the output (found by a verification probe)."""
+    from extract_text_spark.pipeline import DOC_SCHEMA
+    bad = spark.createDataFrame([("nullspans", None), ("nospans", [])],
+                                schema=DOC_SCHEMA)
+    res = {r["doc_id"]: r["status"] for r in extract_spans_df(bad).collect()}
+    assert res == {"nullspans": "empty", "nospans": "empty"}
