@@ -15,7 +15,8 @@ from extract_text_spark.extractors.markdown import md_to_text
 from extract_text_spark.extractors.pdf_layout import xy_cut
 from extract_text_spark.extractors.rtf import rtf_to_text
 
-_SETTINGS = dict(max_examples=150, deadline=None)
+# derandomize: the driver gate must never flake on a fresh random seed
+_SETTINGS = dict(max_examples=150, deadline=None, derandomize=True)
 
 
 @given(st.binary(max_size=2000))
