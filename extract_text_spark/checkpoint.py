@@ -71,6 +71,11 @@ def run_extraction(
     Returns summary metrics for the processed increment.
     """
     t0 = time.monotonic()
+    # Do NOT trust the session factory for this: under Spark's default
+    # *static* overwrite mode, mode('overwrite').partitionBy('bucket') would
+    # truncate the whole {output}/data directory while the manifest still
+    # marks prior buckets done — resume would silently lose them.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = with_bucket(docs, num_buckets)
     if bucket_filter is not None:
         docs = docs.filter(bucket_filter(F.col("bucket")))
@@ -86,13 +91,16 @@ def run_extraction(
 
     # NB: fan-out children land in the *parent's* bucket so bucket-level
     # resume stays exact (children re-derive deterministically from parents).
+    # The pipeline carries the pre-fan-out root_id through the kernel —
+    # string-splitting the child doc_id would mis-bucket inputs whose own
+    # doc_id contains '/'.
     result = extract_spans_df(
-        docs.select("doc_id", "spans"), salt_partitions=salt_partitions
+        docs.select("doc_id", "spans"), salt_partitions=salt_partitions,
+        keep_root=True,
     )
-    result = with_bucket(result, num_buckets).withColumn(
-        "bucket", F.pmod(F.xxhash64(F.split("doc_id", "/")[0]),
-                         F.lit(num_buckets)).cast("int")
-    )
+    result = result.withColumn(
+        "bucket", F.pmod(F.xxhash64("root_id"), F.lit(num_buckets)).cast("int")
+    ).drop("root_id")
     result.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{output_dir}/data"
     )

@@ -186,13 +186,19 @@ def _expand_archive(doc_id: Column, members: Column, depth: int) -> Column:
     ).otherwise(expanded)
 
 
-def explode_archives_df(df: DataFrame) -> DataFrame:
+def explode_archives_df(df: DataFrame, with_root: bool = False) -> DataFrame:
     """A1-A6 archive fan-out in ONE scan: a single nested-transform
     expression computes every fan-out level (bounded depth 3) per row, then
     one ``posexplode`` emits the documents — no unions, no repeated scans.
     Path sanitation (A7), system-file filter (A8) and the 100 MB bomb guard
     (A2) are inlined as column predicates; guard-rejected rows surface with
     a non-null ``status``.
+
+    ``with_root=True`` adds a ``root_id`` column carrying the pre-fan-out
+    input doc_id (null when unchanged — i.e. for non-archive rows — so the
+    mostly-null column shuffles for free). Checkpointing buckets by root so
+    fan-out children land in their parent's bucket even when input doc_ids
+    themselves contain ``/``.
     """
     if "status" not in df.columns:
         df = df.withColumn("status", F.lit(None).cast(StringType()))
@@ -231,10 +237,15 @@ def explode_archives_df(df: DataFrame) -> DataFrame:
         (F.size(arch) == 0) | status.isNotNull(), passthrough
     ).otherwise(fanned)
 
-    return (
-        df.select(F.explode(out_docs).alias("d"))
-        .select("d.doc_id", "d.spans", "d.status")
+    out = (
+        df.select(F.col("doc_id").alias("_root"), F.explode(out_docs).alias("d"))
+        .select(
+            "d.doc_id", "d.spans", "d.status",
+            F.when(F.col("d.doc_id") != F.col("_root"), F.col("_root"))
+            .alias("root_id"),
+        )
     )
+    return out if with_root else out.drop("root_id")
 
 
 # ---------------------------------------------------------------------------
@@ -288,7 +299,8 @@ def _chunk_big(big: DataFrame) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy("pos")
     exploded = (
-        big.select("doc_id", "status", F.posexplode("spans").alias("pos", "span"))
+        big.select("doc_id", "status", "root_id",
+                   F.posexplode("spans").alias("pos", "span"))
         .withColumn(
             "anchor",
             F.sum(
@@ -305,19 +317,26 @@ def _chunk_big(big: DataFrame) -> DataFrame:
                 F.collect_list(F.struct("pos", "span"))
             ).alias("ps"),
             F.first("status").alias("status"),
+            F.first("root_id").alias("root_id"),
         )
         .withColumn("spans", F.transform("ps", lambda x: x.span))
         .withColumn(
             "n_chunks",
             F.count("*").over(Window.partitionBy("doc_id")).cast(IntegerType()),
         )
-        .select("doc_id", "spans", "status", "chunk_id", "n_chunks")
+        .select("doc_id", "spans", "status", "root_id", "chunk_id", "n_chunks")
     )
     return chunks
 
 
 def _reassemble(multi: DataFrame) -> DataFrame:
-    """Merge chunked extraction outputs back into whole documents."""
+    """Merge chunked extraction outputs back into whole documents.
+
+    Error contract matches the unsplit kernel (extract_document): any
+    erroring chunk poisons the whole document — empty spans, zero
+    n_spans/n_chars — so split and unsplit paths are indistinguishable
+    (bytes_in stays the summed input size, as in the unsplit error row).
+    """
     merged = (
         multi.groupBy("doc_id")
         .agg(
@@ -326,10 +345,16 @@ def _reassemble(multi: DataFrame) -> DataFrame:
             ).alias("cs"),
             F.max(F.when(F.col("status").startswith("error"), F.col("status"))).alias("err"),
             F.max(F.when(F.col("status") == "ok", F.lit(1)).otherwise(0)).alias("any_ok"),
-            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_chars").alias("sum_chars"),
             F.sum("bytes_in").alias("bytes_in"),
+            F.first("root_id").alias("root_id"),
         )
-        .withColumn("flat", F.flatten(F.transform("cs", lambda c: c.spans)))
+        .withColumn(
+            "flat",
+            F.when(F.col("err").isNotNull(),
+                   F.array().cast(SPANS_TYPE.simpleString()))
+            .otherwise(F.flatten(F.transform("cs", lambda c: c.spans))),
+        )
         .withColumn(
             "spans",
             F.transform(
@@ -348,9 +373,18 @@ def _reassemble(multi: DataFrame) -> DataFrame:
             .otherwise(F.lit("empty")),
         )
         .withColumn("n_spans", F.size("spans"))
-        .select("doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in")
+        .withColumn(
+            "n_chars",
+            F.when(F.col("err").isNotNull(), F.lit(0).cast(LongType()))
+            .otherwise(F.col("sum_chars")),
+        )
+        .select("doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in",
+                "root_id")
     )
     return merged
+
+
+_ROOT_FIELD = StructField("root_id", StringType())
 
 
 def extract_spans_df(
@@ -358,6 +392,7 @@ def extract_spans_df(
     salt_partitions: int | None = None,
     skew_split: bool = True,
     skew_threshold: int = SKEW_SPLIT_BYTES,
+    keep_root: bool = False,
 ) -> DataFrame:
     """documents(doc_id, spans) -> extracted spans DataFrame (OUT_SCHEMA).
 
@@ -367,8 +402,13 @@ def extract_spans_df(
     oversized docs take the chunk -> kernel -> collect_list reassembly
     detour. (A post-kernel filter-into-union would re-run the kernel per
     branch — 2x the Python work.)
+
+    ``keep_root=True`` appends a ``root_id`` column: the pre-fan-out input
+    doc_id (== doc_id for non-archive rows). The column is null-compressed
+    through the shuffle and coalesced at the end, so the common case pays
+    one null per row.
     """
-    fanned = explode_archives_df(df)
+    fanned = explode_archives_df(df, with_root=True)
 
     if skew_split:
         split = _splittable_col(skew_threshold)
@@ -381,11 +421,26 @@ def extract_spans_df(
         small = small.repartition(
             salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
-    out_small = small.select("doc_id", "spans", "status").mapInPandas(
-        _extract_batches, schema=OUT_SCHEMA
+
+    def _run_small(batches):
+        import pandas as pd
+        for batch in batches:
+            meta = batch[["root_id"]].reset_index(drop=True)
+            res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
+            yield pd.concat([res, meta], axis=1)
+
+    small_schema = StructType(OUT_SCHEMA.fields + [_ROOT_FIELD])
+    out_small = small.select("doc_id", "spans", "status", "root_id").mapInPandas(
+        _run_small, schema=small_schema
     )
+
+    def _finish(out: DataFrame) -> DataFrame:
+        if keep_root:
+            return out.withColumn("root_id", F.coalesce("root_id", "doc_id"))
+        return out.drop("root_id")
+
     if big is None:
-        return out_small
+        return _finish(out_small)
 
     # Oversized docs: chunk (already a shuffle by doc_id+chunk), extract
     # each chunk independently, reassemble order-preserving.
@@ -394,16 +449,17 @@ def extract_spans_df(
     def _run(batches):
         import pandas as pd
         for batch in batches:
-            meta = batch[["chunk_id", "n_chunks"]].reset_index(drop=True)
+            meta = batch[["chunk_id", "n_chunks", "root_id"]].reset_index(drop=True)
             res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
             yield pd.concat([res, meta], axis=1)
 
     out_schema = StructType(
         OUT_SCHEMA.fields
         + [StructField("chunk_id", IntegerType()),
-           StructField("n_chunks", IntegerType())]
+           StructField("n_chunks", IntegerType()),
+           _ROOT_FIELD]
     )
     out_big = chunks.select(
-        "doc_id", "spans", "status", "chunk_id", "n_chunks"
+        "doc_id", "spans", "status", "chunk_id", "n_chunks", "root_id"
     ).mapInPandas(_run, schema=out_schema)
-    return out_small.unionByName(_reassemble(out_big))
+    return _finish(out_small.unionByName(_reassemble(out_big)))

@@ -60,6 +60,32 @@ def test_rerun_overwrites_not_duplicates(spark, tmp_path):
     assert m.select("app_id").distinct().count() == 1
 
 
+def test_slash_in_input_doc_id_buckets_consistently(spark, tmp_path):
+    """Input doc_ids containing '/' (file paths) must bucket by the FULL
+    root id, not a split prefix — resume after a partial run must converge
+    to the one-shot result with no lost or doubled docs."""
+    docs = gen_corpus(60, seed=11)
+    for d in docs:
+        d["doc_id"] = f"s3://bucket/prefix/{d['doc_id']}"
+    df = corpus_to_df(spark, docs)
+    one, two = str(tmp_path / "one"), str(tmp_path / "two")
+    run_extraction(spark, df, one, num_buckets=8)
+
+    m1 = run_extraction(spark, df, two, num_buckets=8,
+                        bucket_filter=lambda b: b % 2 == 0)
+    m2 = run_extraction(spark, df, two, num_buckets=8)
+    assert m1["buckets"] + m2["buckets"] == 8
+    assert _result_map(spark, two) == _result_map(spark, one)
+    # fan-out children (doc_id extended with member path) stay in their
+    # parent's bucket: every child row shares the parent's partition value
+    data = spark.read.parquet(f"{two}/data")
+    n_children = data.filter(~F.col("doc_id").startswith("s3://")).count()
+    assert n_children == 0  # all ids keep the root prefix
+    # a third run is a no-op
+    m3 = run_extraction(spark, df, two, num_buckets=8)
+    assert m3["buckets"] == 0
+
+
 def test_manifest_metrics(spark, tmp_path):
     docs = corpus_to_df(spark, gen_corpus(30, seed=7))
     out = str(tmp_path / "out")

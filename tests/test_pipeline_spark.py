@@ -72,6 +72,32 @@ def test_skew_split_equivalence(spark):
         assert "media" in kinds and "text" in kinds
 
 
+def test_skew_split_equivalence_with_erroring_chunk(spark):
+    """An erroring chunk must poison the whole document exactly like the
+    unsplit kernel does (empty spans, zero counts) — split and unsplit
+    outputs stay indistinguishable even on error rows."""
+    pages = [
+        {"kind": "pdf_page",
+         "text": '{"page_no": %d, "blocks": [{"bbox": [0, %d, 10, %d], '
+                 '"text": "line %d"}]}' % (i + 1, i * 10, i * 10 + 5, i + 1),
+         "media_ref": None, "offset": i}
+        for i in range(40)
+    ]
+    bad = dict(pages[25])
+    bad["text"] = "{not valid json"
+    pages[25] = bad
+    docs = [{"doc_id": "err-skew", "spans": pages}]
+    df = corpus_to_df(spark, docs)
+    split = _spanify(
+        extract_spans_df(df, skew_split=True, skew_threshold=1).collect())
+    unsplit = _spanify(extract_spans_df(df, skew_split=False).collect())
+    assert split == unsplit
+    st, spans = split["err-skew"]
+    assert st.startswith("error:") and spans == []
+    row = extract_spans_df(df, skew_split=True, skew_threshold=1).collect()[0]
+    assert row["n_spans"] == 0 and row["n_chars"] == 0
+
+
 def test_archive_fanout_matches_oracle(spark):
     docs = [d for d in gen_corpus(600, seed=9) if "-archive" in d["doc_id"]]
     assert docs
