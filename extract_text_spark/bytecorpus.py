@@ -1,0 +1,197 @@
+"""Deterministic byte-fixture builders (zip/tar/docx/xlsx/pptx/epub/odt).
+
+Used by tests AND the driver queries' closed-form byte corpuses: each
+builder produces real container bytes with stdlib zipfile/tarfile + hand
+OOXML XML, so ingest.py is exercised against genuine file formats without
+any binary fixtures checked into the repo. Archive timestamps are pinned so
+the bytes themselves are reproducible (extraction ignores them either way).
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+_CT = (
+    '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+    'package/2006/content-types"/>'
+)
+
+
+def make_zip(entries: dict[str, bytes | str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in entries.items():
+            info = zipfile.ZipInfo(name, _EPOCH)
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def make_tar(entries: dict[str, bytes], mode: str = "w:gz") -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode=mode) as tf:
+        for name, data in entries.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def make_docx(paragraphs, table=None, header=None, footnote=None,
+              comment=None) -> bytes:
+    w = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    body = "".join(
+        f"<w:p><w:r><w:t>{p}</w:t></w:r></w:p>" for p in paragraphs
+    )
+    if table:
+        rows = "".join(
+            "<w:tr>" + "".join(
+                f"<w:tc><w:p><w:r><w:t>{c}</w:t></w:r></w:p></w:tc>"
+                for c in row
+            ) + "</w:tr>"
+            for row in table
+        )
+        body += f"<w:tbl>{rows}</w:tbl>"
+    entries: dict[str, bytes | str] = {"[Content_Types].xml": _CT}
+    rels = []
+    if header is not None:
+        rels.append(
+            '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org'
+            '/officeDocument/2006/relationships/header" Target="header1.xml"/>'
+        )
+        entries["word/header1.xml"] = (
+            f'<w:hdr xmlns:w="{w}"><w:p><w:r><w:t>{header}</w:t></w:r></w:p></w:hdr>'
+        )
+        body += (
+            '<w:sectPr><w:headerReference w:type="default" r:id="rId1"/></w:sectPr>'
+        )
+    entries["word/document.xml"] = (
+        f'<w:document xmlns:w="{w}" xmlns:r="{r}"><w:body>{body}</w:body>'
+        "</w:document>"
+    )
+    if rels:
+        entries["word/_rels/document.xml.rels"] = (
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+            '/2006/relationships">' + "".join(rels) + "</Relationships>"
+        )
+    if footnote is not None:
+        entries["word/footnotes.xml"] = (
+            f'<w:footnotes xmlns:w="{w}">'
+            '<w:footnote w:type="separator" w:id="-1"><w:p><w:r><w:t>sep'
+            "</w:t></w:r></w:p></w:footnote>"
+            f'<w:footnote w:id="1"><w:p><w:r><w:t>{footnote}</w:t></w:r></w:p>'
+            "</w:footnote></w:footnotes>"
+        )
+    if comment is not None:
+        entries["word/comments.xml"] = (
+            f'<w:comments xmlns:w="{w}"><w:comment w:id="0">'
+            f"<w:p><w:r><w:t>{comment}</w:t></w:r></w:p></w:comment></w:comments>"
+        )
+    return make_zip(entries)
+
+
+def make_xlsx(sheets: dict[str, list[list]]) -> bytes:
+    s = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    entries: dict[str, bytes | str] = {"[Content_Types].xml": _CT}
+    sheet_tags, rel_tags = [], []
+    for i, (name, grid) in enumerate(sheets.items(), 1):
+        sheet_tags.append(f'<sheet name="{name}" sheetId="{i}" r:id="rId{i}"/>')
+        rel_tags.append(
+            f'<Relationship Id="rId{i}" Type="x" Target="worksheets/sheet{i}.xml"/>'
+        )
+        rows = []
+        for rn, row in enumerate(grid, 1):
+            cells = []
+            for cn, v in enumerate(row):
+                col = chr(ord("A") + cn)
+                if isinstance(v, str):
+                    cells.append(
+                        f'<c r="{col}{rn}" t="inlineStr"><is><t>{v}</t></is></c>'
+                    )
+                else:
+                    cells.append(f'<c r="{col}{rn}"><v>{v}</v></c>')
+            rows.append(f'<row r="{rn}">' + "".join(cells) + "</row>")
+        entries[f"xl/worksheets/sheet{i}.xml"] = (
+            f'<worksheet xmlns="{s}"><sheetData>' + "".join(rows)
+            + "</sheetData></worksheet>"
+        )
+    entries["xl/workbook.xml"] = (
+        f'<workbook xmlns="{s}" xmlns:r="{r}"><sheets>'
+        + "".join(sheet_tags) + "</sheets></workbook>"
+    )
+    entries["xl/_rels/workbook.xml.rels"] = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+        '/2006/relationships">' + "".join(rel_tags) + "</Relationships>"
+    )
+    return make_zip(entries)
+
+
+def make_pptx(slides: list[dict]) -> bytes:
+    p = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    a = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    r = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    entries: dict[str, bytes | str] = {"[Content_Types].xml": _CT}
+    sld_ids, rel_tags = [], []
+
+    def shapes_xml(texts):
+        return "".join(
+            f"<p:sp><p:txBody><a:p><a:r><a:t>{t}</a:t></a:r></a:p></p:txBody></p:sp>"
+            for t in texts
+        )
+
+    for i, slide in enumerate(slides, 1):
+        sld_ids.append(f'<p:sldId id="{255 + i}" r:id="rId{i}"/>')
+        rel_tags.append(
+            f'<Relationship Id="rId{i}" Type="x" Target="slides/slide{i}.xml"/>'
+        )
+        entries[f"ppt/slides/slide{i}.xml"] = (
+            f'<p:sld xmlns:p="{p}" xmlns:a="{a}"><p:cSld><p:spTree>'
+            + shapes_xml(slide.get("shapes", []))
+            + "</p:spTree></p:cSld></p:sld>"
+        )
+        if slide.get("notes"):
+            entries[f"ppt/slides/_rels/slide{i}.xml.rels"] = (
+                '<Relationships xmlns="http://schemas.openxmlformats.org/'
+                'package/2006/relationships"><Relationship Id="rId99" Type="x"'
+                f' Target="../notesSlides/notesSlide{i}.xml"/></Relationships>'
+            )
+            entries[f"ppt/notesSlides/notesSlide{i}.xml"] = (
+                f'<p:notes xmlns:p="{p}" xmlns:a="{a}"><p:cSld><p:spTree>'
+                + shapes_xml(slide["notes"])
+                + "</p:spTree></p:cSld></p:notes>"
+            )
+    entries["ppt/presentation.xml"] = (
+        f'<p:presentation xmlns:p="{p}" xmlns:r="{r}"><p:sldIdLst>'
+        + "".join(sld_ids) + "</p:sldIdLst></p:presentation>"
+    )
+    entries["ppt/_rels/presentation.xml.rels"] = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+        '/2006/relationships">' + "".join(rel_tags) + "</Relationships>"
+    )
+    return make_zip(entries)
+
+
+def make_epub(chapters: dict[str, str], extras: dict[str, bytes] | None = None) -> bytes:
+    entries: dict[str, bytes | str] = {"mimetype": "application/epub+zip"}
+    for name, body in chapters.items():
+        entries[name] = f"<html><body><p>{body}</p></body></html>"
+    entries.update(extras or {})
+    return make_zip(entries)
+
+
+def make_odt(paragraphs: list[str]) -> bytes:
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)
+    return make_zip({
+        "mimetype": "application/vnd.oasis.opendocument.text",
+        "content.xml": (
+            f'<office:document-content xmlns:office="o" xmlns:text="{t}">'
+            f"<office:body>{body}</office:body></office:document-content>"
+        ),
+    })

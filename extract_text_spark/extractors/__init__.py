@@ -27,7 +27,7 @@ from ..config import MAX_FILE_SIZE
 from .docparts import extract_docx, extract_odt, extract_pptx
 from .email_msg import extract_eml, extract_msg
 from .encodings import bytes_from_payload
-from .epub import epub_members_budget, extract_epub_member
+from .epub import epub_members_budget, extract_epub_doc, extract_epub_member
 from .html import extract_main_content, strip_html
 from .markdown import md_to_text
 from .pdf_layout import extract_pdf_page, page_marker
@@ -100,6 +100,8 @@ def extract_payload(kind: str, text: str, doc_id: str) -> str | None:
         return extract_msg(bytes_from_payload(text))
     if kind == "epub_member":
         return extract_epub_member(text)
+    if kind == "epub":
+        return extract_epub_doc(text)
     raise ValueError(f"Unsupported file format: {kind}")
 
 

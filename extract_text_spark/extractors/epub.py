@@ -36,6 +36,28 @@ def extract_epub_member(payload: str) -> str | None:
     return text if text else None
 
 
+def extract_epub_doc(payload: str) -> str | None:
+    """Whole-book payload (ingest path) -> joined text, reference control
+    flow bug-for-bug (app/extractors.py:1107-1167): the budget check runs
+    for EVERY member in archive order and breaks the loop when
+    ``extracted + member.size`` would exceed the cap — even for a non-html
+    member that would never be read — while only html members contribute
+    text and accumulate size.
+    """
+    data = json.loads(payload)
+    parts: list[str] = []
+    extracted = 0
+    for member in data.get("members", []):
+        if extracted + member["size"] > MAX_EXTRACTED_SIZE:
+            break
+        if is_epub_html_member(member.get("name", "")):
+            text = get_text(member.get("content", "")).strip()
+            if text:
+                parts.append(text)
+            extracted += member["size"]
+    return "\n\n".join(parts) if parts else None
+
+
 def epub_members_budget(sizes: list[int]) -> int:
     """How many leading members fit the 100 MB cumulative cap.
 

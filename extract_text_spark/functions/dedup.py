@@ -68,19 +68,52 @@ def _shingled(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float,
                         id_col: str = "doc_id",
-                        text_col: str = "text") -> DataFrame:
-    """Exact Jaccard pairs via inverted-index self-join on shingles."""
-    s = _shingled(df, id_col, text_col).withColumn("n", F.size("sh"))
-    inv = s.select("id", "n", F.explode("sh").alias("shingle"))
+                        text_col: str = "text",
+                        max_df: int | None = 100) -> DataFrame:
+    """Jaccard pairs via inverted-index self-join on shingles, with a
+    hot-shingle document-frequency cap.
+
+    The cap is the 100 TB guard: a shingle occurring in n documents
+    contributes n² rows to the self-join, so one stop-phrase shared by 10⁶
+    docs makes the shuffle quadratic. Shingles with df > ``max_df`` are
+    excluded from the *candidate-generating* index only (they are the least
+    selective evidence); every candidate pair is then verified EXACTLY
+    against the full shingle sets, so reported inter/na/nb/jaccard values
+    are never approximated. A qualifying pair is missed only when every
+    shingle it shares is hot — at threshold t that requires ≥ t·m shared
+    df>max_df shingles — so set ``max_df`` above the df of the most common
+    legitimate phrase. ``max_df=None`` disables the cap (exact, but
+    worst-case quadratic — verifier use only).
+
+    Plan shape: shingle-df groupBy (map-side combined) -> broadcast
+    anti-join of the tiny hot set -> id-only index self-join ->
+    dropDuplicates -> shingle arrays rejoined for exact verification (same
+    verify machinery as minhash_lsh_pairs).
+    """
+    s = _shingled(df, id_col, text_col)
+    inv = s.select("id", F.explode("sh").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     a, b = inv.alias("a"), inv.alias("b")
-    pairs = (
+    cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.n").alias("na"), F.col("b.n").alias("nb"),
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    pairs = (
+        cand.join(sh_a, "a_id").join(sh_b, "b_id")
+        .select(
+            "a_id", "b_id",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"), F.size("shb").alias("nb"),
         )
-        .agg(F.count("*").alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),

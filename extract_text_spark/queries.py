@@ -19,7 +19,9 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType, LongType, StringType, StructField, StructType,
+)
 from pyspark.sql.window import Window
 
 from .functions import dedup, similarity, text_stats
@@ -539,10 +541,142 @@ WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
 
 
 def sim_ann_ivf(spark, sf_dir):
-    """IVF scale path (approximate — rows-only check, no SQL oracle)."""
+    """IVF scale path over the label clustering. Exactly oracled: centroids
+    are integer-millionth means (order-free exact sums + one IEEE double
+    division), probe and fine ranks compare integer millionths."""
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERIES)
     return similarity.ivf_topk(e, q, k=TOP_K, nprobe=2).orderBy("query_id", "rnk")
+
+
+# --- engine-portable SQL fragments for the IVF/k-means oracles -------------
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_aggregate(list_transform(range(1, len({a})+1), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')")
+
+
+def _smilli_sql(a: str, b: str) -> str:
+    return ("CAST(floor(" + _dot_sql(a, b)
+            + f" / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+            + " * 1000000.0 + 0.5) AS BIGINT)")
+
+
+def _milli_cent_sql(src: str) -> str:
+    """(cluster, nv) rows -> (cluster, centroid): integer-millionth means,
+    mirroring similarity._milli_centroids bit-for-bit."""
+    return f"""
+  SELECT cluster, list(c ORDER BY dim) AS centroid FROM (
+    SELECT cluster, u.dim AS dim, sum(u.vm)::DOUBLE / count(*) AS c
+    FROM (SELECT cluster, unnest(list_transform(range(1, len(nv)+1),
+            d -> struct_pack(dim := d,
+                 vm := floor(nv[d]::DOUBLE * 1000000.0 + 0.5)::BIGINT))) AS u
+          FROM ({src})) GROUP BY cluster, u.dim) GROUP BY cluster"""
+
+
+def _ivf_search_sql(v_name: str, cent_name: str, nprobe: int, topk: int) -> str:
+    """Probe nprobe centroids per query, fine-search inside those clusters;
+    mirrors similarity._ivf_search."""
+    return f"""
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT q.query_id, q.qv, c.cluster,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_smilli_sql("q.qv", "c.centroid")} DESC,
+                                       c.cluster ASC) AS prank
+    FROM q CROSS JOIN {cent_name} c) WHERE prank <= {nprobe}
+),
+fine AS (
+  SELECT p.query_id, v.neighbor_id, {_smilli_sql("p.qv", "v.nv")} AS score_milli
+  FROM probes p JOIN {v_name} v ON v.cluster = p.cluster
+  WHERE v.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score_milli,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_milli DESC, neighbor_id ASC) AS rnk
+  FROM fine)
+SELECT query_id, neighbor_id, rnk, score_milli FROM ranked
+WHERE rnk <= {topk} ORDER BY query_id, rnk"""
+
+
+SIM_ANN_IVF_SQL = (
+    "WITH vv AS (SELECT vec_id AS neighbor_id, embedding AS nv, "
+    "label AS cluster FROM embeddings),\n"
+    "cent AS (" + _milli_cent_sql(
+        "SELECT label AS cluster, embedding AS nv FROM embeddings") + "),\n"
+    + _ivf_search_sql("vv", "cent", nprobe=2, topk=TOP_K)
+)
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _kmeans_ctes(k: int, iters: int) -> str:
+    """Unrolled deterministic Lloyd's as chained CTEs, mirroring
+    similarity.kmeans_fit: c0 = k lowest-id vectors; a{i} assigns against
+    c{i-1} (cosine-milli argmax, ties to lowest cluster); c{i} is the
+    milli-mean of a{i} with the previous centroid kept for empty clusters."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding AS nv FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(nv, x -> x::DOUBLE) AS centroid
+  FROM (SELECT vec_id, nv FROM v ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i} AS (
+  SELECT vec_id, nv, cluster FROM (
+    SELECT v.vec_id, v.nv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_smilli_sql("v.nv", "c.centroid")} DESC,
+                                       c.cluster ASC) AS r
+    FROM v CROSS JOIN c{i - 1} c) WHERE r = 1)""")
+        ctes.append(f"""c{i} AS (
+  SELECT p.cluster, coalesce(n.centroid, p.centroid) AS centroid
+  FROM c{i - 1} p LEFT JOIN ({_milli_cent_sql(f"SELECT cluster, nv FROM a{i}")}) n
+    ON n.cluster = p.cluster)""")
+    return ",\n".join(ctes)
+
+
+def sim_kmeans_assign(spark, sf_dir):
+    """Deterministic Lloyd's k-means (k=8, 2 iterations, lowest-id init) on
+    unlabeled embeddings — exact DuckDB oracle via integer-millionth
+    centroid arithmetic (an iterative algorithm under the value-hash gate)."""
+    e = _t(spark, sf_dir, "embeddings")
+    assigned, _ = similarity.kmeans_fit(e, k=KMEANS_K, iters=KMEANS_ITERS)
+    return assigned.select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    ).orderBy("vec_id")
+
+
+SIM_KMEANS_ASSIGN_SQL = (
+    "WITH " + _kmeans_ctes(KMEANS_K, KMEANS_ITERS)
+    + f"\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM a{KMEANS_ITERS}"
+    " ORDER BY vec_id"
+)
+
+
+def sim_ann_kmeans(spark, sf_dir):
+    """IVF ANN over k-means-trained clusters (label_col=None): the operator
+    works on unlabeled embeddings end-to-end, still exactly oracled."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    return similarity.ivf_topk(
+        e, q, k=TOP_K, nprobe=2, label_col=None,
+        k_clusters=KMEANS_K, iters=KMEANS_ITERS,
+    ).orderBy("query_id", "rnk")
+
+
+SIM_ANN_KMEANS_SQL = (
+    "WITH " + _kmeans_ctes(KMEANS_K, KMEANS_ITERS) + ",\n"
+    f"vv AS (SELECT vec_id AS neighbor_id, nv, cluster FROM a{KMEANS_ITERS}),\n"
+    f"cent AS (SELECT cluster, centroid FROM c{KMEANS_ITERS}),\n"
+    + _ivf_search_sql("vv", "cent", nprobe=2, topk=TOP_K)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -876,6 +1010,219 @@ FROM documents ORDER BY media_ref
 
 
 # ---------------------------------------------------------------------------
+# Byte ingestion: REAL container bytes through the full pipeline
+# (ingest kernel -> JVM fan-out -> extraction kernel), closed-form oracles
+# ---------------------------------------------------------------------------
+
+_BYTES_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("filename", StringType()),
+    StructField("content", BinaryType()),
+])
+
+
+def _bytes_table(d: DataFrame, builder) -> DataFrame:
+    """documents -> (doc_id, filename, content binary) via an Arrow kernel
+    running ``builder(doc_id, text, source) -> (filename, bytes)``."""
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = [
+                (str(doc_id), *builder(int(doc_id), text, source))
+                for doc_id, text, source in zip(b["doc_id"], b["text"],
+                                                b["source"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "filename", "content"])
+    return d.select("doc_id", "text", "source").mapInPandas(
+        kernel, schema=_BYTES_SCHEMA)
+
+
+def ext_zip_fanout(spark, sf_dir):
+    """Real zip bytes (S7/A1-A8 from actual containers): every doc becomes
+    a 4-entry archive — plain member, markdown member in a subdir, a
+    path-traversal name (sanitized), a __MACOSX system file (dropped) —
+    parsed by the stdlib zipfile ingest kernel and fanned out JVM-side.
+    Mirrors /root/reference/tests/test_extractors.py:334-347 and
+    app/extractors.py:1651-1736."""
+    from .bytecorpus import make_zip
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        return "bundle.zip", make_zip({
+            "a.txt": text.encode("utf-8"),
+            "sub/b.md": ("# Doc Title\n\n" + text).encode("utf-8"),
+            "..\\evil.txt": b"evil payload",
+            "__MACOSX/._junk": b"junk",
+        })
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        "doc_id", "status",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_ZIP_FANOUT_SQL = """
+WITH kids AS (
+  SELECT concat(doc_id::VARCHAR, '/a.txt') AS doc_id, text AS extracted
+  FROM documents
+  UNION ALL
+  SELECT concat(doc_id::VARCHAR, '/evil.txt'), 'evil payload' FROM documents
+  UNION ALL
+  SELECT concat(doc_id::VARCHAR, '/sub/b.md'),
+         'Doc Title' || chr(10) || text FROM documents
+)
+SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
+"""
+
+
+def ext_office_bytes(spark, sf_dir):
+    """Real DOCX/XLSX/PPTX/EPUB bytes (E3/E5/E7/E19 from actual zip-of-XML
+    containers, app/extractors.py:288-552 and 1107-1167): format chosen by
+    doc_id %% 4, each wrapping the known text so extraction is closed-form."""
+    from .bytecorpus import make_docx, make_epub, make_pptx, make_xlsx
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        m = doc_id % 4
+        if m == 0:
+            return "f.docx", make_docx([text], table=[["a", "b"]], header="Hdr")
+        if m == 1:
+            return "f.xlsx", make_xlsx({"S1": [["w", "id"],
+                                               [source, str(doc_id)]]})
+        if m == 2:
+            return "f.pptx", make_pptx(
+                [{"shapes": [text], "notes": ["Notes", "n " + source]}])
+        return "f.epub", make_epub({"ch1.xhtml": text},
+                                   extras={"style.css": b"p{}"})
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "n_spans",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_OFFICE_BYTES_SQL = r"""
+SELECT doc_id, 'ok' AS status, 1 AS n_spans,
+       CASE doc_id % 4
+         WHEN 0 THEN text || chr(10) || chr(10) || 'a' || chr(9) || 'b'
+                     || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hdr'
+         WHEN 1 THEN '[Sheet: S1]' || chr(10) || chr(10) || 'w,id' || chr(10)
+                     || source || ',' || doc_id::VARCHAR || chr(10)
+         WHEN 2 THEN '[Slide 1]' || chr(10) || text || chr(10)
+                     || '[Speaker Notes]' || chr(10) || 'n ' || source
+         ELSE text
+       END AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_validate_mime(spark, sf_dir):
+    """S6 fail-closed extension<->MIME cross-check (app/utils.py:148-356):
+    spoofed payloads (text bytes named .png / .zip) are quarantined with the
+    reference's error message; matching payloads extract normally."""
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        m = doc_id % 4
+        if m == 0:
+            return "f.txt", text.encode("utf-8")
+        if m == 1:
+            return "f.png", text.encode("utf-8")        # spoofed
+        if m == 2:
+            return "f.html", ("<html><body><p>" + text
+                              + "</p></body></html>").encode("utf-8")
+        return "f.zip", text.encode("utf-8")            # spoofed
+    out = extract_from_bytes(_bytes_table(d, builder), validate=True)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status",
+        F.try_element_at("spans", F.lit(1)).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_VALIDATE_MIME_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 1 THEN 'error: File extension ''.png'' does not match its '
+                     || 'content (MIME type: text/plain)'
+         WHEN 3 THEN 'error: File extension ''.zip'' does not match its '
+                     || 'content (MIME type: text/plain)'
+         ELSE 'ok'
+       END AS status,
+       CASE doc_id % 4 WHEN 1 THEN NULL WHEN 3 THEN NULL ELSE text END
+           AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
+def ext_sanitize_filename(spark, sf_dir):
+    """S1 upload-filename sanitization (app/utils.py:111-145) as pure column
+    logic: traversal/dangerous/control characters stripped, edge dots and
+    spaces trimmed, 255-char cap preserving the extension."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(5))
+    dirty = (
+        F.when(m == 0, F.concat(F.lit("../"), F.col("source"), F.lit(".txt")))
+        .when(m == 1, F.concat(F.lit("a<b>:"), F.col("source"), F.lit("|?.md")))
+        .when(m == 2, F.concat(F.lit(" . "), F.col("source"), F.lit(". ")))
+        .when(m == 3, F.concat(F.lit("ctl\x01"), F.col("source"),
+                               F.lit("\x02.py")))
+        .otherwise(F.concat(F.repeat(F.lit("x"), 300), F.lit("."),
+                            F.col("source")))
+    )
+    x = F.regexp_replace(dirty, r"\.\.", "")
+    x = F.translate(x, "/\\<>:\"|?*", "")
+    x = F.regexp_replace(x, r"[\x00-\x1F]", "")
+    x = F.regexp_replace(x, r"^[ .]+|[ .]+$", "")
+    x = F.when(x == "", F.lit("sanitized_file")).otherwise(x)
+    ext = F.regexp_extract(x, r"^.+(\.[^.]*)$", 1)
+    capped = F.concat(
+        F.substring(x, 1, F.lit(255) - F.length(ext)), ext)
+    clean = F.when(F.length(x) > 255, capped).otherwise(x)
+    return d.select(
+        "doc_id", dirty.alias("dirty"), clean.alias("clean")
+    ).orderBy("doc_id")
+
+
+EXT_SANITIZE_FILENAME_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '../' || source || '.txt'
+           WHEN 1 THEN 'a<b>:' || source || '|?.md'
+           WHEN 2 THEN ' . ' || source || '. '
+           WHEN 3 THEN 'ctl' || chr(1) || source || chr(2) || '.py'
+           ELSE repeat('x', 300) || '.' || source
+         END AS dirty
+  FROM documents
+), s AS (
+  SELECT doc_id, dirty,
+         regexp_replace(
+           regexp_replace(
+             translate(replace(dirty, '..', ''), '/\<>:"|?*', ''),
+             '[\x00-\x1F]', '', 'g'),
+           '^[ .]+|[ .]+$', '', 'g') AS x
+  FROM f
+), e AS (
+  SELECT doc_id, dirty,
+         CASE WHEN x = '' THEN 'sanitized_file' ELSE x END AS x,
+         regexp_extract(CASE WHEN x = '' THEN 'sanitized_file' ELSE x END,
+                        '^.+(\.[^.]*)$', 1) AS ext
+  FROM s
+)
+SELECT doc_id, dirty,
+       CASE WHEN length(x) > 255
+            THEN substr(x, 1, 255 - length(ext)) || ext
+            ELSE x END AS clean
+FROM e ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -897,6 +1244,8 @@ QUERIES = {
     "dedup_simhash": dedup_simhash,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_ivf": sim_ann_ivf,
+    "sim_kmeans_assign": sim_kmeans_assign,
+    "sim_ann_kmeans": sim_ann_kmeans,
     "ext_extension_infer": ext_extension_infer,
     "ext_sanitize_paths": ext_sanitize_paths,
     "ext_system_file_filter": ext_system_file_filter,
@@ -906,6 +1255,10 @@ QUERIES = {
     "extract_multi_format": extract_multi_format,
     "ext_html_strip": ext_html_strip,
     "mm_media_features": mm_media_features,
+    "ext_zip_fanout": ext_zip_fanout,
+    "ext_office_bytes": ext_office_bytes,
+    "ext_validate_mime": ext_validate_mime,
+    "ext_sanitize_filename": ext_sanitize_filename,
 }
 
 ORACLES = {
@@ -925,7 +1278,9 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
-    # sim_ann_ivf: approximate -> rows-only check by design
+    "sim_ann_ivf": SIM_ANN_IVF_SQL,
+    "sim_kmeans_assign": SIM_KMEANS_ASSIGN_SQL,
+    "sim_ann_kmeans": SIM_ANN_KMEANS_SQL,
     "ext_extension_infer": EXT_EXTENSION_SQL,
     "ext_sanitize_paths": EXT_SANITIZE_SQL,
     "ext_system_file_filter": EXT_SYSFILE_SQL,
@@ -935,4 +1290,8 @@ ORACLES = {
     "extract_multi_format": EXTRACT_MULTI_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
     "mm_media_features": MM_MEDIA_SQL,
+    "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
+    "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
+    "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
+    "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,
 }

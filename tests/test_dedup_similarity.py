@@ -44,6 +44,38 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert ("a1", "b1") not in pairs
 
 
+def test_ngram_hot_shingle_cap(spark):
+    """df-cap semantics: capped candidate generation, EXACT verification.
+
+    s1/s2 share a rare shingle -> candidates even under a tiny cap, and
+    their inter/jaccard count the hot shingles too (verification is over
+    full shingle sets). s3/s4 share ONLY the hot shingle -> pruned when the
+    cap is on (the documented approximation), found when it's off.
+    """
+    hot = "aaa bbb ccc"          # appears in all four docs -> df=4
+    rows = [
+        ("s1", hot + " one two three"),
+        ("s2", hot + " one two three"),
+        ("s3", hot + " four five six"),
+        ("s4", hot + " seven eight nine"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = {(r["a_id"], r["b_id"]): r
+              for r in dedup.ngram_jaccard_pairs(docs, 0.01, max_df=3).collect()}
+    # s1/s2 found via rare shingles; values exact over the FULL sets
+    assert capped[("s1", "s2")]["jaccard"] == 1.0
+    assert capped[("s1", "s2")]["inter"] == 4  # incl. hot cross-boundary grams
+    assert ("s3", "s4") not in capped          # only-hot-overlap pair pruned
+    uncapped = {(r["a_id"], r["b_id"])
+                for r in dedup.ngram_jaccard_pairs(docs, 0.01,
+                                                   max_df=None).collect()}
+    assert ("s3", "s4") in uncapped
+    # cap far above corpus df == uncapped output (the correctness-gate mode)
+    wide = {(r["a_id"], r["b_id"])
+            for r in dedup.ngram_jaccard_pairs(docs, 0.01, max_df=100).collect()}
+    assert wide == uncapped
+
+
 def test_minhash_lsh_recall_on_near_dups(spark, docs):
     pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
              for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
@@ -88,6 +120,41 @@ def test_ivf_topk_matches_bruteforce_here(spark, vectors):
     q = vectors.filter(F.col("vec_id") < 3)
     bf = similarity.cosine_topk(vectors, q, k=2).collect()
     ivf = similarity.ivf_topk(vectors, q, k=2, nprobe=1).collect()
+    key = lambda rows: {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
+    assert key(ivf) == key(bf)
+
+
+def test_kmeans_recovers_clusters_and_unlabeled_ivf(spark, vectors):
+    """Lloyd's on 3 clean clusters must recover the partition (up to
+    cluster-id renaming), and label-free IVF must match brute force.
+
+    vec_ids are interleaved across true clusters so the deterministic
+    lowest-id init seeds one centroid per cluster (lowest-id init cannot
+    recover clusters it never seeds — documented limitation)."""
+    rows = []
+    for cid, base in enumerate([(1, 0, 0, 0), (0, 1, 0, 0), (0, 0, 1, 0)]):
+        for j in range(4):
+            vec = [float(b) + (0.01 * j if i == 3 else 0.0)
+                   for i, b in enumerate(base)]
+            rows.append((j * 3 + cid, vec))
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assigned, cents = similarity.kmeans_fit(vecs, k=3, iters=2)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    groups = {}
+    for vid, c in got.items():
+        groups.setdefault(c, set()).add(vid)
+    assert sorted(map(frozenset, groups.values()), key=min) == [
+        frozenset({0, 3, 6, 9}), frozenset({1, 4, 7, 10}),
+        frozenset({2, 5, 8, 11})]
+    assert cents.count() == 3
+    # deterministic across re-runs (same init, same ties)
+    assigned2, _ = similarity.kmeans_fit(vecs, k=3, iters=2)
+    assert got == {r["vec_id"]: r["cluster"] for r in assigned2.collect()}
+
+    q = vecs.filter(F.col("vec_id") < 3)
+    bf = similarity.cosine_topk(vecs, q, k=2).collect()
+    ivf = similarity.ivf_topk(vecs, q, k=2, nprobe=1, label_col=None,
+                              k_clusters=3, iters=2).collect()
     key = lambda rows: {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in rows}
     assert key(ivf) == key(bf)
 

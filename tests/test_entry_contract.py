@@ -24,7 +24,7 @@ def test_queries_oracles_aligned():
     assert set(oracles) <= set(qs)
     assert len(qs) >= 20
     # documented rows-only exceptions
-    assert set(qs) - set(oracles) == {"sim_ann_ivf"}
+    assert set(qs) - set(oracles) == set()  # every query is exactly oracled
 
 
 @pytest.mark.parametrize("kind", ["plain", "html"])

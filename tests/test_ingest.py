@@ -1,0 +1,333 @@
+"""Byte ingestion: real containers (zip/tar/docx/xlsx/pptx/odt/epub bytes)
+through the ingest kernel, the JVM fan-out and the extraction kernel.
+
+Fixtures are built in-process with stdlib zipfile/tarfile + hand-written
+OOXML XML, mirroring the reference's own archive test
+(/root/reference/tests/test_extractors.py:334-347: literal zip bytes ->
+member fan-out with text equality)."""
+
+import json
+
+import pytest
+
+from extract_text_spark.bytecorpus import (
+    make_docx,
+    make_epub,
+    make_odt,
+    make_pptx,
+    make_tar,
+    make_xlsx,
+    make_zip,
+)
+from extract_text_spark.ingest import (
+    check_mime_type,
+    extract_from_bytes,
+    get_file_extension,
+    ingest_bytes_df,
+    sanitize_filename,
+    sniff_content_mime,
+    spans_from_bytes,
+    validate_file_type,
+)
+
+UTF8_RU = "Тестовый текст в архиве"
+
+
+def _bytes_df(spark, rows):
+    from pyspark.sql.types import (
+        BinaryType, StringType, StructField, StructType,
+    )
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("filename", StringType()),
+        StructField("content", BinaryType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _collect_docs(df):
+    return {
+        r["doc_id"]: (r["status"],
+                      [(s["kind"], s["text"]) for s in r["spans"]])
+        for r in df.collect()
+    }
+
+
+# ---------------------------------------------------------------------------
+# Kernel-level (no Spark)
+# ---------------------------------------------------------------------------
+
+def test_zip_bytes_single_member_matches_reference_case():
+    # /root/reference/tests/test_extractors.py:334-347
+    archive = make_zip({"test.txt": UTF8_RU.encode("utf-8")})
+    status, spans = spans_from_bytes(archive, "test.zip")
+    assert status is None
+    assert len(spans) == 1 and spans[0]["kind"] == "archive_member"
+    member = json.loads(spans[0]["text"])
+    assert member["path"] == "test.txt" and member["kind"] == "plain"
+    assert member["text"].encode("latin-1").decode("utf-8") == UTF8_RU
+
+
+def test_zip_traversal_and_system_files_filtered():
+    archive = make_zip({
+        "../../../etc/notes.txt": b"secret",
+        "__MACOSX/._x": b"junk",
+        "dir/.DS_Store": b"junk",
+        "passwd": b"no extension -> unsupported -> dropped",
+        "ok.txt": b"fine",
+    })
+    _, spans = spans_from_bytes(archive, "a.zip")
+    members = [json.loads(s["text"]) for s in spans]
+    assert [m["path"] for m in members] == ["etc/notes.txt", "ok.txt"]
+
+
+def test_nested_zip_builds_member_tree():
+    inner = make_zip({"deep.txt": b"bottom"})
+    outer = make_zip({"inner.zip": inner, "top.txt": b"top"})
+    _, spans = spans_from_bytes(outer, "outer.zip")
+    members = {json.loads(s["text"])["path"]: json.loads(s["text"])
+               for s in spans}
+    assert members["top.txt"]["kind"] == "plain"
+    nested = json.loads(members["inner.zip"]["members"])
+    assert nested[0]["path"] == "deep.txt" and nested[0]["text"] == "bottom"
+
+
+def test_tar_gz_and_invalid_tar():
+    archive = make_tar({"a.txt": b"alpha", "b/c.md": b"# H\n\nbody"})
+    status, spans = spans_from_bytes(archive, "data.tar.gz")
+    assert status is None
+    kinds = {json.loads(s["text"])["path"]: json.loads(s["text"])["kind"]
+             for s in spans}
+    assert kinds == {"a.txt": "plain", "b/c.md": "markdown"}
+    # a bare gz that is not a tar stream is Invalid TAR (reference r:* quirk)
+    import gzip
+    status, _ = spans_from_bytes(gzip.compress(b"plain payload"), "x.gz")
+    assert status == "error: Error processing archive: Invalid TAR file"
+
+
+def test_zip_bomb_guard_uses_declared_sizes(monkeypatch):
+    import extract_text_spark.ingest as ing
+    monkeypatch.setattr(ing, "MAX_EXTRACTED_SIZE", 10)
+    status, _ = spans_from_bytes(make_zip({"a.txt": b"x" * 11}), "a.zip")
+    assert status == ("error: Error processing archive: Extracted files "
+                      "size exceeds maximum allowed size (zip bomb protection)")
+
+
+def test_archive_size_guard(monkeypatch):
+    import extract_text_spark.ingest as ing
+    monkeypatch.setattr(ing, "MAX_ARCHIVE_SIZE", 10)
+    status, _ = spans_from_bytes(make_zip({"a.txt": b"hello"}), "a.zip")
+    assert status == ("error: Error processing archive: Archive size "
+                      "exceeds maximum allowed size")
+
+
+def test_unsupported_and_unparseable_formats():
+    status, _ = spans_from_bytes(b"x", "file.xyz")
+    assert status == "error: Unsupported file format: file.xyz"
+    status, _ = spans_from_bytes(b"%PDF-1.4", "doc.pdf")
+    assert status.startswith("error: Error processing PDF")
+
+
+def test_docx_bytes_full_assembly():
+    from extract_text_spark.extractors import extract_document
+    content = make_docx(
+        ["Intro para", "", "Second para"],
+        table=[["a", "b"], ["c", "d"]],
+        header="Page header",
+        footnote="A footnote",
+        comment="A comment",
+    )
+    status, spans = spans_from_bytes(content, "report.docx")
+    assert status is None and spans[0]["kind"] == "docx_part"
+    st, out = extract_document("report.docx", spans)
+    assert st == "ok"
+    assert out[0]["text"] == (
+        "Intro para\n\nSecond para\n\na\tb\nc\td\n\n[Header]\nPage header"
+        "\n\n[Footnotes]\nA footnote\n\n[Comments]\nA comment"
+    )
+
+
+def test_xlsx_bytes_sheets():
+    from extract_text_spark.extractors import extract_document
+    content = make_xlsx({
+        "S1": [["col1", "col2"], ["value1", "value2"]],
+        "Nums": [["n"], [1], [2.5]],
+    })
+    status, spans = spans_from_bytes(content, "book.xlsx")
+    assert status is None and spans[0]["kind"] == "sheet_part"
+    st, out = extract_document("book.xlsx", spans)
+    assert st == "ok"
+    # pandas semantics: "[Sheet: x]" and the csv dump are separate "\n\n"-
+    # joined parts; a mixed int/float column is float64 (1 -> "1.0")
+    assert out[0]["text"] == (
+        "[Sheet: S1]\n\ncol1,col2\nvalue1,value2\n\n\n"
+        "[Sheet: Nums]\n\nn\n1.0\n2.5\n"
+    )
+
+
+def test_pptx_bytes_slides_notes_and_empty_slide_drop():
+    from extract_text_spark.extractors import extract_document
+    content = make_pptx([
+        {"shapes": ["Title", "Body text"], "notes": ["Notes", "real note"]},
+        {"shapes": [""]},  # empty slide -> dropped
+        {"shapes": ["Last"]},
+    ])
+    status, spans = spans_from_bytes(content, "deck.pptx")
+    st, out = extract_document("deck.pptx", spans)
+    assert st == "ok"
+    assert out[0]["text"] == (
+        "[Slide 1]\nTitle\nBody text\n[Speaker Notes]\nreal note"
+        "\n\n[Slide 3]\nLast"
+    )
+
+
+def test_odt_bytes_paragraphs():
+    from extract_text_spark.extractors import extract_document
+    t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+    content = make_zip({
+        "mimetype": "application/vnd.oasis.opendocument.text",
+        "content.xml": (
+            f'<office:document-content xmlns:office="o" xmlns:text="{t}">'
+            "<office:body><text:p>First</text:p><text:p></text:p>"
+            "<text:p>Second</text:p></office:body></office:document-content>"
+        ),
+    })
+    status, spans = spans_from_bytes(content, "doc.odt")
+    st, out = extract_document("doc.odt", spans)
+    assert st == "ok" and out[0]["text"] == "First\nSecond"
+
+
+def test_epub_bytes_members_and_budget(monkeypatch):
+    from extract_text_spark.extractors import extract_document
+    content = make_zip({
+        "mimetype": "application/epub+zip",
+        "ch1.xhtml": "<html><body><p>One</p></body></html>",
+        "style.css": "p{}",
+        "ch2.html": "<html><body><p>Two</p></body></html>",
+    })
+    status, spans = spans_from_bytes(content, "book.epub")
+    assert spans[0]["kind"] == "epub"
+    st, out = extract_document("book.epub", spans)
+    assert st == "ok" and out[0]["text"] == "One\n\nTwo"
+    # budget: the check runs per member in archive order; a member that
+    # would overflow stops the loop even if non-html (reference quirk)
+    import extract_text_spark.extractors.epub as ep
+    monkeypatch.setattr(ep, "MAX_EXTRACTED_SIZE",
+                        len("<html><body><p>One</p></body></html>") + 1)
+    st, out = extract_document("book.epub", spans_from_bytes(content, "b.epub")[1])
+    assert out[0]["text"] == "One"
+
+
+# ---------------------------------------------------------------------------
+# S1 / S5 / S6 / S7 gates
+# ---------------------------------------------------------------------------
+
+def test_sanitize_filename_reference_cases():
+    # mirrors /root/reference/tests/test_utils semantics (app/utils.py:111-145)
+    assert sanitize_filename("") == "unknown_file"
+    assert sanitize_filename("../../etc/passwd") == "etcpasswd"
+    assert sanitize_filename("a<b>c:d.txt") == "abcd.txt"
+    assert sanitize_filename(" . ") == "sanitized_file"
+    assert sanitize_filename("file\x01name.txt") == "filename.txt"
+    long = "x" * 300 + ".txt"
+    assert len(sanitize_filename(long)) == 255
+    assert sanitize_filename(long).endswith(".txt")
+
+
+def test_get_file_extension_compound():
+    assert get_file_extension("a.tar.gz") == "tar.gz"
+    assert get_file_extension("A.TGZ") == "tar.gz"
+    assert get_file_extension("x.PDF") == "pdf"
+    assert get_file_extension("noext") is None
+
+
+def test_sniff_content_mime_table():
+    assert sniff_content_mime(b"%PDF-1.4 ...") == "application/pdf"
+    assert sniff_content_mime(b"\xd0\xcf\x11\xe0rest") == "application/msword"
+    assert sniff_content_mime(b"plain words") == "text/plain"
+    assert sniff_content_mime(b"<html><body>x</body></html>") == "text/html"
+    assert sniff_content_mime(b'{"a": "b"}') == "application/json"
+    assert sniff_content_mime(b"<root><x>1</x></root>") == "text/xml"
+    assert sniff_content_mime(b"\x00\x01\x02") == "application/octet-stream"
+    assert sniff_content_mime(make_zip({"a": b"b"})) == "application/zip"
+    assert sniff_content_mime(make_docx(["x"])).endswith("document")
+    assert sniff_content_mime(
+        make_zip({"mimetype": "application/epub+zip"})) == "application/epub+zip"
+
+
+def test_validate_file_type_fail_closed():
+    ok, err = validate_file_type(b"just words", "notes.txt")
+    assert ok and err is None
+    ok, err = validate_file_type(b"just words", "fake.png")
+    assert not ok
+    assert err == ("File extension '.png' does not match its content "
+                   "(MIME type: text/plain)")
+    ok, _ = validate_file_type(b"just words", "script.py")
+    assert ok  # text-based special case
+    ok, _ = validate_file_type(make_zip({"a": b"b"}), "arch.zip")
+    assert ok
+    ok, err = validate_file_type(b"", "x.txt")
+    assert not ok and err == "File or filename is missing"
+    ok, _ = validate_file_type(b"anything", "x.unknownext")
+    assert ok  # not in whitelist -> considered valid (reference behavior)
+
+
+def test_check_mime_type_soft():
+    assert check_mime_type(b"This is a text file", "test.txt") is True
+    assert check_mime_type(b"%PDF-1.4", "test.pdf") is True
+    # reference quirk (app/extractors.py:1568): the final membership test
+    # keys the table on the first FOUR bytes, so b"%PDF" named .txt still
+    # passes (its own signature list contains the detected mime)...
+    assert check_mime_type(b"%PDF-1.4", "test.txt") is True
+    # ...while a >4-byte signature (<!DOCTYPE) misses the 4-byte key and
+    # falls back to the extension expectation -> mismatch detected.
+    assert check_mime_type(b"<!DOCTYPE html><html></html>", "test.txt") is False
+
+
+# ---------------------------------------------------------------------------
+# Distributed: bytes -> ingest kernel -> JVM fan-out -> extraction kernel
+# ---------------------------------------------------------------------------
+
+def test_extract_from_bytes_end_to_end(spark):
+    inner = make_zip({"deep.txt": b"bottom text"})
+    rows = [
+        ("d1", "test.zip", make_zip({
+            "test.txt": UTF8_RU.encode("utf-8"),
+            "sub/page.html": b"<html><body><p>Hello page</p></body></html>",
+            "__MACOSX/._x": b"junk",
+        })),
+        ("d2", "plain.txt", "just plain".encode("utf-8")),
+        ("d3", "nested.zip", make_zip({"inner.zip": inner})),
+        ("d4", "report.docx", make_docx(["Para one"])),
+        ("d5", "bad.xyz", b"whatever"),
+    ]
+    out = _collect_docs(extract_from_bytes(_bytes_df(spark, rows)))
+    assert out["d1/test.txt"] == ("ok", [("text", UTF8_RU)])
+    assert out["d1/sub/page.html"] == ("ok", [("text", "Hello page")])
+    assert out["d2"] == ("ok", [("text", "just plain")])
+    assert out["d3/inner.zip/deep.txt"] == ("ok", [("text", "bottom text")])
+    assert out["d4"] == ("ok", [("text", "Para one")])
+    assert out["d5"][0] == "error: Unsupported file format: bad.xyz"
+    assert "d1/__MACOSX/._x" not in out
+
+
+def test_ingest_validate_quarantines(spark):
+    rows = [
+        ("ok", "a.txt", b"fine text"),
+        ("spoofed", "img.png", b"actually text"),
+    ]
+    out = {r["doc_id"]: r["status"]
+           for r in ingest_bytes_df(_bytes_df(spark, rows),
+                                    validate=True).collect()}
+    assert out["ok"] is None
+    assert out["spoofed"] == ("error: File extension '.png' does not match "
+                              "its content (MIME type: text/plain)")
+
+
+def test_ingest_plan_single_python_stage(spark):
+    """Ingest adds exactly one Arrow kernel before the JVM fan-out; the
+    fan-out itself stays Python-free."""
+    rows = [("d1", "a.zip", make_zip({"x.txt": b"y"}))]
+    plan = ingest_bytes_df(_bytes_df(spark, rows))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
