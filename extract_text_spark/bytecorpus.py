@@ -185,6 +185,28 @@ def make_epub(chapters: dict[str, str], extras: dict[str, bytes] | None = None) 
     return make_zip(entries)
 
 
+def make_bmp(width: int, height: int) -> bytes:
+    """Uncompressed 24-bit bottom-up BMP with deterministic pixel bytes."""
+    import struct
+    row = (3 * width + 3) // 4 * 4
+    data_size = row * height
+    header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      data_size, 2835, 2835, 0, 0)
+    return header + dib + bytes(i % 251 for i in range(data_size))
+
+
+def make_wav(n_samples: int, rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV with deterministic sample bytes."""
+    import struct
+    data = bytes(i % 251 for i in range(n_samples * 2))
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 def make_odt(paragraphs: list[str]) -> bytes:
     t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
     body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)

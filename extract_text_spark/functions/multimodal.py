@@ -39,6 +39,10 @@ FEATURE_SCHEMA = StructType([
     StructField("n_bytes", LongType()),
     StructField("sniffed_mime", StringType()),
     StructField("feature_hash", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
 ])
 
 # Magic-byte prefix table (the reference's soft sniff,
@@ -51,7 +55,6 @@ _MAGIC = [
     (b"BM", "image/bmp"),
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
-    (b"RIFF", "audio/wav"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
 ]
 
@@ -69,10 +72,53 @@ def _decode_stub(payload: bytes, mime: str):  # pragma: no cover - stub
 def sniff_mime(payload: bytes | None) -> str | None:
     if not payload:
         return None
+    if payload.startswith(b"RIFF") and len(payload) >= 12:
+        kind = payload[8:12]
+        if kind == b"WAVE":
+            return "audio/wav"
+        if kind == b"WEBP":
+            return "image/webp"
+        return "application/octet-stream"
     for sig, mime in _MAGIC:
         if payload.startswith(sig):
             return mime
     return "application/octet-stream"
+
+
+def decode_bmp_header(payload: bytes) -> dict | None:
+    """Uncompressed-BMP header decode (pure struct, no codec): BITMAPFILE-
+    HEADER 'BM' + BITMAPINFOHEADER width/height at offsets 18/22 (LE i32;
+    negative height = top-down rows)."""
+    import struct
+    if len(payload) < 26 or not payload.startswith(b"BM"):
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    if width <= 0 or height == 0:
+        return None
+    return {"width": width, "height": abs(height)}
+
+
+def decode_wav_header(payload: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk: fmt chunk -> channels/sample_rate/byte_rate,
+    data chunk size -> duration_ms = data_bytes * 1000 / byte_rate."""
+    import struct
+    if (len(payload) < 44 or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"):
+        return None
+    pos, rate, byte_rate, data_size = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt " and pos + 24 <= len(payload):
+            _fmt, _ch, rate, byte_rate = struct.unpack_from(
+                "<HHII", payload, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if not rate or not byte_rate or data_size is None:
+        return None
+    return {"sample_rate": rate,
+            "duration_ms": data_size * 1000 // byte_rate}
 
 
 def validate_media_df(df: DataFrame) -> DataFrame:
@@ -96,15 +142,27 @@ def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                                       batch["mime"]):
             payload = bytes(payload) if payload is not None else b""
             sniffed = sniff_mime(payload)
-            try:
-                _decode_stub(payload, mime)
+            width = height = rate = duration = None
+            # Header formats with stdlib-decodable metadata are decoded for
+            # real; compressed codecs stay behind the stub seam.
+            hdr = (decode_bmp_header(payload) if sniffed == "image/bmp"
+                   else decode_wav_header(payload)
+                   if sniffed == "audio/wav" else None)
+            if hdr is not None:
                 status = "decoded"
-            except DecoderUnavailable:
-                status = "stubbed"
+                width, height = hdr.get("width"), hdr.get("height")
+                rate, duration = hdr.get("sample_rate"), hdr.get("duration_ms")
+            else:
+                try:
+                    _decode_stub(payload, mime)
+                    status = "decoded"
+                except DecoderUnavailable:
+                    status = "stubbed"
             # Deterministic "feature": content hash stands in for the real
             # embedding/thumbnail so downstream plumbing is exercised.
             rows.append((ref, status, len(payload), sniffed,
-                         hashlib.md5(payload).hexdigest()))
+                         hashlib.md5(payload).hexdigest(),
+                         width, height, rate, duration))
         yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
 

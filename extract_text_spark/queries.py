@@ -1004,8 +1004,67 @@ SELECT concat('m://', doc_id::VARCHAR, '/0') AS media_ref,
        'stubbed' AS status,
        length(text)::BIGINT AS n_bytes,
        'application/octet-stream' AS sniffed_mime,
-       md5(text) AS feature_hash
+       md5(text) AS feature_hash,
+       NULL::INT AS width, NULL::INT AS height,
+       NULL::INT AS sample_rate, NULL::BIGINT AS duration_ms
 FROM documents ORDER BY media_ref
+"""
+
+
+def mm_decode_headers(spark, sf_dir):
+    """Real media metadata from payload BYTES (shrinking the stub seam,
+    VERDICT r01 #9): BMP and WAV headers are stdlib-struct-decodable, so
+    width/height/sample_rate/duration come from the binary itself; other
+    payloads stay behind the documented codec stub."""
+    from .bytecorpus import make_bmp, make_wav
+    from .functions.multimodal import extract_media_features
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                m = doc_id % 3
+                if m == 0:
+                    payload = make_bmp((doc_id % 60) + 1, (doc_id % 40) + 1)
+                elif m == 1:
+                    payload = make_wav(((doc_id % 50) + 1) * 800)
+                else:
+                    payload = text.encode("utf-8")
+                rows.append((f"m://{doc_id}", payload,
+                             "application/octet-stream", None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "payload", "mime", "width", "height"])
+
+    from .functions.multimodal import MEDIA_SCHEMA
+    media = d.select("doc_id", "text").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return extract_media_features(media).select(
+        "media_ref", "status", "sniffed_mime", "n_bytes",
+        "width", "height", "sample_rate", "duration_ms",
+    ).orderBy("media_ref")
+
+
+MM_DECODE_SQL = """
+WITH f AS (
+  SELECT doc_id, text, doc_id % 3 AS m,
+         (doc_id % 60) + 1 AS w, (doc_id % 40) + 1 AS h,
+         ((doc_id % 50) + 1) * 800 AS ns
+  FROM documents
+)
+SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
+       CASE m WHEN 2 THEN 'stubbed' ELSE 'decoded' END AS status,
+       CASE m WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+              ELSE 'application/octet-stream' END AS sniffed_mime,
+       CASE m WHEN 0 THEN CAST(54 + h * (((3 * w + 3) // 4) * 4) AS BIGINT)
+              WHEN 1 THEN CAST(44 + 2 * ns AS BIGINT)
+              ELSE length(text)::BIGINT END AS n_bytes,
+       CASE m WHEN 0 THEN w::INT END AS width,
+       CASE m WHEN 0 THEN h::INT END AS height,
+       CASE m WHEN 1 THEN 8000::INT END AS sample_rate,
+       CASE m WHEN 1 THEN (ns // 8)::BIGINT END AS duration_ms
+FROM f ORDER BY media_ref
 """
 
 
@@ -1255,6 +1314,7 @@ QUERIES = {
     "extract_multi_format": extract_multi_format,
     "ext_html_strip": ext_html_strip,
     "mm_media_features": mm_media_features,
+    "mm_decode_headers": mm_decode_headers,
     "ext_zip_fanout": ext_zip_fanout,
     "ext_office_bytes": ext_office_bytes,
     "ext_validate_mime": ext_validate_mime,
@@ -1290,6 +1350,7 @@ ORACLES = {
     "extract_multi_format": EXTRACT_MULTI_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
     "mm_media_features": MM_MEDIA_SQL,
+    "mm_decode_headers": MM_DECODE_SQL,
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,

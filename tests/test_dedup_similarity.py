@@ -216,3 +216,31 @@ def test_multimodal_plumbing(spark):
     assert feats["m3"]["sniffed_mime"] == "application/octet-stream"
     assert sniff_mime(b"\xff\xd8\xff...") == "image/jpeg"
     assert sniff_mime(b"") is None
+
+
+def test_bmp_wav_header_decode(spark):
+    """BMP/WAV metadata comes from the payload bytes themselves; the codec
+    stub only covers compressed formats now."""
+    from extract_text_spark.bytecorpus import make_bmp, make_wav
+    from extract_text_spark.functions.multimodal import (
+        decode_bmp_header, decode_wav_header,
+    )
+    assert decode_bmp_header(make_bmp(17, 9)) == {"width": 17, "height": 9}
+    assert decode_bmp_header(b"BMshort") is None
+    wav = make_wav(8000, rate=8000)  # 1 s mono 16-bit
+    assert decode_wav_header(wav) == {"sample_rate": 8000,
+                                      "duration_ms": 1000}
+    assert decode_wav_header(b"RIFFxxxxWAVE") is None
+    assert sniff_mime(wav) == "audio/wav"
+    assert sniff_mime(b"RIFFxxxxWEBPdata") == "image/webp"
+
+    rows = [("b1", make_bmp(3, 2), "image/bmp", None, None),
+            ("w1", wav, "audio/wav", None, None)]
+    df = spark.createDataFrame(
+        rows, "media_ref string, payload binary, mime string, "
+              "width int, height int")
+    feats = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert feats["b1"]["status"] == "decoded"
+    assert (feats["b1"]["width"], feats["b1"]["height"]) == (3, 2)
+    assert feats["w1"]["status"] == "decoded"
+    assert (feats["w1"]["sample_rate"], feats["w1"]["duration_ms"]) == (8000, 1000)
