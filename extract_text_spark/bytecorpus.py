@@ -185,6 +185,51 @@ def make_epub(chapters: dict[str, str], extras: dict[str, bytes] | None = None) 
     return make_zip(entries)
 
 
+def _pdf_escape(text: str) -> str:
+    return (text.replace("\\", r"\\").replace("(", r"\(")
+            .replace(")", r"\)"))
+
+
+def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Valid classic-xref PDF: one FlateDecode content stream per page, one
+    BT text object per line (stacked top-down from y=720), Helvetica 12."""
+    import zlib
+    n = len(pages)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode())
+    for i in range(n):
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {3 + n + i} 0 R >>".encode())
+    for lines in pages:
+        stream = "\n".join(
+            f"BT /F1 12 Tf 72 {720 - 40 * j} Td ({_pdf_escape(line)}) Tj ET"
+            for j, line in enumerate(lines)
+        ).encode("latin-1")
+        if compress:
+            stream = zlib.compress(stream)
+            filt = b" /Filter /FlateDecode"
+        else:
+            filt = b""
+        objs.append(b"<< /Length " + str(len(stream)).encode() + filt
+                    + b" >>\nstream\n" + stream + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, 1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
 def make_bmp(width: int, height: int) -> bytes:
     """Uncompressed 24-bit bottom-up BMP with deterministic pixel bytes."""
     import struct

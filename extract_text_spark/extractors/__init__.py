@@ -102,6 +102,16 @@ def extract_payload(kind: str, text: str, doc_id: str) -> str | None:
         return extract_epub_member(text)
     if kind == "epub":
         return extract_epub_doc(text)
+    if kind == "pdf":
+        # whole-doc composite (archive-member PDFs): pages joined "\n\n"
+        # like the reference's single-string _extract_from_pdf_sync output.
+        pages = json.loads(text)["pages"]
+        parts = []
+        for payload in pages:
+            page_no, page_text = extract_pdf_page(payload)
+            if page_text:
+                parts.append(page_marker(page_no, page_text))
+        return "\n\n".join(parts) if parts else None
     raise ValueError(f"Unsupported file format: {kind}")
 
 

@@ -116,11 +116,10 @@ _TEXT_KIND_BY_EXT = {
 _BYTE_KIND_BY_EXT = {"txt": "plain", "eml": "eml", "msg": "msg"}
 _ZIPXML_EXTS = {"docx", "xlsx", "pptx", "odt", "epub"}
 # Formats the reference parses via external binaries/libs we declared out of
-# scope (E1 binary PDFs, E4 DOC, E8 PPT, OLE XLS, ODS) — app/extractors.py
-# dispatch at :188-221.
+# scope (E4 DOC, E8 PPT via LibreOffice; OLE XLS, ODS) — app/extractors.py
+# dispatch at :188-221. PDF is parsed for the classic-xref/Flate subset
+# (extractors/pdfbytes.py); outside that subset it errors like these.
 _UNPARSEABLE = {
-    "pdf": "Error processing PDF: binary PDF parsing arrives as pre-parsed "
-           "pdf_page spans (E1 scope cut, SURVEY.md §2)",
     "doc": "Error processing DOC: Failed to convert DOC to DOCX",
     "ppt": "Error processing PPT: Failed to convert PPT to PPTX",
     "xls": "Error processing Excel: OLE workbook parsing not supported; "
@@ -131,7 +130,7 @@ _UNPARSEABLE = {
 SUPPORTED_EXTS = (
     ARCHIVE_EXTS | IMAGE_EXTS | SOURCE_EXTS | _ZIPXML_EXTS
     | set(_TEXT_KIND_BY_EXT) | set(_BYTE_KIND_BY_EXT) | set(_UNPARSEABLE)
-    | {"csv"}
+    | {"csv", "pdf"}
 )
 
 
@@ -443,6 +442,14 @@ def _payload_for_bytes(content: bytes, basename: str) -> tuple[str, str | None, 
     if ext in IMAGE_EXTS:
         return "media", None, basename
     try:
+        if ext == "pdf":
+            # archive-member form: whole-doc composite (pages join "\n\n"
+            # downstream, matching _extract_from_pdf_sync's single string).
+            # Top-level PDFs take the per-page span path instead — see
+            # spans_for_payload.
+            from .extractors.pdfbytes import pdf_pages_from_bytes
+            return "pdf", json.dumps(
+                {"pages": pdf_pages_from_bytes(content)}), None
         if ext == "docx":
             return "docx_part", docx_payload_from_bytes(content), None
         if ext == "xlsx":
@@ -668,13 +675,29 @@ def spans_from_bytes(content: bytes, filename: str) -> tuple[str | None, list[di
     if not is_supported_name(filename):
         return f"error: Unsupported file format: {filename}", []
     try:
-        kind, text, media_ref = _payload_for_bytes(content, filename)
+        spans = spans_for_payload(content, filename)
     except ValueError as exc:
         return f"error: {exc}", []
     except Exception as exc:
         return f"error: Error extracting text: {exc}", []
-    return None, [{"kind": kind, "text": text, "media_ref": media_ref,
-                   "offset": 0}]
+    return None, spans
+
+
+def spans_for_payload(content: bytes, filename: str) -> list[dict]:
+    """Supported non-archive bytes -> input spans. Top-level PDFs expand to
+    one pdf_page span per page (pipeline interleaving + skew splitting
+    apply to real PDF bytes); everything else is one span."""
+    if get_file_extension(filename) == "pdf":
+        from .extractors.pdfbytes import pdf_pages_from_bytes
+        try:
+            pages = pdf_pages_from_bytes(content)
+        except ValueError as exc:
+            raise ValueError(f"Error processing PDF: {exc}") from exc
+        return [{"kind": "pdf_page", "text": p, "media_ref": None,
+                 "offset": i} for i, p in enumerate(pages)]
+    kind, text, media_ref = _payload_for_bytes(content, filename)
+    return [{"kind": kind, "text": text, "media_ref": media_ref,
+             "offset": 0}]
 
 
 BYTES_SCHEMA = StructType([

@@ -1179,6 +1179,33 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ext_pdf_bytes(spark, sf_dir):
+    """Real PDF bytes (E1 from actual FlateDecode streams): two pages per
+    doc through extractors/pdfbytes.py -> pdf_page spans -> the pinned
+    X-Y-cut layout kernel with [Page n] markers."""
+    from .bytecorpus import make_pdf
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        return "r.pdf", make_pdf([[text], ["End " + source]])
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status", "n_spans",
+        F.concat_ws("\n\n", F.transform("spans", lambda s: s.text))
+        .alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_PDF_BYTES_SQL = """
+SELECT doc_id, 'ok' AS status, 2 AS n_spans,
+       '[Page 1]' || chr(10) || text || chr(10) || chr(10)
+       || '[Page 2]' || chr(10) || 'End ' || source AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
 def ext_validate_mime(spark, sf_dir):
     """S6 fail-closed extension<->MIME cross-check (app/utils.py:148-356):
     spoofed payloads (text bytes named .png / .zip) are quarantined with the
@@ -1317,6 +1344,7 @@ QUERIES = {
     "mm_decode_headers": mm_decode_headers,
     "ext_zip_fanout": ext_zip_fanout,
     "ext_office_bytes": ext_office_bytes,
+    "ext_pdf_bytes": ext_pdf_bytes,
     "ext_validate_mime": ext_validate_mime,
     "ext_sanitize_filename": ext_sanitize_filename,
 }
@@ -1353,6 +1381,7 @@ ORACLES = {
     "mm_decode_headers": MM_DECODE_SQL,
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
+    "ext_pdf_bytes": EXT_PDF_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
     "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,
 }

@@ -60,6 +60,57 @@ def stream_extract_spans(
     return writer.start()
 
 
+def stream_extract_files(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    validate: bool = False,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming extraction over RAW FILES: ``binaryFile`` source -> byte
+    ingest kernel (real zip/tar/ooxml/pdf parsing, ingest.py) -> JVM
+    archive fan-out -> extraction kernel -> parquet sink.
+
+    This is the reference's actual usage pattern (clients POST files, the
+    service extracts) as a continuously-ingesting job: drop files into a
+    directory, get extracted span rows exactly-once per file (file-source
+    offset log + sink commit log). ``validate=True`` applies the S6
+    fail-closed MIME gate; quarantined files surface as error-status rows.
+    """
+    from ..ingest import ingest_bytes_df
+    from pyspark.sql.types import BinaryType
+    binary_schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(input_path)
+    named = files.select(
+        F.col("path").alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("content"),
+    )
+    fanned = explode_archives_df(ingest_bytes_df(named, validate=validate))
+    out = fanned.select("doc_id", "spans", "status").mapInPandas(
+        _extract_batches, schema=OUT_SCHEMA
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (append-safe)."""

@@ -223,9 +223,20 @@ def test_epub_bytes_members_and_budget(monkeypatch):
 # ---------------------------------------------------------------------------
 
 def test_sanitize_filename_reference_cases():
-    # mirrors /root/reference/tests/test_utils semantics (app/utils.py:111-145)
+    # mirrors /root/reference/tests/test_utils.py:70-113 exactly
+    assert sanitize_filename("document.pdf") == "document.pdf"
+    assert sanitize_filename("data_file.txt") == "data_file.txt"
+    assert sanitize_filename("../../../etc/passwd") == "etcpasswd"
+    assert sanitize_filename("..\\..\\windows\\system32\\config") \
+        == "windowssystem32config"
+    assert sanitize_filename("./malicious.exe") == "malicious.exe"
+    assert sanitize_filename("файл_с_русскими_символами.txt") \
+        == "файл_с_русскими_символами.txt"
+    assert sanitize_filename("测试文件.pdf") == "测试文件.pdf"
+    assert sanitize_filename("файл#с@символами.docx") == "файл#с@символами.docx"
+    assert sanitize_filename("файл<с>символами.docx") == "файлссимволами.docx"
     assert sanitize_filename("") == "unknown_file"
-    assert sanitize_filename("../../etc/passwd") == "etcpasswd"
+    assert sanitize_filename("   ") == "sanitized_file"
     assert sanitize_filename("a<b>c:d.txt") == "abcd.txt"
     assert sanitize_filename(" . ") == "sanitized_file"
     assert sanitize_filename("file\x01name.txt") == "filename.txt"
@@ -331,3 +342,70 @@ def test_ingest_plan_single_python_stage(spark):
     plan = ingest_bytes_df(_bytes_df(spark, rows))._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# ---------------------------------------------------------------------------
+# Real PDF bytes (classic xref + FlateDecode subset)
+# ---------------------------------------------------------------------------
+
+def test_pdf_bytes_pages_markers_and_order():
+    from extract_text_spark.bytecorpus import make_pdf
+    from extract_text_spark.extractors import extract_document
+    content = make_pdf([
+        ["First line", "Second (with) parens", "Back\\slash"],
+        ["Page two only line"],
+    ])
+    status, spans = spans_from_bytes(content, "report.pdf")
+    assert status is None
+    assert [s["kind"] for s in spans] == ["pdf_page", "pdf_page"]
+    st, out = extract_document("report.pdf", spans)
+    assert st == "ok"
+    assert out[0]["text"] == ("[Page 1]\nFirst line\nSecond (with) parens"
+                              "\nBack\\slash")
+    assert out[1]["text"] == "[Page 2]\nPage two only line"
+
+
+def test_pdf_bytes_uncompressed_and_errors():
+    from extract_text_spark.bytecorpus import make_pdf
+    content = make_pdf([["raw stream line"]], compress=False)
+    status, spans = spans_from_bytes(content, "raw.pdf")
+    assert status is None and len(spans) == 1
+    import json as _json
+    page = _json.loads(spans[0]["text"])
+    assert page["blocks"][0]["text"] == "raw stream line"
+    # non-PDF bytes named .pdf -> reference-style per-file error
+    status, _ = spans_from_bytes(b"not a pdf", "fake.pdf")
+    assert status.startswith("error: Error processing PDF")
+    # encrypted marker -> rejected
+    status, _ = spans_from_bytes(b"%PDF-1.4 /Encrypt junk", "enc.pdf")
+    assert status == ("error: Error processing PDF: encrypted PDF "
+                      "not supported")
+
+
+def test_pdf_inside_zip_joins_pages():
+    from extract_text_spark.bytecorpus import make_pdf, make_zip
+    from extract_text_spark.extractors import extract_document
+    archive = make_zip({"doc.pdf": make_pdf([["p1 text"], ["p2 text"]])})
+    status, spans = spans_from_bytes(archive, "a.zip")
+    assert status is None
+    st, out = extract_document("a", spans_from_member(spans))
+    assert st == "ok"
+    assert out[0]["text"] == "[Page 1]\np1 text\n\n[Page 2]\np2 text"
+
+
+def spans_from_member(archive_spans):
+    """First archive member -> its leaf input spans (kernel-level shortcut
+    for what the JVM fan-out does)."""
+    m = json.loads(archive_spans[0]["text"])
+    return [{"kind": m["kind"], "text": m["text"],
+             "media_ref": m["media_ref"], "offset": 0}]
+
+
+def test_pdf_stream_slicing_respects_declared_length():
+    """A stream payload ending in CR must survive extraction — a delimiter
+    regex with optional \\r would swallow it (found by the oracle gate on
+    doc 187's compressed bytes)."""
+    from extract_text_spark.extractors.pdfbytes import _stream_data
+    payload = b"abc\r"
+    body = b"<< /Length 4 >>\nstream\n" + payload + b"\nendstream"
+    assert _stream_data(body) == payload

@@ -111,3 +111,31 @@ def test_json_kernel_string_leaves_only(data):
     for line in out.split("\n"):
         if line:
             assert ": " in line or line.strip()
+
+
+@given(st.text(max_size=400))
+@settings(**_SETTINGS)
+def test_sanitize_filename_invariants(name):
+    from extract_text_spark.ingest import sanitize_filename
+    out = sanitize_filename(name)
+    assert out and len(out) <= 255
+    assert not any(c in out for c in '<>:"|?*/\\\x00')
+    assert ".." not in out
+    assert all(ord(c) >= 32 for c in out)
+    assert out == out.strip(" .")
+    # idempotent: sanitizing a sanitized name is a no-op
+    assert sanitize_filename(out) == out
+
+
+@given(st.binary(max_size=3000))
+@settings(**_SETTINGS)
+def test_ingest_total_on_byte_soup(data):
+    """spans_from_bytes never raises on arbitrary bytes under any supported
+    extension — it returns an error status instead (per-file fail-closed)."""
+    from extract_text_spark.ingest import spans_from_bytes, validate_file_type
+    for fname in ["f.zip", "f.tar.gz", "f.pdf", "f.docx", "f.txt", "f.csv"]:
+        status, spans = spans_from_bytes(data, fname)
+        assert status is None or status.startswith("error")
+        assert isinstance(spans, list)
+    ok, err = validate_file_type(data, "f.txt")
+    assert isinstance(ok, bool)

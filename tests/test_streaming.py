@@ -106,3 +106,40 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
     exp = {r["user_id"]: (r["n_sessions"], r["n_events"])
            for r in batch.collect()}
     assert got == exp
+
+
+def test_stream_extract_raw_files(spark, tmp_path):
+    """binaryFile streaming source: drop REAL files (zip / txt / docx) into
+    a directory, extracted spans come out exactly-once per file."""
+    from extract_text_spark.bytecorpus import make_docx, make_zip
+    from extract_text_spark.streaming.stream import stream_extract_files
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["inraw", "outraw", "ckraw"])
+    import os
+    os.makedirs(inp)
+    with open(f"{inp}/a.txt", "wb") as fh:
+        fh.write(b"plain stream text")
+    with open(f"{inp}/b.zip", "wb") as fh:
+        fh.write(make_zip({"inner.md": b"# T\n\nzipped body"}))
+    with open(f"{inp}/c.docx", "wb") as fh:
+        fh.write(make_docx(["Docx para"]))
+
+    stream_extract_files(spark, inp, out, ckpt).awaitTermination()
+    rows = {r["doc_id"].rsplit("/", 2)[-2] if r["doc_id"].endswith("inner.md")
+            else r["doc_id"].rsplit("/", 1)[-1]:
+            (r["status"], [s["text"] for s in r["spans"]])
+            for r in spark.read.parquet(out).collect()}
+    assert rows["a.txt"] == ("ok", ["plain stream text"])
+    assert rows["b.zip"] == ("ok", ["T\nzipped body"])
+    assert rows["c.docx"] == ("ok", ["Docx para"])
+
+    # exactly-once: rerun with same checkpoint adds nothing
+    n1 = spark.read.parquet(out).count()
+    stream_extract_files(spark, inp, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+    # a new file arriving is picked up incrementally
+    with open(f"{inp}/d.txt", "wb") as fh:
+        fh.write(b"late arrival")
+    stream_extract_files(spark, inp, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n1 + 1

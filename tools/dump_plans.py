@@ -96,6 +96,37 @@ def main():
         ("no Python", r"^(?!.*EvalPython)"),
     ])
 
+    ng = QUERIES["dedup_ngram_pairs"](spark, SF)
+    add("dedup_ngram_pairs — hot-shingle cap guards the self-join", ng, [
+        ("hot shingles removed via broadcast ANTI join (tiny hot set "
+         "never shuffles the index)", r"BroadcastHashJoin[^\n]*LeftAnti"),
+        ("candidate self-join is an equi hash join, not cartesian",
+         r"^(?!.*CartesianProduct)"),
+        ("no Python", r"^(?!.*EvalPython)"),
+    ])
+
+    from extract_text_spark.ingest import ingest_bytes_df
+    from extract_text_spark.queries import _bytes_table
+    byt = _bytes_table(
+        spark.read.parquet(f"{SF}/documents.parquet"),
+        lambda i, t, s: ("f.txt", t.encode("utf-8")))
+    ing = ingest_bytes_df(byt)
+    add("byte ingestion — one Arrow kernel, single scan", ing, [
+        ("exactly one parquet scan", r"Scan parquet"),
+        ("Arrow-batched kernels only (no row-at-a-time Python)",
+         r"^(?!.*BatchEvalPython)"),
+        ("MapInPandas present", r"MapInPandas"),
+    ])
+
+    ann = QUERIES["sim_ann_kmeans"](spark, SF)
+    add("sim_ann_kmeans — broadcast centroids + probes, clustered fine "
+        "search", ann, [
+        ("centroids/probes broadcast (vector table never shuffles "
+         "for the search)", r"BroadcastExchange"),
+        ("fine search is an equi join on cluster id", r"BroadcastHashJoin"),
+        ("windowed top-k", r"Window"),
+    ])
+
     header = (
         "# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n\n"
         "Each section asserts the plan properties the engine's scale story\n"
