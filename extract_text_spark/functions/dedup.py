@@ -199,6 +199,80 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     return verified.select("a_id", "b_id", "inter", "na", "nb", "jaccard")
 
 
+def lsh_hyperplanes(dim: int, bits: int) -> list[list[int]]:
+    """Deterministic integer random hyperplanes: component (k, d) is
+    md5("{k}_{d}") folded into [-1000, 1000]. md5 is identical in Python,
+    Spark and DuckDB, so both engines can reproduce the exact planes —
+    signatures stay engine-exact with no RNG state to ship."""
+    import hashlib
+    return [
+        [int(hashlib.md5(f"{k}_{d}".encode()).hexdigest()[:8], 16) % 2001
+         - 1000 for d in range(dim)]
+        for k in range(bits)
+    ]
+
+
+def embedding_lsh_pairs(df: DataFrame, threshold: float,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bits: int = 16, bands: int = 4,
+                        dim: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicates at scale: random-hyperplane LSH.
+
+    Sign-of-dot-product signatures (Charikar SimHash over real vectors),
+    banded like minhash_lsh_pairs: candidates = equi-join on (band_idx,
+    band_key) — id-only shuffle, vectors rejoined only for the exact
+    cosine verification. A pair is reported iff it shares a band AND its
+    exact cosine >= threshold, so reported scores are never approximate;
+    recall follows the (1 - theta/pi)^r band bound.
+    """
+    from .similarity import score_milli_col
+
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
+    r = bits // bands
+    planes = lsh_hyperplanes(dim, bits)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    bit_cols = []
+    for k, plane in enumerate(planes):
+        harr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with("v", harr,
+                       lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bit_cols.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+                        .alias(f"b{k}"))
+    sig = v.select("id", *bit_cols)
+    band_keys = [
+        F.concat_ws("", *[F.col(f"b{b * r + j}").cast("string")
+                          for j in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    bands_long = sig.select("id", *band_keys).select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
+        .alias("band_idx", "band_key"),
+    )
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    va = v.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    t_milli = int(threshold * 1_000_000)
+    return (
+        cand.join(va, "a_id").join(vb, "b_id")
+        .withColumn("score_milli",
+                    score_milli_col(F.col("va"), F.col("vb")))
+        .filter(F.col("score_milli") >= t_milli)
+        .select("a_id", "b_id", "score_milli")
+    )
+
+
 def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
     """bits-bit SimHash over distinct tokens (md5-prefix token hashes)."""
     hashes = F.transform(

@@ -293,13 +293,14 @@ def _splittable_col(threshold: int):
     )
 
 
-def _chunk_big(big: DataFrame) -> DataFrame:
+def _chunk_big(big: DataFrame, with_root: bool = False) -> DataFrame:
     """Span-chunk oversized docs; adds (chunk_id, n_chunks)."""
     from pyspark.sql.window import Window
 
+    root_sel = ["root_id"] if with_root else []
     w = Window.partitionBy("doc_id").orderBy("pos")
     exploded = (
-        big.select("doc_id", "status", "root_id",
+        big.select("doc_id", "status", *root_sel,
                    F.posexplode("spans").alias("pos", "span"))
         .withColumn(
             "anchor",
@@ -310,26 +311,26 @@ def _chunk_big(big: DataFrame) -> DataFrame:
         .withColumn("chunk_id", (F.greatest(F.col("anchor"), F.lit(0))
                                  / SKEW_CHUNK_SPANS).cast(IntegerType()))
     )
+    aggs = [
+        F.array_sort(F.collect_list(F.struct("pos", "span"))).alias("ps"),
+        F.first("status").alias("status"),
+    ]
+    if with_root:
+        aggs.append(F.first("root_id").alias("root_id"))
     chunks = (
         exploded.groupBy("doc_id", "chunk_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "span"))
-            ).alias("ps"),
-            F.first("status").alias("status"),
-            F.first("root_id").alias("root_id"),
-        )
+        .agg(*aggs)
         .withColumn("spans", F.transform("ps", lambda x: x.span))
         .withColumn(
             "n_chunks",
             F.count("*").over(Window.partitionBy("doc_id")).cast(IntegerType()),
         )
-        .select("doc_id", "spans", "status", "root_id", "chunk_id", "n_chunks")
+        .select("doc_id", "spans", "status", *root_sel, "chunk_id", "n_chunks")
     )
     return chunks
 
 
-def _reassemble(multi: DataFrame) -> DataFrame:
+def _reassemble(multi: DataFrame, with_root: bool = False) -> DataFrame:
     """Merge chunked extraction outputs back into whole documents.
 
     Error contract matches the unsplit kernel (extract_document): any
@@ -337,18 +338,20 @@ def _reassemble(multi: DataFrame) -> DataFrame:
     n_spans/n_chars — so split and unsplit paths are indistinguishable
     (bytes_in stays the summed input size, as in the unsplit error row).
     """
+    aggs = [
+        F.array_sort(
+            F.collect_list(F.struct("chunk_id", "spans"))
+        ).alias("cs"),
+        F.max(F.when(F.col("status").startswith("error"), F.col("status"))).alias("err"),
+        F.max(F.when(F.col("status") == "ok", F.lit(1)).otherwise(0)).alias("any_ok"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("bytes_in").alias("bytes_in"),
+    ]
+    if with_root:
+        aggs.append(F.first("root_id").alias("root_id"))
     merged = (
         multi.groupBy("doc_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("chunk_id", "spans"))
-            ).alias("cs"),
-            F.max(F.when(F.col("status").startswith("error"), F.col("status"))).alias("err"),
-            F.max(F.when(F.col("status") == "ok", F.lit(1)).otherwise(0)).alias("any_ok"),
-            F.sum("n_chars").alias("sum_chars"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.first("root_id").alias("root_id"),
-        )
+        .agg(*aggs)
         .withColumn(
             "flat",
             F.when(F.col("err").isNotNull(),
@@ -379,7 +382,7 @@ def _reassemble(multi: DataFrame) -> DataFrame:
             .otherwise(F.col("sum_chars")),
         )
         .select("doc_id", "status", "spans", "n_spans", "n_chars", "bytes_in",
-                "root_id")
+                *(["root_id"] if with_root else []))
     )
     return merged
 
@@ -404,11 +407,12 @@ def extract_spans_df(
     branch — 2x the Python work.)
 
     ``keep_root=True`` appends a ``root_id`` column: the pre-fan-out input
-    doc_id (== doc_id for non-archive rows). The column is null-compressed
-    through the shuffle and coalesced at the end, so the common case pays
-    one null per row.
+    doc_id (== doc_id for non-archive rows). Only keep_root callers
+    (checkpointing) pay the carry cost — the default path is byte-identical
+    to the plain 3-column kernel plan.
     """
-    fanned = explode_archives_df(df, with_root=True)
+    fanned = explode_archives_df(df, with_root=keep_root)
+    root_sel = ["root_id"] if keep_root else []
 
     if skew_split:
         split = _splittable_col(skew_threshold)
@@ -422,44 +426,46 @@ def extract_spans_df(
             salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
         )
 
-    def _run_small(batches):
-        import pandas as pd
-        for batch in batches:
-            meta = batch[["root_id"]].reset_index(drop=True)
-            res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
-            yield pd.concat([res, meta], axis=1)
+    def _meta_wrapped(meta_cols: list[str]):
+        def run(batches):
+            import pandas as pd
+            for batch in batches:
+                meta = batch[meta_cols].reset_index(drop=True)
+                res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
+                yield pd.concat([res, meta], axis=1)
+        return run
 
-    small_schema = StructType(OUT_SCHEMA.fields + [_ROOT_FIELD])
-    out_small = small.select("doc_id", "spans", "status", "root_id").mapInPandas(
-        _run_small, schema=small_schema
-    )
+    if keep_root:
+        small_schema = StructType(OUT_SCHEMA.fields + [_ROOT_FIELD])
+        out_small = small.select(
+            "doc_id", "spans", "status", "root_id"
+        ).mapInPandas(_meta_wrapped(["root_id"]), schema=small_schema)
+    else:
+        out_small = small.select("doc_id", "spans", "status").mapInPandas(
+            _extract_batches, schema=OUT_SCHEMA
+        )
 
     def _finish(out: DataFrame) -> DataFrame:
         if keep_root:
             return out.withColumn("root_id", F.coalesce("root_id", "doc_id"))
-        return out.drop("root_id")
+        return out
 
     if big is None:
         return _finish(out_small)
 
     # Oversized docs: chunk (already a shuffle by doc_id+chunk), extract
     # each chunk independently, reassemble order-preserving.
-    chunks = _chunk_big(big)
-
-    def _run(batches):
-        import pandas as pd
-        for batch in batches:
-            meta = batch[["chunk_id", "n_chunks", "root_id"]].reset_index(drop=True)
-            res = next(_extract_batches(iter([batch]))).reset_index(drop=True)
-            yield pd.concat([res, meta], axis=1)
-
+    chunks = _chunk_big(big, with_root=keep_root)
     out_schema = StructType(
         OUT_SCHEMA.fields
         + [StructField("chunk_id", IntegerType()),
-           StructField("n_chunks", IntegerType()),
-           _ROOT_FIELD]
+           StructField("n_chunks", IntegerType())]
+        + ([_ROOT_FIELD] if keep_root else [])
     )
     out_big = chunks.select(
-        "doc_id", "spans", "status", "chunk_id", "n_chunks", "root_id"
-    ).mapInPandas(_run, schema=out_schema)
-    return _finish(out_small.unionByName(_reassemble(out_big)))
+        "doc_id", "spans", "status", "chunk_id", "n_chunks", *root_sel
+    ).mapInPandas(
+        _meta_wrapped(["chunk_id", "n_chunks", *root_sel]), schema=out_schema
+    )
+    return _finish(
+        out_small.unionByName(_reassemble(out_big, with_root=keep_root)))

@@ -499,6 +499,71 @@ FROM t ORDER BY doc_id
 """
 
 
+EMB_LSH_T = 0.25
+EMB_LSH_BITS = 16
+EMB_LSH_BANDS = 4
+EMB_DIM = 64
+
+
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup via random-hyperplane LSH (Charikar):
+    md5-derived integer hyperplanes make the signatures engine-exact, so
+    the banded candidate set AND the exact-cosine verification both have a
+    DuckDB twin."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = dedup.embedding_lsh_pairs(e, EMB_LSH_T, bits=EMB_LSH_BITS,
+                                  bands=EMB_LSH_BANDS, dim=EMB_DIM)
+    return p.orderBy("a_id", "b_id")
+
+
+def _emb_lsh_sql() -> str:
+    from .functions.dedup import lsh_hyperplanes
+    planes = lsh_hyperplanes(EMB_DIM, EMB_LSH_BITS)
+    r = EMB_LSH_BITS // EMB_LSH_BANDS
+
+    def dot_plane(plane):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        return (f"list_aggregate(list_transform(range(1, {EMB_DIM}+1), "
+                f"i -> v[i]::DOUBLE * ({lit})[i]), 'sum')")
+
+    bit_exprs = ",\n         ".join(
+        f"CASE WHEN {dot_plane(p)} > 0 THEN 1 ELSE 0 END AS b{k}"
+        for k, p in enumerate(planes)
+    )
+    band_exprs = ", ".join(
+        "concat(" + ", ".join(f"b{b * r + j}::VARCHAR" for j in range(r))
+        + f") AS band{b}"
+        for b in range(EMB_LSH_BANDS)
+    )
+    band_list = ", ".join(f"band{b}" for b in range(EMB_LSH_BANDS))
+    idx_list = ", ".join(str(b) for b in range(EMB_LSH_BANDS))
+    t_milli = int(EMB_LSH_T * 1_000_000)
+    return f"""
+WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+sig AS (
+  SELECT id,
+         {bit_exprs}
+  FROM v
+),
+banded AS (SELECT id, {band_exprs} FROM sig),
+lng AS (
+  SELECT id, unnest([{idx_list}]) AS band_idx,
+         unnest([{band_list}]) AS band_key
+  FROM banded
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM lng a JOIN lng b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+),
+verified AS (
+  SELECT c.a_id, c.b_id, {_smilli_sql("va.v", "vb.v")} AS score_milli
+  FROM cand c JOIN v va ON va.id = c.a_id JOIN v vb ON vb.id = c.b_id
+)
+SELECT a_id, b_id, score_milli FROM verified
+WHERE score_milli >= {t_milli} ORDER BY a_id, b_id"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1308,6 +1373,9 @@ FROM e ORDER BY doc_id
 """
 
 
+DEDUP_EMB_LSH_SQL = _emb_lsh_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1328,6 +1396,7 @@ QUERIES = {
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_ivf": sim_ann_ivf,
     "sim_kmeans_assign": sim_kmeans_assign,
@@ -1365,6 +1434,7 @@ ORACLES = {
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_kmeans_assign": SIM_KMEANS_ASSIGN_SQL,

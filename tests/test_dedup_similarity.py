@@ -244,3 +244,22 @@ def test_bmp_wav_header_decode(spark):
     assert (feats["b1"]["width"], feats["b1"]["height"]) == (3, 2)
     assert feats["w1"]["status"] == "decoded"
     assert (feats["w1"]["sample_rate"], feats["w1"]["duration_ms"]) == (8000, 1000)
+
+
+def test_embedding_lsh_pairs(spark):
+    """Random-hyperplane LSH: near-parallel vectors share every band and
+    are verified by exact cosine; orthogonal vectors pass only if a band
+    collides AND never survive the threshold."""
+    base = [1.0] + [0.0] * 15
+    near = [1.0, 0.05] + [0.0] * 14
+    orth = [0.0, 1.0] + [0.0] * 14
+    vecs = spark.createDataFrame(
+        [(0, base), (1, near), (2, orth)], ["vec_id", "embedding"])
+    got = {(r["a_id"], r["b_id"]): r["score_milli"]
+           for r in dedup.embedding_lsh_pairs(vecs, 0.9, dim=16).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 990000
+    assert (0, 2) not in got and (1, 2) not in got
+    # determinism: the hyperplanes are pure functions of (k, d)
+    h1 = dedup.lsh_hyperplanes(16, 16)
+    assert h1 == dedup.lsh_hyperplanes(16, 16)
+    assert all(-1000 <= x <= 1000 for row in h1 for x in row)
