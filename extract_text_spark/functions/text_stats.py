@@ -75,6 +75,79 @@ def lang_id_col(text: str | Column = "text",
     )
 
 
+# Distinctive-stopword profiles for multi-language ID. Ambiguous words
+# shared across the Romance languages (de/la/que/un/...) are intentionally
+# duplicated — the ARGMAX over hit ratios disambiguates, not uniqueness.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich",
+           "zu"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "dans", "une",
+           "vous"],
+    "es": ["el", "los", "que", "y", "en", "por", "con", "una", "para", "es"],
+    "it": ["il", "di", "che", "per", "con", "non", "sono", "della", "una",
+           "gli"],
+    "pt": ["o", "os", "de", "que", "um", "para", "com", "uma", "mais",
+           "não"],
+}
+
+
+def lang_id_multi_col(text: str | Column = "text",
+                      threshold_milli: int = 60_000) -> Column:
+    """Multi-language ID, still pure columns (whole-stage codegen):
+
+    1. script gates — Cyrillic-dominant -> 'ru', CJK-dominant -> 'zh',
+       any non-Latin-dominant else -> 'non_latin';
+    2. else argmax of per-language stopword hit ratios (integer-millionth
+       ratios inside an array_max over (ratio, lang) structs — the
+       lexicographic struct max is identical in Spark and DuckDB, ties
+       resolve to the later language name);
+    3. below ``threshold_milli`` -> 'other'.
+    """
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    non_ascii = (
+        (F.length(text)
+         - F.length(F.regexp_replace(text, "[^\\x00-\\x7F]", "")))
+        .cast("double") / F.length(text)
+    )
+    cyr = (F.length(text)
+           - F.length(F.regexp_replace(text, "[\\x{0400}-\\x{04FF}]", "")))
+    cjk = (F.length(text)
+           - F.length(F.regexp_replace(text, "[\\x{4E00}-\\x{9FFF}]", "")))
+    scored = F.array(*[
+        F.struct(
+            F.floor(
+                F.size(F.filter(toks, lambda t: t.isin(*words)))
+                .cast("double") / n * 1000000.0 + 0.5
+            ).cast("long").alias("ratio_milli"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(LANG_STOPWORDS.items())
+    ])
+    best = F.array_max(scored)
+    return (
+        F.when(non_ascii >= 0.5,
+               F.when(cyr.cast("double") / F.length(text) >= 0.3, F.lit("ru"))
+               .when(cjk.cast("double") / F.length(text) >= 0.3, F.lit("zh"))
+               .otherwise(F.lit("non_latin")))
+        .when(best.getField("ratio_milli") >= threshold_milli,
+              best.getField("lang"))
+        .otherwise(F.lit("other"))
+    )
+
+
+_BPE_TOKEN_RE = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_token_count_col(text: str | Column = "text") -> Column:
+    """BPE-ish token count: a GPT-2-style pre-tokenizer regex (contraction
+    tails, space-prefixed letter runs, digit runs, punctuation runs) —
+    counts matches, no vocabulary needed. Same RE2-compatible pattern runs
+    in DuckDB's regexp_extract_all for the oracle."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_TOKEN_RE), F.lit(0)))
+
+
 def fingerprint_col(text: str | Column = "text") -> Column:
     """Whole-document fingerprint (md5)."""
     return F.md5(text)

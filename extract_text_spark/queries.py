@@ -270,17 +270,104 @@ def ta_tokens(spark, sf_dir):
         "doc_id",
         text_stats.token_count_col().alias("n_tokens"),
         text_stats.uniq_token_count_col().alias("n_uniq"),
+        text_stats.bpe_token_count_col().alias("n_bpe"),
         F.length("text").alias("n_chars"),
     ).orderBy("doc_id")
 
 
-TA_TOKENS_SQL = """
+TA_TOKENS_SQL = rf"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
        len(list_distinct(string_split(text, ' '))) AS n_uniq,
+       len(regexp_extract_all(text,
+           '{text_stats._BPE_TOKEN_RE.replace("'", "''")}')) AS n_bpe,
        length(text) AS n_chars
 FROM documents ORDER BY doc_id
 """
+
+
+_LANG_PHRASES = {
+    "en": "the cat and the dog is in it for you that",
+    "de": "der hund und die katze ist nicht mit ein ich zu",
+    "fr": "le chat et la les est pour que dans une vous",
+    "es": "el gato los que y en por con una para es",
+    "it": "il gatto di che per con non sono della una gli",
+    "pt": "o gato os de que um para com uma mais não",
+    "ru": "кошка и собака дома сегодня на улице хорошо",
+    "xx": "zxqv wqers plomk trewq nbvcx jklmn",   # no stopwords -> other
+}
+
+
+def _lang_text_col():
+    m = F.pmod("doc_id", F.lit(len(_LANG_PHRASES)))
+    phrases = list(_LANG_PHRASES.values())
+    expr = F.lit(phrases[0])
+    for i, ph in enumerate(phrases[1:], 1):
+        expr = F.when(m == i, F.lit(ph)).otherwise(expr)
+    reps = F.pmod("doc_id", F.lit(3)) + 1
+    return F.array_join(F.array_repeat(expr, reps.cast("int")), " ")
+
+
+def ta_langid_multi(spark, sf_dir):
+    """Multi-language ID (6 Latin-script stopword profiles + Cyrillic/CJK
+    script gates) over synthesized per-language texts; the argmax ratio
+    machinery is mirrored expression-for-expression in DuckDB."""
+    d = _t(spark, sf_dir, "documents").withColumn("ltext", _lang_text_col())
+    return (
+        d.select("doc_id",
+                 text_stats.lang_id_multi_col("ltext").alias("pred_lang"))
+        .groupBy("pred_lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _langid_multi_sql() -> str:
+    phrase_case = " ".join(
+        f"WHEN {i} THEN '{ph}'"
+        for i, ph in enumerate(_LANG_PHRASES.values())
+    )
+    ratio_structs = ",\n           ".join(
+        "struct_pack(ratio_milli := CAST(floor(len(list_filter(toks, t -> "
+        f"list_contains({'[' + ', '.join(repr(w) for w in words) + ']'}, t)))"
+        "::DOUBLE / len(toks) * 1000000.0 + 0.5) AS BIGINT), "
+        f"lang := '{lang}')"
+        for lang, words in sorted(text_stats.LANG_STOPWORDS.items())
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         array_to_string(list_transform(range(1, doc_id % 3 + 2),
+           i -> CASE doc_id % {len(_LANG_PHRASES)} {phrase_case} END), ' ')
+         AS ltext
+  FROM documents
+), t AS (
+  SELECT doc_id, ltext, string_split(ltext, ' ') AS toks FROM f
+), s AS (
+  SELECT doc_id, ltext, toks,
+         (length(ltext) - length(regexp_replace(ltext, '[^\\x00-\\x7F]', '',
+          'g')))::DOUBLE / length(ltext) AS non_ascii,
+         (length(ltext) - length(regexp_replace(ltext,
+          '[\\x{{0400}}-\\x{{04FF}}]', '', 'g')))::DOUBLE
+          / length(ltext) AS cyr,
+         (length(ltext) - length(regexp_replace(ltext,
+          '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')))::DOUBLE
+          / length(ltext) AS cjk,
+         list_max([
+           {ratio_structs}
+         ]) AS best
+  FROM t
+), p AS (
+  SELECT doc_id,
+         CASE WHEN non_ascii >= 0.5 THEN
+                CASE WHEN cyr >= 0.3 THEN 'ru'
+                     WHEN cjk >= 0.3 THEN 'zh'
+                     ELSE 'non_latin' END
+              WHEN best.ratio_milli >= 60000 THEN best.lang
+              ELSE 'other' END AS pred_lang
+  FROM s
+)
+SELECT pred_lang, count(*) AS n_docs FROM p
+GROUP BY pred_lang ORDER BY pred_lang"""
 
 
 def ta_quality(spark, sf_dir):
@@ -1391,6 +1478,7 @@ QUERIES = {
     "ta_tokens": ta_tokens,
     "ta_quality": ta_quality,
     "ta_langid": ta_langid,
+    "ta_langid_multi": ta_langid_multi,
     "ta_fingerprint": ta_fingerprint,
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -1429,6 +1517,7 @@ ORACLES = {
     "ta_tokens": TA_TOKENS_SQL,
     "ta_quality": TA_QUALITY_SQL,
     "ta_langid": TA_LANGID_SQL,
+    "ta_langid_multi": _langid_multi_sql(),
     "ta_fingerprint": TA_FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,

@@ -263,3 +263,24 @@ def test_embedding_lsh_pairs(spark):
     h1 = dedup.lsh_hyperplanes(16, 16)
     assert h1 == dedup.lsh_hyperplanes(16, 16)
     assert all(-1000 <= x <= 1000 for row in h1 for x in row)
+
+
+def test_lang_id_multi_and_bpe_tokens(spark):
+    rows = [
+        ("en", "the cat and the dog is in it for you that " * 2),
+        ("de", "der hund und die katze ist nicht mit ein ich zu"),
+        ("fr", "le chat et la les est pour que dans une vous"),
+        ("es", "el gato los que y en por con una para es"),
+        ("ru", "кошка и собака дома сегодня на улице хорошо"),
+        ("other", "zxqv wqers plomk trewq nbvcx jklmn"),
+        ("zh", "这是一个中文句子用于测试语言识别功能啊"),
+    ]
+    df = spark.createDataFrame(rows, ["want", "text"])
+    got = {r["want"]: r["pred"] for r in df.select(
+        "want", text_stats.lang_id_multi_col().alias("pred")).collect()}
+    assert got == {w: w for w in got}
+    bpe = spark.createDataFrame(
+        [("it's a test-case 123 ok",)], ["text"]).select(
+        text_stats.bpe_token_count_col().alias("n")).collect()[0]["n"]
+    # it | 's | " a" | " test" | - | case | " 123" | " ok"
+    assert bpe == 8

@@ -105,6 +105,16 @@ def main():
         ("no Python", r"^(?!.*EvalPython)"),
     ])
 
+    el = QUERIES["dedup_embedding_lsh"](spark, SF)
+    add("dedup_embedding_lsh — banded candidates, id-only shuffle", el, [
+        ("band self-join is an equi hash join, not cartesian",
+         r"^(?!.*CartesianProduct)"),
+        ("signatures computed JVM-side (no Python anywhere)",
+         r"^(?!.*EvalPython)"),
+        ("exact-cosine verification joins vectors back by id",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ])
+
     from extract_text_spark.ingest import ingest_bytes_df
     from extract_text_spark.queries import _bytes_table
     byt = _bytes_table(
