@@ -71,11 +71,6 @@ def run_extraction(
     Returns summary metrics for the processed increment.
     """
     t0 = time.monotonic()
-    # Do NOT trust the session factory for this: under Spark's default
-    # *static* overwrite mode, mode('overwrite').partitionBy('bucket') would
-    # truncate the whole {output}/data directory while the manifest still
-    # marks prior buckets done — resume would silently lose them.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     docs = with_bucket(docs, num_buckets)
     if bucket_filter is not None:
         docs = docs.filter(bucket_filter(F.col("bucket")))
@@ -101,9 +96,15 @@ def run_extraction(
     result = result.withColumn(
         "bucket", F.pmod(F.xxhash64("root_id"), F.lit(num_buckets)).cast("int")
     ).drop("root_id")
-    result.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{output_dir}/data"
-    )
+    # The overwrite mode is pinned on THIS write, not the shared session:
+    # under Spark's default *static* mode, mode('overwrite').partitionBy
+    # would truncate the whole {output}/data directory while the manifest
+    # still marks prior buckets done — resume would silently lose them.
+    # A write-local option cannot leak dynamic semantics into the caller's
+    # other partitioned overwrites.
+    result.write.mode("overwrite").partitionBy("bucket").option(
+        "partitionOverwriteMode", "dynamic"
+    ).parquet(f"{output_dir}/data")
     wall_ms = int((time.monotonic() - t0) * 1000)
 
     written = spark.read.parquet(f"{output_dir}/data")

@@ -91,7 +91,7 @@ def docx_payload_from_bytes(content: bytes) -> str:
                 )
             tables.append(rows)
 
-        def _hf_paras(refs, want: str) -> list[str]:
+        def _hf_paras(refs) -> list[str]:
             for ref in refs:
                 if ref.get(_W + "type", "default") == "default":
                     target = rels.get(ref.get(_R + "id", ""))
@@ -102,8 +102,8 @@ def docx_payload_from_bytes(content: bytes) -> str:
         sections = []
         for sect_pr in body.iter(_W + "sectPr"):
             sections.append({
-                "header": _hf_paras(sect_pr.findall(_W + "headerReference"), "header"),
-                "footer": _hf_paras(sect_pr.findall(_W + "footerReference"), "footer"),
+                "header": _hf_paras(sect_pr.findall(_W + "headerReference")),
+                "footer": _hf_paras(sect_pr.findall(_W + "footerReference")),
             })
 
         footnotes: list[str] = []

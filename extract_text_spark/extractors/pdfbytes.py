@@ -29,8 +29,11 @@ _NUM = rb"[+-]?\d+(?:\.\d+)?"
 # one text-showing statement: optional positioning, then a string operator
 _TD_RE = re.compile(rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+Td")
 _TF_RE = re.compile(rb"/\S+\s+(" + _NUM + rb")\s+Tf")
-_TJ_RE = re.compile(rb"\(((?:\\.|[^()\\])*)\)\s*(?:Tj|')")
-_TJA_RE = re.compile(rb"\[((?:\\.|[^\]\\])*)\]\s*TJ", re.DOTALL)
+# one alternation so Tj and TJ statements emit in STREAM order
+_SHOW_RE = re.compile(
+    rb"\(((?:\\.|[^()\\])*)\)\s*(?:Tj|')"
+    rb"|\[((?:\\.|[^\]\\])*)\]\s*TJ",
+    re.DOTALL)
 _STR_RE = re.compile(rb"\(((?:\\.|[^()\\])*)\)")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
@@ -38,6 +41,9 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
 
 
 def _unescape(raw: bytes) -> str:
+    """PDF string unescape (PDF 32000-1 §7.3.4.2): named escapes, up to 3
+    OCTAL digits (\\8 and \\9 are NOT octal — the backslash is simply
+    dropped and the digit kept, like any unrecognized escape)."""
     out = bytearray()
     i = 0
     while i < len(raw):
@@ -48,14 +54,16 @@ def _unescape(raw: bytes) -> str:
                 out += _ESCAPES[nxt]
                 i += 2
                 continue
-            if nxt.isdigit():  # octal \ddd
-                oct_digits = raw[i + 1:i + 4]
+            if nxt in b"01234567":  # octal \d, \dd, \ddd
                 j = 1
-                while j <= 3 and raw[i + j:i + j + 1].isdigit():
+                while j <= 3 and raw[i + j:i + j + 1] in b"01234567":
                     j += 1
-                out.append(int(oct_digits[: j - 1], 8) & 0xFF)
+                out.append(int(raw[i + 1:i + j], 8) & 0xFF)
                 i += j
                 continue
+            out += nxt  # unknown escape: backslash dropped, char kept
+            i += 2
+            continue
         out += c
         i += 1
     return out.decode("latin-1")
@@ -155,10 +163,14 @@ def _content_blocks(data: bytes, page_h: float) -> list[dict]:
         x = float(td.group(1)) if td else 0.0
         y = float(td.group(2)) if td else 0.0
         size = float(tf.group(1)) if tf else 12.0
-        lines = [_unescape(m.group(1)) for m in _TJ_RE.finditer(seg)]
-        for arr in _TJA_RE.finditer(seg):
-            lines.append("".join(
-                _unescape(s.group(1)) for s in _STR_RE.finditer(arr.group(1))))
+        lines = []
+        for m in _SHOW_RE.finditer(seg):
+            if m.group(1) is not None:
+                lines.append(_unescape(m.group(1)))
+            else:
+                lines.append("".join(
+                    _unescape(s.group(1))
+                    for s in _STR_RE.finditer(m.group(2))))
         text = "\n".join(line for line in lines if line)
         if not text:
             continue

@@ -203,8 +203,12 @@ def kmeans_fit(
     from that assignment (previous centroid kept for emptied clusters).
     """
     spark = vectors.sparkSession
+    # Each iteration's centroid collect re-reads the vector table; persist
+    # for the duration of the fit so iterations hit cache instead of the
+    # source scan (unpersisted before returning — the returned lazy plans
+    # recompute from source once per downstream action, as usual).
     v = vectors.select(F.col(id_col).alias("vec_id"),
-                       F.col(vec_col).alias("nv"))
+                       F.col(vec_col).alias("nv")).persist()
 
     init_rows = (
         v.orderBy("vec_id").limit(k)
@@ -237,4 +241,5 @@ def kmeans_fit(
         cent_rows = [(c, new.get(c, prev)) for c, prev in cent_rows]
     cent_df = spark.createDataFrame(
         cent_rows, "cluster int, centroid array<double>")
+    v.unpersist(blocking=False)
     return assigned, cent_df

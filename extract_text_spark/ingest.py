@@ -485,7 +485,7 @@ def _member_model(content: bytes, path: str, depth: int) -> dict | None:
         else:
             try:
                 members = _archive_members(content, basename, depth + 1)
-            except ValueError:
+            except Exception:
                 return None  # reference: exception -> member dropped
         return {"path": path, "kind": "archive", "text": None,
                 "media_ref": None, "is_archive": True,
@@ -500,66 +500,62 @@ def _member_model(content: bytes, path: str, depth: int) -> dict | None:
             "is_archive": False, "members": None}
 
 
+def _members_from_entries(entries, label: str, depth: int) -> list[dict]:
+    """Shared archive-member loop: declared-size bomb guard first, then per
+    member sanitize -> system-file filter -> read -> _member_model. One
+    place for the guards so every container format behaves identically.
+
+    ``entries`` yields ``(name, declared_size, read_fn)`` for file (non-dir)
+    entries, in archive order; ``read_fn()`` returns the member bytes.
+    """
+    entries = list(entries)
+    total = 0
+    for _name, size, _read in entries:
+        total += size
+        if total > MAX_EXTRACTED_SIZE:
+            raise ValueError(
+                "Extracted files size exceeds maximum allowed size "
+                f"({label} bomb protection)")
+    members = []
+    for name, _size, read in entries:
+        safe = sanitize_archive_filename(name)
+        if not safe or is_system_file(safe):
+            continue
+        try:
+            m = _member_model(read(), safe, depth)
+        except Exception:
+            continue  # reference: per-member errors drop the member
+        if m:
+            members.append(m)
+    return members
+
+
 def _zip_members(content: bytes, depth: int) -> list[dict]:
     try:
         zf = zipfile.ZipFile(io.BytesIO(content))
     except zipfile.BadZipFile:
         raise ValueError("Invalid ZIP file") from None
     with zf:
-        total = 0
-        for info in zf.infolist():
-            if info.is_dir():
-                continue
-            total += info.file_size
-            if total > MAX_EXTRACTED_SIZE:
-                raise ValueError(
-                    "Extracted files size exceeds maximum allowed size "
-                    "(zip bomb protection)")
-        members = []
-        for info in zf.infolist():
-            if info.is_dir():
-                continue
-            safe = sanitize_archive_filename(info.filename)
-            if not safe or is_system_file(safe):
-                continue
-            try:
-                m = _member_model(zf.read(info), safe, depth)
-            except Exception:
-                continue
-            if m:
-                members.append(m)
-        return members
+        return _members_from_entries(
+            ((i.filename, i.file_size, lambda i=i: zf.read(i))
+             for i in zf.infolist() if not i.is_dir()),
+            "zip", depth)
 
 
 def _tar_members(content: bytes, depth: int) -> list[dict]:
+    def read_member(tf, member):
+        src = tf.extractfile(member)
+        return src.read() if src else b""
+
     try:
         tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:*")
+        with tf:
+            return _members_from_entries(
+                ((m.name, m.size, lambda m=m: read_member(tf, m))
+                 for m in tf.getmembers() if m.isfile()),
+                "tar", depth)
     except tarfile.TarError:
         raise ValueError("Invalid TAR file") from None
-    with tf:
-        total = 0
-        for member in tf.getmembers():
-            if member.isfile():
-                total += member.size
-                if total > MAX_EXTRACTED_SIZE:
-                    raise ValueError(
-                        "Extracted files size exceeds maximum allowed size "
-                        "(tar bomb protection)")
-        members = []
-        for member in tf.getmembers():
-            if not member.isfile():
-                continue
-            safe = sanitize_archive_filename(member.name)
-            if not safe or is_system_file(safe):
-                continue
-            try:
-                src = tf.extractfile(member)
-                m = _member_model(src.read() if src else b"", safe, depth)
-            except Exception:
-                continue
-            if m:
-                members.append(m)
-        return members
 
 
 def _rar_members(content: bytes, depth: int) -> list[dict]:
@@ -570,29 +566,10 @@ def _rar_members(content: bytes, depth: int) -> list[dict]:
     except rarfile.Error:
         raise ValueError("Invalid RAR file") from None
     with rf:
-        total = 0
-        for info in rf.infolist():
-            if info.is_dir():
-                continue
-            total += info.file_size
-            if total > MAX_EXTRACTED_SIZE:
-                raise ValueError(
-                    "Extracted files size exceeds maximum allowed size "
-                    "(rar bomb protection)")
-        members = []
-        for info in rf.infolist():
-            if info.is_dir():
-                continue
-            safe = sanitize_archive_filename(info.filename)
-            if not safe or is_system_file(safe):
-                continue
-            try:
-                m = _member_model(rf.read(info), safe, depth)
-            except Exception:
-                continue
-            if m:
-                members.append(m)
-        return members
+        return _members_from_entries(
+            ((i.filename, i.file_size, lambda i=i: rf.read(i))
+             for i in rf.infolist() if not i.is_dir()),
+            "rar", depth)
 
 
 def _7z_members(content: bytes, depth: int) -> list[dict]:
@@ -603,27 +580,14 @@ def _7z_members(content: bytes, depth: int) -> list[dict]:
     except py7zr.Bad7zFile:
         raise ValueError("Invalid 7Z file") from None
     with sz:
-        total = 0
-        for info in sz.list():
-            if info.is_directory:
-                continue
-            total += info.uncompressed
-            if total > MAX_EXTRACTED_SIZE:
-                raise ValueError(
-                    "Extracted files size exceeds maximum allowed size "
-                    "(7z bomb protection)")
-        members = []
-        for name, bio in (sz.readall() or {}).items():
-            safe = sanitize_archive_filename(name)
-            if not safe or is_system_file(safe):
-                continue
-            try:
-                m = _member_model(bio.read(), safe, depth)
-            except Exception:
-                continue
-            if m:
-                members.append(m)
-        return members
+        sizes = {i.filename: i.uncompressed for i in sz.list()
+                 if not i.is_directory}
+        blobs = sz.readall() or {}
+        return _members_from_entries(
+            ((name, sizes.get(name, len(bio.getbuffer())),
+              lambda bio=bio: bio.read())
+             for name, bio in blobs.items()),
+            "7z", depth)
 
 
 _TAR_FAMILY = {"tar", "gz", "bz2", "xz", "tar.gz", "tar.bz2", "tar.xz",
@@ -662,9 +626,14 @@ def spans_from_bytes(content: bytes, filename: str) -> tuple[str | None, list[di
     quarantine row the pipeline passes through untouched.
     """
     if is_archive_name(filename):
+        # Catch-all, not just ValueError: a truncated gzip stream raises
+        # EOFError out of tarfile, a corrupt deflate raises zlib.error —
+        # the reference wraps EVERY archive exception into the per-file
+        # error (app/extractors.py:1647-1649); letting one escape would
+        # kill the whole Spark job from inside the Arrow kernel.
         try:
             members = _archive_members(content, filename, 0)
-        except ValueError as exc:
+        except Exception as exc:
             return f"error: Error processing archive: {exc}", []
         spans = [
             {"kind": "archive_member", "text": json.dumps(m),
@@ -699,12 +668,6 @@ def spans_for_payload(content: bytes, filename: str) -> list[dict]:
     return [{"kind": kind, "text": text, "media_ref": media_ref,
              "offset": 0}]
 
-
-BYTES_SCHEMA = StructType([
-    StructField("doc_id", StringType(), False),
-    StructField("filename", StringType()),
-    StructField("content", StringType()),  # documentation only; real col is binary
-])
 
 _INGEST_OUT = StructType([
     StructField("doc_id", StringType(), False),

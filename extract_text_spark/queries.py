@@ -467,9 +467,12 @@ _SHINGLES_SQL = """
 """
 
 
+NGRAM_MAX_DF = 100
+
+
 def dedup_ngram_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    p = dedup.ngram_jaccard_pairs(d, JACCARD_T)
+    p = dedup.ngram_jaccard_pairs(d, JACCARD_T, max_df=NGRAM_MAX_DF)
     return p.select(
         "a_id", "b_id", "inter", "na", "nb",
         F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long")
@@ -477,19 +480,28 @@ def dedup_ngram_pairs(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
+# The oracle mirrors the df-cap SEMANTICS (candidates from df<=cap shingles
+# only, verification over full shingle sets), not just the gate-SF output —
+# parity holds at any scale factor, even one with stop-phrase shingles.
 DEDUP_NGRAM_SQL = f"""
 WITH s AS ({_SHINGLES_SQL}),
-inv AS (SELECT id, len(sh) AS n, unnest(sh) AS shingle FROM s),
-pairs AS (
-  SELECT a.id AS a_id, b.id AS b_id, a.n AS na, b.n AS nb,
-         count(*) AS inter
-  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.id < b.id
-  GROUP BY a.id, b.id, a.n, b.n
+inv AS (SELECT id, unnest(sh) AS shingle FROM s),
+hot AS (SELECT shingle FROM inv GROUP BY shingle
+        HAVING count(*) > {NGRAM_MAX_DF}),
+cold AS (SELECT id, shingle FROM inv ANTI JOIN hot USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM cold a JOIN cold b ON a.shingle = b.shingle AND a.id < b.id
+),
+verified AS (
+  SELECT a_id, b_id, len(list_intersect(sa.sh, sb.sh)) AS inter,
+         len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand JOIN s sa ON sa.id = cand.a_id JOIN s sb ON sb.id = cand.b_id
 )
 SELECT a_id, b_id, inter, na, nb,
        CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000.0 + 0.5) AS BIGINT)
            AS jaccard_milli
-FROM pairs
+FROM verified
 WHERE inter::DOUBLE / (na + nb - inter) >= {JACCARD_T}
 ORDER BY a_id, b_id
 """

@@ -47,16 +47,28 @@ def test_partial_then_resume_equals_oneshot(spark, tmp_path):
 
 def test_rerun_overwrites_not_duplicates(spark, tmp_path):
     """resume=False re-runs everything; dynamic partition overwrite must
-    replace bucket partitions, not append to them."""
+    replace bucket partitions, not append to them — via the WRITE-LOCAL
+    option, proven here under a session forced to the static default (a
+    session-wide static mode must not truncate other buckets either)."""
     docs = corpus_to_df(spark, gen_corpus(40, seed=6))
     out = str(tmp_path / "out")
-    run_extraction(spark, docs, out, num_buckets=4)
-    n1 = spark.read.parquet(f"{out}/data").count()
-    run_extraction(spark, docs, out, num_buckets=4, resume=False)
-    assert spark.read.parquet(f"{out}/data").count() == n1
-    # manifest keeps lineage of both attempts
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        run_extraction(spark, docs, out, num_buckets=4)
+        n1 = spark.read.parquet(f"{out}/data").count()
+        # partial rewrite under static session mode: only bucket-0/1 rows
+        # are rewritten; buckets 2/3 must survive (write-local dynamic)
+        run_extraction(spark, docs, out, num_buckets=4, resume=False,
+                       bucket_filter=lambda b: b < 2)
+        assert spark.read.parquet(f"{out}/data").count() == n1
+        run_extraction(spark, docs, out, num_buckets=4, resume=False)
+        assert spark.read.parquet(f"{out}/data").count() == n1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # manifest keeps lineage of all three attempts (4 + 2 + 4 buckets)
     m = spark.read.parquet(f"{out}/_manifest")
-    assert m.count() == 8
+    assert m.count() == 10
     assert m.select("app_id").distinct().count() == 1
 
 

@@ -409,3 +409,39 @@ def test_pdf_stream_slicing_respects_declared_length():
     payload = b"abc\r"
     body = b"<< /Length 4 >>\nstream\n" + payload + b"\nendstream"
     assert _stream_data(body) == payload
+
+
+def test_truncated_archive_is_per_file_error_not_crash():
+    """A corrupt/truncated compressed container must quarantine as a
+    per-file error row — EOFError/zlib.error escaping the Arrow kernel
+    would kill the whole job (code-review finding, round 2)."""
+    whole = make_tar({"a.txt": b"x" * 4000})
+    status, _ = spans_from_bytes(whole[: len(whole) // 2], "t.tar.gz")
+    assert status is not None and status.startswith(
+        "error: Error processing archive:")
+    truncated_zip = make_zip({"a.txt": b"y" * 4000})[:-30]
+    status, _ = spans_from_bytes(truncated_zip, "t.zip")
+    assert status is not None and status.startswith(
+        "error: Error processing archive:")
+    # nested corrupt archive: member dropped, siblings survive
+    outer = make_zip({"bad.tar.gz": whole[: len(whole) // 2],
+                      "ok.txt": b"fine"})
+    status, spans = spans_from_bytes(outer, "outer.zip")
+    assert status is None
+    assert [json.loads(s["text"])["path"] for s in spans] == ["ok.txt"]
+
+
+def test_pdf_escape_edge_cases():
+    from extract_text_spark.extractors.pdfbytes import _unescape
+    assert _unescape(rb"a\8b") == "a8b"       # \8 is literal, not octal
+    assert _unescape(rb"a\qb") == "aqb"       # unknown escape drops backslash
+    assert _unescape(rb"a\101b") == "aAb"     # 3-digit octal
+    assert _unescape(rb"a\7b") == "a\x07b"    # 1-digit octal
+    assert _unescape(rb"x\(y\)") == "x(y)"
+
+
+def test_pdf_mixed_tj_operators_keep_stream_order():
+    from extract_text_spark.extractors.pdfbytes import _content_blocks
+    seg = (b"BT /F1 12 Tf 72 700 Td (A) Tj [(B)(b)] TJ (C) Tj ET")
+    blocks = _content_blocks(seg, 792.0)
+    assert blocks[0]["text"] == "A\nBb\nC"
