@@ -21,6 +21,17 @@ Design (see SURVEY.md for the full blueprint):
 * **Scale levers**: salted repartition by doc_id, span-chunk splitting for
   oversized documents (skew), byte-aware Arrow batching, bucket-level
   checkpoint manifests with left-anti-join resume.
+* **Byte ingress** (round 2): ``ingest.extract_from_bytes`` parses REAL
+  file bytes — zip/tar/rar/7z containers, DOCX/XLSX/PPTX/ODT/EPUB,
+  classic-xref PDFs — into the span model, with filename sanitization and
+  fail-closed MIME validation up front; ``streaming.stream_extract_files``
+  is the same path as a continuously-ingesting drop-directory job.
+
+Entry points: ``ingest.extract_from_bytes`` (raw files),
+``pipeline.extract_spans_df`` (span tables), ``checkpoint.run_extraction``
+(resumable batch), ``streaming.stream`` (continuous), ``functions.*``
+(dedup / similarity / text_stats / multimodal), ``queries`` (the oracled
+query registry backing ``__spark_entry__``).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
