@@ -210,6 +210,53 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float,
     return verified.select("a_id", "b_id", "inter", "na", "nb", "jaccard")
 
 
+def connected_components(ids: DataFrame, pairs: DataFrame,
+                         id_col: str = "id",
+                         max_iter: int = 25) -> DataFrame:
+    """Near-duplicate CLUSTERS from pairwise matches: undirected connected
+    components by iterative min-label propagation.
+
+    ``ids`` is the full id universe (unmatched docs become singleton
+    components); ``pairs (a_id, b_id)`` the edges. Each iteration every
+    node takes min(own label, neighbours' labels) — one symmetric-edge
+    join + groupBy per round, converging in graph-diameter rounds (near-dup
+    graphs are shallow: dup clusters are quasi-cliques). Convergence is
+    driver-checked (count of changed labels), labels persisted per round
+    so lineage does not snowball. Returns (id, component) with component =
+    the minimum id in the component — the canonical "keep" doc.
+    """
+    sym = pairs.select(F.col("a_id").alias("src"),
+                       F.col("b_id").alias("dst")).union(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    ).persist()
+    cached = ids.select(F.col(id_col).alias("id"),
+                        F.col(id_col).alias("comp")).persist()
+    labels = cached
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        new_cached = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_min", "comp"))
+                .alias("comp"),
+                F.col("comp").alias("prev"),
+            )
+        ).persist()
+        changed = new_cached.filter(F.col("comp") != F.col("prev")).count()
+        cached.unpersist(blocking=False)
+        cached = new_cached
+        labels = new_cached.select("id", "comp")
+        if changed == 0:
+            break
+    sym.unpersist(blocking=False)
+    return labels
+
+
 def lsh_hyperplanes(dim: int, bits: int) -> list[list[int]]:
     """Deterministic integer random hyperplanes: component (k, d) is
     md5("{k}_{d}") folded into [-1000, 1000]. md5 is identical in Python,

@@ -528,8 +528,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     ).orderBy("a_id", "b_id")
 
 
-DEDUP_MINHASH_SQL = f"""
-WITH s AS ({_SHINGLES_SQL}),
+_MINHASH_CTES = f"""s AS ({_SHINGLES_SQL}),
 hp AS (
   SELECT id, sh,
          list_transform(sh, x -> struct_pack(
@@ -561,13 +560,58 @@ verified AS (
          len(list_intersect(sha, shb)) AS inter,
          len(sha) AS na, len(shb) AS nb
   FROM cand
-)
+)"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_MINHASH_CTES}
 SELECT a_id, b_id, inter, na, nb,
        CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000.0 + 0.5) AS BIGINT)
            AS jaccard_milli
 FROM verified
 WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
 ORDER BY a_id, b_id
+"""
+
+
+def dedup_clusters(spark, sf_dir):
+    """The dedup END GAME: near-dup pairs (MinHash+LSH) -> undirected
+    connected components (iterative min-label propagation) -> one canonical
+    keep-id per cluster. Oracled by a recursive CTE computing min-reachable
+    over the same verified pair set — a distributed graph algorithm under
+    the value-hash gate."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, MINHASH_T).select("a_id", "b_id")
+    comps = dedup.connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id")
+    return (
+        comps.select(F.col("id").alias("doc_id"),
+                     F.col("comp").alias("cluster_id"))
+        .withColumn("cluster_size",
+                    F.count("*").over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_MINHASH_CTES},
+mpairs AS (
+  SELECT a_id, b_id FROM verified
+  WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mpairs
+  UNION ALL
+  SELECT b_id, a_id FROM mpairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM comps ORDER BY doc_id
 """
 
 
@@ -1496,6 +1540,7 @@ QUERIES = {
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_clusters": dedup_clusters,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1535,6 +1580,7 @@ ORACLES = {
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,

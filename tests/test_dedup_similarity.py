@@ -284,3 +284,21 @@ def test_lang_id_multi_and_bpe_tokens(spark):
         text_stats.bpe_token_count_col().alias("n")).collect()[0]["n"]
     # it | 's | " a" | " test" | - | case | " 123" | " ok"
     assert bpe == 8
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Min-label propagation: a chain a-b-c must converge to one component
+    (needs >1 iteration), pairs {d,e} another, unmatched f a singleton."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6]], ["id"])
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2), (4, 5)], ["a_id", "b_id"])
+    got = {r["id"]: r["comp"]
+           for r in dedup.connected_components(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    # a longer chain exercises multi-round convergence
+    ids2 = spark.createDataFrame([(i,) for i in range(10, 18)], ["id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 17)], ["a_id", "b_id"])
+    got2 = {r["id"]: r["comp"]
+            for r in dedup.connected_components(ids2, chain).collect()}
+    assert set(got2.values()) == {10} and len(got2) == 8
