@@ -615,6 +615,85 @@ FROM comps ORDER BY doc_id
 """
 
 
+CURATION_QUALITY_MILLI = 420_000
+
+
+def corpus_curation(spark, sf_dir):
+    """End-to-end training-data curation composing the pipeline's operators:
+    keep a document iff it is its near-dup cluster's canonical (min-id)
+    member AND quality >= the median cutoff AND predicted English. One
+    row per doc with the decision inputs — the query a 100 TB curation job
+    actually runs, under the exact-value gate."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(d, MINHASH_T).select("a_id", "b_id")
+    comps = dedup.connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id"
+    ).select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+    scored = d.select(
+        "doc_id",
+        text_stats.quality_score_col(as_millionths=True).alias("quality_milli"),
+        text_stats.lang_id_col().alias("pred_lang"),
+    )
+    return (
+        scored.join(comps, "doc_id")
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+        .withColumn(
+            "keep",
+            F.col("is_canonical")
+            & (F.col("quality_milli") >= CURATION_QUALITY_MILLI)
+            & (F.col("pred_lang") == "en"),
+        )
+        .select("doc_id", "cluster_id", "quality_milli", "pred_lang",
+                "is_canonical", "keep")
+        .orderBy("doc_id")
+    )
+
+
+CORPUS_CURATION_SQL = f"""
+WITH RECURSIVE {{minhash_ctes}},
+mpairs AS (
+  SELECT a_id, b_id FROM verified
+  WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
+),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM mpairs
+  UNION ALL
+  SELECT b_id, a_id FROM mpairs
+),
+reach(id, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id
+),
+comps AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach GROUP BY id),
+t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+scored AS (
+  SELECT doc_id,
+         CAST(floor((
+           least(len(toks)::DOUBLE / 100.0, 1.0) * 0.4
+           + len(list_distinct(toks))::DOUBLE / len(toks) * 0.3
+           + least(len(list_filter(toks, x -> list_contains({{stops}}, x)))::DOUBLE
+                   / len(toks) * 3.0, 1.0) * 0.3
+         ) * 1000000.0 + 0.5) AS BIGINT) AS quality_milli,
+         CASE WHEN length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g'))::DOUBLE
+                   / length(text) < 0.5 THEN 'non_latin'
+              WHEN len(list_filter(toks, x -> list_contains({{stops}}, x)))::DOUBLE
+                   / len(toks) >= 0.12 THEN 'en'
+              ELSE 'other' END AS pred_lang
+  FROM t
+)
+SELECT c.doc_id, c.cluster_id, s.quality_milli, s.pred_lang,
+       c.doc_id = c.cluster_id AS is_canonical,
+       (c.doc_id = c.cluster_id
+        AND s.quality_milli >= {CURATION_QUALITY_MILLI}
+        AND s.pred_lang = 'en') AS keep
+FROM comps c JOIN scored s ON s.doc_id = c.doc_id
+ORDER BY c.doc_id
+"""
+CORPUS_CURATION_SQL = CORPUS_CURATION_SQL.format(
+    minhash_ctes=_MINHASH_CTES, stops=_STOPS_SQL)
+
+
 def dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1541,6 +1620,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_clusters": dedup_clusters,
+    "corpus_curation": corpus_curation,
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_ann_ivf": sim_ann_ivf,
@@ -1581,6 +1661,7 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "corpus_curation": CORPUS_CURATION_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,
     "sim_cosine_topk": SIM_TOPK_SQL,
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
