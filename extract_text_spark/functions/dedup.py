@@ -253,6 +253,13 @@ def connected_components(ids: DataFrame, pairs: DataFrame,
         labels = new_cached.select("id", "comp")
         if changed == 0:
             break
+    else:
+        # Returning unconverged labels would be silently-wrong clusters;
+        # a component with diameter > max_iter must fail loudly.
+        sym.unpersist(blocking=False)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations — raise max_iter (component diameter exceeds it)")
     sym.unpersist(blocking=False)
     return labels
 

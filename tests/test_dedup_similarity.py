@@ -302,3 +302,11 @@ def test_connected_components_chain_and_singletons(spark):
     got2 = {r["id"]: r["comp"]
             for r in dedup.connected_components(ids2, chain).collect()}
     assert set(got2.values()) == {10} and len(got2) == 8
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    ids = spark.createDataFrame([(i,) for i in range(20, 26)], ["id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 25)], ["a_id", "b_id"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(ids, chain, max_iter=2)
