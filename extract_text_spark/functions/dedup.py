@@ -338,12 +338,74 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
     )
 
 
-def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
-    """bits-bit SimHash over distinct tokens (md5-prefix token hashes)."""
-    hashes = F.transform(
-        F.array_distinct(tokens_col(text)),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long"),
+def simhash_pairs(df: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bits: int = 16) -> DataFrame:
+    """SimHash near-duplicate pairs via the 4-nibble band join.
+
+    Pigeonhole: with 16 bits split into 4 nibbles, any pair at Hamming
+    distance <= 3 differs in at most 3 nibbles, so it SHARES at least one
+    exact nibble — the band join on (band_idx, nibble) finds every such
+    pair (exact recall for max_hamming < 4), then the candidate's true
+    distance is verified with one xor+bit_count. Signatures are one
+    shuffle; candidates carry ids only.
+
+    Scale note: ``bits`` is the selectivity lever — 16 bits (the oracle
+    demo width) collides heavily on same-vocabulary corpora; production
+    uses bits=64 (band width 16), same pigeonhole bound with random band
+    collisions at ~1/65536 per band.
+    """
+    s = df.select(F.col(id_col).alias("id"),
+                  simhash_col(text_col, bits).alias("sh"))
+    n_bands = 4
+    width = bits // n_bands
+    bands_long = s.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.shiftright("sh", b * width).bitwiseAND(F.lit((1 << width) - 1))
+            for b in range(n_bands)
+        ])).alias("band_idx", "nibble"),
     )
+    a, b_ = bands_long.alias("a"), bands_long.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.nibble") == F.col("b.nibble"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
+    sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
+    return (
+        cand.join(sh_a, "a_id").join(sh_b, "b_id")
+        .withColumn("hamming",
+                    F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "sha", "shb", "hamming")
+    )
+
+
+def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
+    """bits-bit SimHash over distinct tokens (md5-prefix token hashes).
+
+    Works up to bits=64: the bit weight is built with shiftleft on a long
+    (a Python-side ``1 << 63`` literal would overflow py4j's long), and
+    the token hash takes ceil(bits/4) hex chars of the md5 — bit 63 lands
+    in the BIGINT sign position, which is fine for the equality/xor/
+    bit_count uses signatures have."""
+    if bits <= 16:
+        # oracle-pinned form: one 4-hex-char prefix per token
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    else:
+        # 64-bit hash from two 32-bit halves (conv of >15 hex chars can
+        # exceed signed-BIGINT range and fail the cast)
+        def tok_hash(t):
+            h = F.md5(t)
+            hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+    hashes = F.transform(F.array_distinct(tokens_col(text)), tok_hash)
     def bit_term(kbit: int) -> Column:
         balance = F.aggregate(
             hashes, F.lit(0),
@@ -351,8 +413,10 @@ def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
                 F.shiftright(h, kbit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
-        return F.when(balance > 0, F.lit(1 << kbit)).otherwise(F.lit(0))
-    out = F.lit(0)
+        return F.when(balance > 0,
+                      F.shiftleft(F.lit(1).cast("long"), kbit)) \
+            .otherwise(F.lit(0).cast("long"))
+    out = F.lit(0).cast("long")
     for kbit in range(bits):
         out = out + bit_term(kbit)
     return out.cast("long")

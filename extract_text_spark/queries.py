@@ -701,23 +701,65 @@ def dedup_simhash(spark, sf_dir):
     ).orderBy("doc_id")
 
 
-DEDUP_SIMHASH_SQL = """
-WITH t AS (
+_SIMHASH_CTES = """t AS (
   SELECT doc_id,
          list_transform(list_distinct(string_split(text, ' ')),
                         x -> ('0x' || substr(md5(x), 1, 4))::BIGINT) AS hs
   FROM documents
+),
+sig AS (
+  SELECT doc_id AS id,
+         list_aggregate(
+           list_transform(range(0, 16),
+             k -> CASE WHEN list_aggregate(
+                         list_transform(hs,
+                           h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END),
+                         'sum') > 0
+                  THEN (1::BIGINT << k) ELSE 0 END),
+           'sum')::BIGINT AS sh
+  FROM t
+)"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH {_SIMHASH_CTES}
+SELECT id AS doc_id, sh AS simhash FROM sig ORDER BY doc_id
+"""
+
+MAX_HAMMING = 3
+
+
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash neighbour pairs: 4-nibble band join (exact recall for
+    hamming <= 3 by pigeonhole) + one xor/bit_count verification."""
+    d = _t(spark, sf_dir, "documents")
+    p = dedup.simhash_pairs(d, MAX_HAMMING)
+    return p.select(
+        "a_id", "b_id", "sha", "shb",
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("a_id", "b_id")
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH {_SIMHASH_CTES},
+lng AS (
+  SELECT id,
+         unnest([0, 1, 2, 3]) AS band_idx,
+         unnest([sh & 15, (sh >> 4) & 15, (sh >> 8) & 15, (sh >> 12) & 15])
+           AS nibble
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM lng a JOIN lng b
+    ON a.band_idx = b.band_idx AND a.nibble = b.nibble AND a.id < b.id
+),
+v AS (
+  SELECT c.a_id, c.b_id, sa.sh AS sha, sb.sh AS shb,
+         CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+  FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id
 )
-SELECT doc_id,
-       list_aggregate(
-         list_transform(range(0, 16),
-           k -> CASE WHEN list_aggregate(
-                       list_transform(hs,
-                         h -> CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END),
-                       'sum') > 0
-                THEN (1::BIGINT << k) ELSE 0 END),
-         'sum')::BIGINT AS simhash
-FROM t ORDER BY doc_id
+SELECT a_id, b_id, sha, shb, hamming FROM v
+WHERE hamming <= {MAX_HAMMING} ORDER BY a_id, b_id
 """
 
 
@@ -1619,6 +1661,7 @@ QUERIES = {
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
     "corpus_curation": corpus_curation,
     "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -1660,6 +1703,7 @@ ORACLES = {
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "corpus_curation": CORPUS_CURATION_SQL,
     "dedup_embedding_lsh": DEDUP_EMB_LSH_SQL,

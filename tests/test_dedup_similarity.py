@@ -310,3 +310,16 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(20, 25)], ["a_id", "b_id"])
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(ids, chain, max_iter=2)
+
+
+def test_simhash_pairs_banding(spark, docs):
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in dedup.simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[("a1", "a2")] == 0          # identical docs
+    assert ("a1", "a3") in pairs             # one-word edit: tiny distance
+    assert all(h <= 3 for h in pairs.values())
+    # 64-bit signatures drop random collisions while keeping true dups
+    wide = {(r["a_id"], r["b_id"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, max_hamming=3,
+                                         bits=64).collect()}
+    assert wide[("a1", "a2")] == 0
