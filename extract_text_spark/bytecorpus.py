@@ -252,6 +252,60 @@ def make_wav(n_samples: int, rate: int = 8000) -> bytes:
     )
 
 
+def make_ods(sheets: dict[str, list[list]],
+             repeat_last: dict[str, int] | None = None,
+             trailing_empty_cols: int = 0) -> bytes:
+    """ODS spreadsheet: content.xml table:table per sheet. Strings become
+    string cells (text:p), numbers float cells with office:value, bools
+    boolean cells, None an empty cell. ``repeat_last[sheet]`` puts
+    number-rows-repeated on that sheet's LAST row (repeat-expansion test);
+    ``trailing_empty_cols`` appends a repeated empty cell to every row
+    (the 16384-wide trailer real writers emit, which parsing must trim)."""
+    table_ns = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+    office_ns = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+    text_ns = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+
+    def cell_xml(v) -> str:
+        if v is None:
+            return "<table:table-cell/>"
+        if isinstance(v, bool):
+            return ('<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{"true" if v else "false"}"/>')
+        if isinstance(v, (int, float)):
+            return ('<table:table-cell office:value-type="float" '
+                    f'office:value="{v}"/>')
+        return ('<table:table-cell office:value-type="string">'
+                f"<text:p>{v}</text:p></table:table-cell>")
+
+    tables = []
+    for name, grid in sheets.items():
+        rows = []
+        for i, row in enumerate(grid):
+            cells = "".join(cell_xml(v) for v in row)
+            if trailing_empty_cols:
+                cells += ('<table:table-cell table:number-columns-repeated='
+                          f'"{trailing_empty_cols}"/>')
+            rep = ((repeat_last or {}).get(name, 1)
+                   if i == len(grid) - 1 else 1)
+            attr = (f' table:number-rows-repeated="{rep}"' if rep > 1 else "")
+            rows.append(f"<table:table-row{attr}>{cells}</table:table-row>")
+        tables.append(
+            f'<table:table table:name="{name}">' + "".join(rows)
+            + "</table:table>"
+        )
+    content = (
+        f'<office:document-content xmlns:office="{office_ns}" '
+        f'xmlns:table="{table_ns}" xmlns:text="{text_ns}">'
+        "<office:body><office:spreadsheet>"
+        + "".join(tables)
+        + "</office:spreadsheet></office:body></office:document-content>"
+    )
+    return make_zip({
+        "mimetype": "application/vnd.oasis.opendocument.spreadsheet",
+        "content.xml": content,
+    })
+
+
 def make_odt(paragraphs: list[str]) -> bytes:
     t = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
     body = "".join(f"<text:p>{p}</text:p>" for p in paragraphs)

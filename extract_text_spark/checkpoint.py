@@ -79,8 +79,13 @@ def run_extraction(
         if done is not None:
             docs = docs.join(F.broadcast(done), "bucket", "left_anti")
 
-    bucket_ids = [r["bucket"] for r in docs.select("bucket").distinct().collect()]
-    if not bucket_ids:
+    # The increment's bucket set stays a DataFrame end-to-end: at 10^5
+    # buckets a collected python list would bloat the manifest plan with a
+    # 10^5-literal IN — the manifest scopes itself with a broadcast
+    # semi-join instead. The only driver action is the cheap emptiness
+    # probe (column-pruned scan, limit 1).
+    inc_buckets = docs.select("bucket").distinct()
+    if docs.select("bucket").isEmpty():
         return {"buckets": 0, "docs": 0, "spans": 0, "bytes_in": 0,
                 "wall_ms": int((time.monotonic() - t0) * 1000)}
 
@@ -109,7 +114,7 @@ def run_extraction(
 
     written = spark.read.parquet(f"{output_dir}/data")
     manifest = (
-        written.filter(F.col("bucket").isin(bucket_ids))
+        written.join(F.broadcast(inc_buckets), "bucket", "left_semi")
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),

@@ -30,6 +30,8 @@ _P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
 _REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
 _S = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 _ODT_TEXT = "{urn:oasis:names:tc:opendocument:xmlns:text:1.0}"
+_OD_TABLE = "{urn:oasis:names:tc:opendocument:xmlns:table:1.0}"
+_OD_OFFICE = "{urn:oasis:names:tc:opendocument:xmlns:office:1.0}"
 
 
 def _rels(zf: zipfile.ZipFile, part: str) -> dict[str, str]:
@@ -193,6 +195,101 @@ def xlsx_payload_from_bytes(content: bytes) -> str:
             columns = ["" if v is None else str(v) for v in grid[0]] if grid else []
             sheets.append({"name": name, "columns": columns, "rows": grid[1:]})
     return json.dumps({"sheets": sheets})
+
+
+def _ods_cell_value(cell):
+    """One ODF cell -> python value, mirroring what pandas' odf reader
+    feeds ``pd.read_excel`` (pandas.io.excel._odfreader._get_cell_value):
+    typed attribute for float/percentage/currency/boolean, the date/time
+    attribute string for date/time, newline-joined ``text:p`` paragraphs
+    for strings. Integral floats collapse to int exactly like the xlsx
+    kernel (_cell_value above), so both spreadsheet paths csv-dump alike.
+    """
+    vt = cell.get(_OD_OFFICE + "value-type")
+    if vt in ("float", "percentage", "currency"):
+        num = float(cell.get(_OD_OFFICE + "value", "0"))
+        return int(num) if num.is_integer() else num
+    if vt == "boolean":
+        return cell.get(_OD_OFFICE + "boolean-value") == "true"
+    if vt == "date":
+        return cell.get(_OD_OFFICE + "date-value")
+    if vt == "time":
+        return cell.get(_OD_OFFICE + "time-value")
+    paras = ["".join(p.itertext()) for p in cell.findall(_ODT_TEXT + "p")]
+    text = "\n".join(paras)
+    return text if text else None
+
+
+def ods_payload_from_bytes(content: bytes) -> str:
+    """ODS bytes -> the sheet_part payload JSON (structured.extract_sheets).
+
+    The reference routes ods through the same Excel path as xlsx
+    (app/config.py:129 puts "ods" in spreadsheets;
+    app/extractors.py:475-492 = ``pd.read_excel(sheet_name=None)`` +
+    per-sheet ``[Sheet: name]`` + ``df.to_csv(index=False)``). This parses
+    content.xml table:table elements directly: number-columns-repeated /
+    number-rows-repeated expanded, covered cells hold a position, trailing
+    empty cells and rows trimmed (repeated trailing empties carry huge
+    repeat counts — 2^14 columns — that pandas also discards), first row
+    as header. Same payload as xlsx, so ODS rides E5's pinned kernel.
+    """
+    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+        root = ET.fromstring(zf.read("content.xml"))
+    sheets = []
+    for table in root.iter(_OD_TABLE + "table"):
+        name = table.get(_OD_TABLE + "name", "Sheet")
+        grid: list[list] = []
+        for tr in table.iter(_OD_TABLE + "table-row"):
+            row: list = []
+            for cell in tr:
+                if cell.tag not in (_OD_TABLE + "table-cell",
+                                    _OD_TABLE + "covered-table-cell"):
+                    continue
+                value = (None if cell.tag.endswith("covered-table-cell")
+                         else _ods_cell_value(cell))
+                repeat = int(cell.get(_OD_TABLE + "number-columns-repeated", 1))
+                if value is None:
+                    # defer trailing-empty runs: only materialized if a
+                    # non-empty cell follows (repeat counts reach 16384)
+                    row.append(("__rep__", repeat))
+                else:
+                    row = _expand_reps(row)
+                    row.extend([value] * repeat)
+            row = [v for v in row if not isinstance(v, tuple)]
+            rep_rows = int(tr.get(_OD_TABLE + "number-rows-repeated", 1))
+            if row:
+                grid.extend([list(row)] * min(rep_rows, 1048576))
+            else:
+                grid.append(("__emptyrep__", rep_rows))  # type: ignore[arg-type]
+        # materialize repeated empty rows only when later rows exist
+        out_rows: list[list] = []
+        pending_empty = 0
+        width = 0
+        for row in grid:
+            if isinstance(row, tuple):
+                pending_empty += row[1]
+                continue
+            out_rows.extend([[]] * pending_empty)
+            pending_empty = 0
+            out_rows.append(row)
+            width = max(width, len(row))
+        out_rows = [r + [None] * (width - len(r)) for r in out_rows]
+        columns = (["" if v is None else str(v) for v in out_rows[0]]
+                   if out_rows else [])
+        sheets.append({"name": name, "columns": columns,
+                       "rows": out_rows[1:]})
+    return json.dumps({"sheets": sheets})
+
+
+def _expand_reps(row: list) -> list:
+    """Materialize deferred empty-cell runs that precede a real cell."""
+    out: list = []
+    for v in row:
+        if isinstance(v, tuple):
+            out.extend([None] * v[1])
+        else:
+            out.append(v)
+    return out
 
 
 def _pptx_shape_texts(tree) -> list[str]:

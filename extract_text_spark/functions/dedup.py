@@ -289,11 +289,18 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
     cosine verification. A pair is reported iff it shares a band AND its
     exact cosine >= threshold, so reported scores are never approximate;
     recall follows the (1 - theta/pi)^r band bound.
+
+    ``dim`` is required: the hyperplanes are a function of the embedding
+    dimension, and inferring it would mean running a hidden Spark job
+    (``first()``) inside a lazy operator.
     """
     from .similarity import score_milli_col
 
     if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
+        raise ValueError(
+            "embedding_lsh_pairs requires an explicit dim= (the embedding "
+            "dimension); inferring it would run a driver-side job inside a "
+            "lazy operator")
     r = bits // bands
     planes = lsh_hyperplanes(dim, bits)
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))

@@ -54,6 +54,7 @@ from .extractors.archive import is_system_file, sanitize_archive_filename
 from .extractors.ooxml import (
     docx_payload_from_bytes,
     epub_payload_from_bytes,
+    ods_payload_from_bytes,
     odt_payload_from_bytes,
     pptx_payload_from_bytes,
     xlsx_payload_from_bytes,
@@ -114,18 +115,16 @@ _TEXT_KIND_BY_EXT = {
     "json": "json", "xml": "xml", "yaml": "yaml", "yml": "yaml", "rtf": "rtf",
 }
 _BYTE_KIND_BY_EXT = {"txt": "plain", "eml": "eml", "msg": "msg"}
-_ZIPXML_EXTS = {"docx", "xlsx", "pptx", "odt", "epub"}
+_ZIPXML_EXTS = {"docx", "xlsx", "pptx", "odt", "ods", "epub"}
 # Formats the reference parses via external binaries/libs we declared out of
-# scope (E4 DOC, E8 PPT via LibreOffice; OLE XLS, ODS) — app/extractors.py
-# dispatch at :188-221. PDF is parsed for the classic-xref/Flate subset
-# (extractors/pdfbytes.py); outside that subset it errors like these.
+# scope (E4 DOC, E8 PPT via LibreOffice; OLE XLS) — app/extractors.py
+# dispatch at :188-221. PDF is parsed for the classic-xref + xref-stream/
+# ObjStm Flate subset (extractors/pdfbytes.py); outside it errors like these.
 _UNPARSEABLE = {
     "doc": "Error processing DOC: Failed to convert DOC to DOCX",
     "ppt": "Error processing PPT: Failed to convert PPT to PPTX",
     "xls": "Error processing Excel: OLE workbook parsing not supported; "
            "convert to xlsx",
-    "ods": "Error processing Excel: ODS parsing not supported; convert to "
-           "xlsx",
 }
 SUPPORTED_EXTS = (
     ARCHIVE_EXTS | IMAGE_EXTS | SOURCE_EXTS | _ZIPXML_EXTS
@@ -454,6 +453,10 @@ def _payload_for_bytes(content: bytes, basename: str) -> tuple[str, str | None, 
             return "docx_part", docx_payload_from_bytes(content), None
         if ext == "xlsx":
             return "sheet_part", xlsx_payload_from_bytes(content), None
+        if ext == "ods":
+            # reference: ods rides the same Excel path as xlsx
+            # (app/config.py:129, app/extractors.py:213,475-492)
+            return "sheet_part", ods_payload_from_bytes(content), None
         if ext == "pptx":
             return "pptx_part", pptx_payload_from_bytes(content), None
         if ext == "odt":

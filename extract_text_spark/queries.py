@@ -729,34 +729,76 @@ MAX_HAMMING = 3
 
 
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash neighbour pairs: 4-nibble band join (exact recall for
-    hamming <= 3 by pigeonhole) + one xor/bit_count verification."""
+    """SimHash neighbour pairs at the 64-bit PRODUCTION width: 4 bands of
+    16 bits (exact recall for hamming <= 3 by pigeonhole) + one
+    xor/bit_count verification. 64-bit banding is the selective form —
+    random band collisions at ~1/65536 vs the 16-bit demo width whose
+    4-bit nibbles degenerate toward all-pairs on same-vocabulary corpora
+    (dedup_simhash keeps the 16-bit signature as the demo)."""
     d = _t(spark, sf_dir, "documents")
-    p = dedup.simhash_pairs(d, MAX_HAMMING)
+    p = dedup.simhash_pairs(d, MAX_HAMMING, bits=64)
     return p.select(
         "a_id", "b_id", "sha", "shb",
         F.col("hamming").cast("long").alias("hamming"),
     ).orderBy("a_id", "b_id")
 
 
+def _simhash64_ctes() -> str:
+    """DuckDB twin of simhash_col(bits=64): the token hash is two 32-bit
+    md5 halves combined as HUGEINT (unsigned 64-bit pattern), bit k read
+    with (h // 2^k) % 2 — division avoids engine-specific shift semantics
+    on negative values; the signed BIGINT Spark emits is recovered by an
+    explicit two's-complement wrap at the end."""
+    def balance(k):
+        return ("list_aggregate(list_transform(hs, h -> CASE WHEN "
+                f"(h // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END), 'sum')")
+
+    sig_sum = "\n           + ".join(
+        f"CASE WHEN {balance(k)} > 0 THEN {1 << k}::HUGEINT "
+        "ELSE 0::HUGEINT END"
+        for k in range(64)
+    )
+    return f"""t64 AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           x -> ('0x' || substr(md5(x), 1, 8))::BIGINT::HUGEINT * 4294967296
+                + ('0x' || substr(md5(x), 9, 8))::BIGINT::HUGEINT) AS hs
+  FROM documents
+),
+sigu AS (
+  SELECT doc_id AS id,
+         ({sig_sum}) AS u
+  FROM t64
+),
+sig64 AS (
+  SELECT id, u,
+         (CASE WHEN u >= 9223372036854775808::HUGEINT
+               THEN u - 18446744073709551616::HUGEINT
+               ELSE u END)::BIGINT AS sh
+  FROM sigu
+)"""
+
+
 DEDUP_SIMHASH_PAIRS_SQL = f"""
-WITH {_SIMHASH_CTES},
+WITH {_simhash64_ctes()},
 lng AS (
   SELECT id,
          unnest([0, 1, 2, 3]) AS band_idx,
-         unnest([sh & 15, (sh >> 4) & 15, (sh >> 8) & 15, (sh >> 12) & 15])
-           AS nibble
-  FROM sig
+         unnest([(u % 65536)::BIGINT,
+                 ((u // 65536) % 65536)::BIGINT,
+                 ((u // 4294967296) % 65536)::BIGINT,
+                 ((u // 281474976710656) % 65536)::BIGINT]) AS band_key
+  FROM sig64
 ),
 cand AS (
   SELECT DISTINCT a.id AS a_id, b.id AS b_id
   FROM lng a JOIN lng b
-    ON a.band_idx = b.band_idx AND a.nibble = b.nibble AND a.id < b.id
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
 ),
 v AS (
   SELECT c.a_id, c.b_id, sa.sh AS sha, sb.sh AS shb,
          CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
-  FROM cand c JOIN sig sa ON sa.id = c.a_id JOIN sig sb ON sb.id = c.b_id
+  FROM cand c JOIN sig64 sa ON sa.id = c.a_id JOIN sig64 sb ON sb.id = c.b_id
 )
 SELECT a_id, b_id, sha, shb, hamming FROM v
 WHERE hamming <= {MAX_HAMMING} ORDER BY a_id, b_id
@@ -1466,15 +1508,17 @@ SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
 
 
 def ext_office_bytes(spark, sf_dir):
-    """Real DOCX/XLSX/PPTX/EPUB bytes (E3/E5/E7/E19 from actual zip-of-XML
-    containers, app/extractors.py:288-552 and 1107-1167): format chosen by
-    doc_id %% 4, each wrapping the known text so extraction is closed-form."""
-    from .bytecorpus import make_docx, make_epub, make_pptx, make_xlsx
+    """Real DOCX/XLSX/PPTX/EPUB/ODS bytes (E3/E5/E7/E19 from actual
+    zip-of-XML containers, app/extractors.py:288-552, 1107-1167, and ods
+    through the Excel path at :475-492): format chosen by doc_id %% 5,
+    each wrapping the known text so extraction is closed-form."""
+    from .bytecorpus import make_docx, make_epub, make_ods, make_pptx, \
+        make_xlsx
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
-        m = doc_id % 4
+        m = doc_id % 5
         if m == 0:
             return "f.docx", make_docx([text], table=[["a", "b"]], header="Hdr")
         if m == 1:
@@ -1483,8 +1527,11 @@ def ext_office_bytes(spark, sf_dir):
         if m == 2:
             return "f.pptx", make_pptx(
                 [{"shapes": [text], "notes": ["Notes", "n " + source]}])
-        return "f.epub", make_epub({"ch1.xhtml": text},
-                                   extras={"style.css": b"p{}"})
+        if m == 3:
+            return "f.epub", make_epub({"ch1.xhtml": text},
+                                       extras={"style.css": b"p{}"})
+        return "f.ods", make_ods({"T": [["w", "id"], [source, doc_id]]},
+                                 trailing_empty_cols=16382)
 
     out = extract_from_bytes(_bytes_table(d, builder))
     return out.select(
@@ -1495,14 +1542,16 @@ def ext_office_bytes(spark, sf_dir):
 
 EXT_OFFICE_BYTES_SQL = r"""
 SELECT doc_id, 'ok' AS status, 1 AS n_spans,
-       CASE doc_id % 4
+       CASE doc_id % 5
          WHEN 0 THEN text || chr(10) || chr(10) || 'a' || chr(9) || 'b'
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hdr'
          WHEN 1 THEN '[Sheet: S1]' || chr(10) || chr(10) || 'w,id' || chr(10)
                      || source || ',' || doc_id::VARCHAR || chr(10)
          WHEN 2 THEN '[Slide 1]' || chr(10) || text || chr(10)
                      || '[Speaker Notes]' || chr(10) || 'n ' || source
-         ELSE text
+         WHEN 3 THEN text
+         ELSE '[Sheet: T]' || chr(10) || chr(10) || 'w,id' || chr(10)
+              || source || ',' || doc_id::VARCHAR || chr(10)
        END AS extracted
 FROM documents ORDER BY doc_id
 """

@@ -265,6 +265,16 @@ def test_embedding_lsh_pairs(spark):
     assert all(-1000 <= x <= 1000 for row in h1 for x in row)
 
 
+def test_embedding_lsh_pairs_requires_dim(spark):
+    """dim= is mandatory — inferring it would run a hidden driver job
+    (a first()) inside a lazy operator."""
+    import pytest
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="explicit dim"):
+        dedup.embedding_lsh_pairs(vecs, 0.9)
+
+
 def test_lang_id_multi_and_bpe_tokens(spark):
     rows = [
         ("en", "the cat and the dog is in it for you that " * 2),

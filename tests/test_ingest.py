@@ -197,6 +197,38 @@ def test_odt_bytes_paragraphs():
     assert st == "ok" and out[0]["text"] == "First\nSecond"
 
 
+def test_ods_bytes_sheets_csv_dump():
+    """ODS rides the reference's Excel path (app/config.py:129,
+    app/extractors.py:475-492): [Sheet: name] + csv dump per table, typed
+    cells, repeated/trailing-empty runs expanded/trimmed."""
+    from extract_text_spark.bytecorpus import make_ods
+    from extract_text_spark.extractors import extract_document
+    content = make_ods(
+        {"Data": [["name", "qty"], ["alpha", 3], ["beta", 2.5]],
+         "Rep": [["x"], ["dup"]]},
+        repeat_last={"Rep": 2}, trailing_empty_cols=16382)
+    status, spans = spans_from_bytes(content, "sheet.ods")
+    assert spans[0]["kind"] == "sheet_part"
+    st, out = extract_document("sheet.ods", spans)
+    assert st == "ok"
+    # mixed int/float column is float64 under pandas ("3 -> 3.0");
+    # number-rows-repeated=2 on the Rep rows expands both of them
+    assert out[0]["text"] == (
+        "[Sheet: Data]\n\nname,qty\nalpha,3.0\nbeta,2.5\n\n\n"
+        "[Sheet: Rep]\n\nx\ndup\ndup\n"
+    )
+
+
+def test_ods_bytes_bool_and_empty_cells():
+    from extract_text_spark.bytecorpus import make_ods
+    from extract_text_spark.extractors import extract_document
+    content = make_ods({"T": [["a", "b", "c"], [True, None, "end"]]})
+    st, out = extract_document(
+        "t.ods", spans_from_bytes(content, "t.ods")[1])
+    assert st == "ok"
+    assert out[0]["text"] == "[Sheet: T]\n\na,b,c\nTrue,,end\n"
+
+
 def test_epub_bytes_members_and_budget(monkeypatch):
     from extract_text_spark.extractors import extract_document
     content = make_zip({
