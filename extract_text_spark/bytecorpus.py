@@ -230,6 +230,102 @@ def make_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     return bytes(out)
 
 
+def make_pdf_modern(pages: list[list[str]]) -> bytes:
+    """Same document as ``make_pdf`` but in the modern (PDF >= 1.5) layout
+    real writers emit since ~2006: Catalog/Pages/Page dicts compressed into
+    a /Type /ObjStm object stream, a /Type /XRef cross-reference STREAM
+    (FlateDecode + PNG Up predictor, /W [1 3 1]) instead of a classic xref
+    table, and the first content stream's /Length as an indirect reference.
+    pdf_pages_from_bytes must produce identical payloads for both encodings.
+    """
+    import zlib
+    n = len(pages)
+    # object numbering: 1..n content streams, n+1 the indirect /Length,
+    # ObjStm = 2n+4, XRef stream = 2n+5; catalog/pages/page dicts n+2..2n+3
+    # live inside the ObjStm.
+    catalog_num, pages_num = n + 2, n + 3
+    page_nums = [n + 4 + i for i in range(n)]
+    objstm_num, xref_num = 2 * n + 4, 2 * n + 5
+
+    streams = []
+    for lines in pages:
+        raw = "\n".join(
+            f"BT /F1 12 Tf 72 {720 - 40 * j} Td ({_pdf_escape(line)}) Tj ET"
+            for j, line in enumerate(lines)
+        ).encode("latin-1")
+        streams.append(zlib.compress(raw))
+
+    inner: list[tuple[int, bytes]] = [
+        (catalog_num, f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode()),
+        (pages_num, ("<< /Type /Pages /Kids ["
+                     + " ".join(f"{p} 0 R" for p in page_nums)
+                     + f"] /Count {n} >>").encode()),
+    ] + [
+        (p, (f"<< /Type /Page /Parent {pages_num} 0 R "
+             f"/MediaBox [0 0 612 792] /Contents {i + 1} 0 R >>").encode())
+        for i, p in enumerate(page_nums)
+    ]
+    bodies = b" ".join(b for _, b in inner)
+    offs, pos = [], 0
+    for _, b in inner:
+        offs.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{num} {off}" for (num, _), off in zip(inner, offs))
+    header_b = (header + "\n").encode()
+    objstm_payload = zlib.compress(header_b + bodies)
+
+    out = bytearray(b"%PDF-1.5\n")
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes):
+        offsets[num] = len(out)
+        out.extend(f"{num} 0 obj\n".encode() + body + b"\nendobj\n")
+
+    for i, s in enumerate(streams, 1):
+        if i == 1:
+            head = f"<< /Length {n + 1} 0 R /Filter /FlateDecode >>"
+        else:
+            head = f"<< /Length {len(s)} /Filter /FlateDecode >>"
+        emit(i, head.encode() + b"\nstream\n" + s + b"\nendstream")
+    emit(n + 1, str(len(streams[0])).encode())
+    emit(objstm_num,
+         (f"<< /Type /ObjStm /N {len(inner)} /First {len(header_b)} "
+          f"/Length {len(objstm_payload)} /Filter /FlateDecode >>").encode()
+         + b"\nstream\n" + objstm_payload + b"\nendstream")
+
+    # xref STREAM: one row per object 0..xref_num, W=[1 3 1]
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += bytes([0]) + (0).to_bytes(3, "big") + bytes([255])
+        elif num in offsets or num == xref_num:
+            off = offsets.get(num, 0)  # xref stream's own offset patched below
+            rows += bytes([1]) + off.to_bytes(3, "big") + bytes([0])
+        else:  # compressed object: (2, objstm number, index within it)
+            idx = [q for q, _ in inner].index(num)
+            rows += bytes([2]) + objstm_num.to_bytes(3, "big") + bytes([idx])
+    xref_at = len(out)
+    rows[5 * xref_num + 1:5 * xref_num + 4] = xref_at.to_bytes(3, "big")
+    # PNG Up predictor (filter type 2) per 5-byte row
+    cols = 5
+    pred = bytearray()
+    prev = bytes(cols)
+    for r in range(0, len(rows), cols):
+        row = rows[r:r + cols]
+        pred.append(2)
+        pred += bytes((row[i] - prev[i]) & 0xFF for i in range(cols))
+        prev = row
+    xref_payload = zlib.compress(bytes(pred))
+    emit(xref_num,
+         (f"<< /Type /XRef /Size {size} /W [1 3 1] /Root {catalog_num} 0 R "
+          f"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns {cols} >> "
+          f"/Length {len(xref_payload)} >>").encode()
+         + b"\nstream\n" + xref_payload + b"\nendstream")
+    out.extend(f"startxref\n{xref_at}\n%%EOF\n".encode())
+    return bytes(out)
+
+
 def make_bmp(width: int, height: int) -> bytes:
     """Uncompressed 24-bit bottom-up BMP with deterministic pixel bytes."""
     import struct
@@ -239,6 +335,39 @@ def make_bmp(width: int, height: int) -> bytes:
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                       data_size, 2835, 2835, 0, 0)
     return header + dib + bytes(i % 251 for i in range(data_size))
+
+
+def make_png(width: int, height: int) -> bytes:
+    """Valid 8-bit grayscale PNG with real CRCs; IDAT deflate level 0
+    (stored blocks) so total size is closed-form:
+    8 + 25 + 12 + (height*(width+1) + 11) + 12 for height*(width+1) <=
+    65535. Pixel bytes deterministic."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((y * width + x) % 251 for x in range(width))
+        for y in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 0)) + chunk(b"IEND", b""))
+
+
+def make_gif(width: int, height: int, comment_len: int = 0) -> bytes:
+    """Minimal GIF89a: logical screen descriptor + optional comment
+    extension (deterministic bytes) + trailer. Size = 14 + (4 +
+    comment_len if comment_len else 0)."""
+    import struct
+    out = b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+    if comment_len:
+        out += (b"\x21\xfe" + bytes([comment_len])
+                + bytes(i % 251 for i in range(comment_len)) + b"\x00")
+    return out + b"\x3b"
 
 
 def make_wav(n_samples: int, rate: int = 8000) -> bytes:

@@ -3,18 +3,28 @@
 The reference extracts per-page text with pdfplumber
 (app/extractors.py:223-276); binary PDF parsing was a declared round-1
 scope cut. This module closes the common subset from scratch with stdlib
-only: classic xref-table PDFs whose content streams are raw or FlateDecode
-(zlib), text drawn with Tj/TJ/' operators. Each page becomes the block
-payload ``{"page_no": n, "blocks": [{"bbox": [...], "text": ...}]}`` that
+only: classic xref-table AND modern (PDF >= 1.5) xref-stream/object-stream
+files, content streams raw or FlateDecode (zlib, PNG predictors 10-15),
+text drawn with Tj/TJ/' operators. Each page becomes the block payload
+``{"page_no": n, "blocks": [{"bbox": [...], "text": ...}]}`` that
 extractors/pdf_layout.py already consumes — so real PDF bytes ride the
 pinned X-Y-cut reading-order path, the ``[Page n]`` markers, and the skew
 splitter unchanged.
 
+Object resolution is by LINEAR RECONSTRUCTION, not xref offsets: every
+top-level ``N G obj .. endobj`` is scanned (later occurrences win, which
+matches incremental-update semantics where appended generations
+supersede), then every /Type /ObjStm stream is decompressed and its
+compressed objects added — the form modern writers put the Catalog, page
+tree and font dicts in. This is the strategy of PDF repair tools (and
+pdfplumber's fallback): it reads damaged/truncated-xref files the offset
+path would reject, and never trusts an offset table that can lie.
+
 Out of subset (raises ValueError like the reference's per-file error):
-encrypted PDFs, cross-reference streams without a classic table, exotic
-filters (DCT/LZW/ASCII85), Type0 CID text. Coordinates: PDF user space is
-bottom-left y-up; block bboxes are converted to the top-left y-down space
-pdf_layout expects using the page MediaBox height.
+encrypted PDFs, exotic filters (DCT/LZW/ASCII85), Type0 CID text.
+Coordinates: PDF user space is bottom-left y-up; block bboxes are
+converted to the top-left y-down space pdf_layout expects using the page
+MediaBox height.
 """
 
 from __future__ import annotations
@@ -83,10 +93,45 @@ def _dict_part(body: bytes) -> bytes:
     return body[:s] if s != -1 else body
 
 
-def _stream_data(body: bytes) -> bytes | None:
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row filters (predictors 10-15; RFC 2083 §6): each row is
+    one filter-type byte + ``columns`` bytes, bpp=1 (PDF streams use
+    Colors=1, BitsPerComponent=8 in practice)."""
+    row_len = columns + 1
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data) - row_len + 1, row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        for i in range(columns):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ft == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ft == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ft == 3:
+                row[i] = (row[i] + (left + up) // 2) & 0xFF
+            elif ft == 4:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (
+                    up if pb <= pc else ul)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | None:
     """Slice stream payload by the declared /Length when present — a
     delimiter regex is wrong whenever compressed data itself ends in CR
-    (the optional ``\\r`` before ``\\nendstream`` would swallow it)."""
+    (the optional ``\\r`` before ``\\nendstream`` would swallow it).
+    /Length given as an indirect reference (the common form when the
+    writer streams output and backpatches) is resolved through ``objs``.
+    FlateDecode is inflated; PNG predictors (/DecodeParms /Predictor >= 10,
+    standard on xref streams) are reversed."""
     s = body.find(b"stream")
     if s == -1:
         return None
@@ -95,9 +140,18 @@ def _stream_data(body: bytes) -> bytes | None:
         start += 2
     elif body[start:start + 1] in (b"\n", b"\r"):
         start += 1
-    ln = re.search(rb"/Length\s+(\d+)", _dict_part(body))
+    head = _dict_part(body)
+    length = None
+    ln = re.search(rb"/Length\s+(\d+)(\s+\d+\s+R)?", head)
     if ln:
-        data = body[start:start + int(ln.group(1))]
+        if ln.group(2):
+            ref = (objs or {}).get(int(ln.group(1)))
+            if ref is not None:
+                length = int(ref.strip())
+        else:
+            length = int(ln.group(1))
+    if length is not None:
+        data = body[start:start + length]
     else:
         end = body.rfind(b"endstream")
         if end == -1:
@@ -107,9 +161,48 @@ def _stream_data(body: bytes) -> bytes | None:
             data = data[:-1]
         if data.endswith(b"\r"):
             data = data[:-1]
-    if b"/FlateDecode" in _dict_part(body):
+    if b"/FlateDecode" in head:
         data = zlib.decompress(data)
+        pred = re.search(rb"/Predictor\s+(\d+)", head)
+        if pred and int(pred.group(1)) >= 10:
+            cols = re.search(rb"/Columns\s+(\d+)", head)
+            data = _png_unpredict(data, int(cols.group(1)) if cols else 1)
+        elif pred and int(pred.group(1)) != 1:
+            raise ValueError(
+                f"unsupported stream predictor {int(pred.group(1))}")
     return data
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> None:
+    """Add objects stored inside /Type /ObjStm streams (PDF >= 1.5).
+
+    Modern writers compress the Catalog / page tree / resource dicts into
+    object streams; a linear top-level scan alone would find only the
+    content streams and fail at 'no /Catalog'. The stream layout (ISO
+    32000-1 §7.5.7): /N pairs of ``objnum offset`` ints, then the object
+    bodies at /First + offset. Direct top-level objects keep priority on
+    number collisions (single-generation files never collide)."""
+    for num in list(objs):
+        body = objs[num]
+        head = _dict_part(body)
+        if b"/ObjStm" not in head:
+            continue
+        data = _stream_data(body, objs)
+        if data is None:
+            continue
+        n_m = re.search(rb"/N\s+(\d+)", head)
+        first_m = re.search(rb"/First\s+(\d+)", head)
+        if not n_m or not first_m:
+            raise ValueError("object stream missing /N or /First")
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n:
+            raise ValueError("object stream header shorter than /N pairs")
+        nums = [int(x) for x in header[0:2 * n:2]]
+        offs = [int(x) for x in header[1:2 * n:2]]
+        for i, (onum, off) in enumerate(zip(nums, offs)):
+            end = first + offs[i + 1] if i + 1 < n else len(data)
+            objs.setdefault(onum, data[first + off:end])
 
 
 def _find_pages(objs: dict[int, bytes]) -> list[int]:
@@ -191,6 +284,7 @@ def pdf_pages_from_bytes(content: bytes) -> list[str]:
     if b"/Encrypt" in content:
         raise ValueError("encrypted PDF not supported")
     objs = _parse_objects(content)
+    _expand_object_streams(objs)
     payloads = []
     for page_no, num in enumerate(_find_pages(objs), 1):
         body = objs[num]
@@ -203,7 +297,7 @@ def pdf_pages_from_bytes(content: bytes) -> list[str]:
             if arr:
                 refs = [int(r.group(1)) for r in _REF_RE.finditer(arr.group(1))]
         for ref in refs:
-            data = _stream_data(objs.get(ref, b""))
+            data = _stream_data(objs.get(ref, b""), objs)
             if data:
                 blocks.extend(_content_blocks(data, page_h))
         payloads.append(json.dumps({"page_no": page_no, "blocks": blocks}))

@@ -98,6 +98,36 @@ def decode_bmp_header(payload: bytes) -> dict | None:
     return {"width": width, "height": abs(height)}
 
 
+def decode_png_header(payload: bytes) -> dict | None:
+    """PNG IHDR decode (pure struct): the first chunk after the 8-byte
+    signature is always IHDR (PNG spec §11.2.2) — width/height are the
+    two big-endian u32s at offsets 16/20. Lets the reference's OCR pixel
+    gates (app/utils.py:639-682: 150x150 min, 50 MP cap) run on real
+    dimensions for the most common web image format."""
+    import struct
+    if len(payload) < 24 or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    if payload[12:16] != b"IHDR":
+        return None
+    width, height = struct.unpack_from(">II", payload, 16)
+    if width == 0 or height == 0:
+        return None
+    return {"width": width, "height": height}
+
+
+def decode_gif_header(payload: bytes) -> dict | None:
+    """GIF Logical Screen Descriptor decode: canvas width/height are the
+    two little-endian u16s straight after the 6-byte version signature
+    (GIF89a spec §18)."""
+    import struct
+    if len(payload) < 10 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width, height = struct.unpack_from("<HH", payload, 6)
+    if width == 0 or height == 0:
+        return None
+    return {"width": width, "height": height}
+
+
 def decode_wav_header(payload: bytes) -> dict | None:
     """RIFF/WAVE chunk walk: fmt chunk -> channels/sample_rate/byte_rate,
     data chunk size -> duration_ms = data_bytes * 1000 / byte_rate."""
@@ -146,6 +176,10 @@ def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
             # Header formats with stdlib-decodable metadata are decoded for
             # real; compressed codecs stay behind the stub seam.
             hdr = (decode_bmp_header(payload) if sniffed == "image/bmp"
+                   else decode_png_header(payload)
+                   if sniffed == "image/png"
+                   else decode_gif_header(payload)
+                   if sniffed == "image/gif"
                    else decode_wav_header(payload)
                    if sniffed == "audio/wav" else None)
             if hdr is not None:

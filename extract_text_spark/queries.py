@@ -1384,10 +1384,13 @@ FROM documents ORDER BY media_ref
 
 def mm_decode_headers(spark, sf_dir):
     """Real media metadata from payload BYTES (shrinking the stub seam,
-    VERDICT r01 #9): BMP and WAV headers are stdlib-struct-decodable, so
-    width/height/sample_rate/duration come from the binary itself; other
-    payloads stay behind the documented codec stub."""
-    from .bytecorpus import make_bmp, make_wav
+    VERDICT r01 #9 and r02 #5): BMP, WAV, PNG (IHDR) and GIF (logical
+    screen descriptor) headers are stdlib-struct-decodable, so width/
+    height/sample_rate/duration come from the binary itself — the
+    reference's OCR pixel gates (app/utils.py:639-682) get real dimensions
+    for the common web formats; compressed-codec payloads stay behind the
+    documented stub."""
+    from .bytecorpus import make_bmp, make_gif, make_png, make_wav
     from .functions.multimodal import extract_media_features
     d = _t(spark, sf_dir, "documents")
 
@@ -1397,11 +1400,16 @@ def mm_decode_headers(spark, sf_dir):
             rows = []
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 doc_id = int(doc_id)
-                m = doc_id % 3
+                m = doc_id % 5
                 if m == 0:
                     payload = make_bmp((doc_id % 60) + 1, (doc_id % 40) + 1)
                 elif m == 1:
                     payload = make_wav(((doc_id % 50) + 1) * 800)
+                elif m == 3:
+                    payload = make_png((doc_id % 60) + 3, (doc_id % 40) + 2)
+                elif m == 4:
+                    payload = make_gif((doc_id % 500) + 1, (doc_id % 300) + 1,
+                                       comment_len=doc_id % 11)
                 else:
                     payload = text.encode("utf-8")
                 rows.append((f"m://{doc_id}", payload,
@@ -1419,20 +1427,29 @@ def mm_decode_headers(spark, sf_dir):
 
 MM_DECODE_SQL = """
 WITH f AS (
-  SELECT doc_id, text, doc_id % 3 AS m,
+  SELECT doc_id, text, doc_id % 5 AS m,
          (doc_id % 60) + 1 AS w, (doc_id % 40) + 1 AS h,
-         ((doc_id % 50) + 1) * 800 AS ns
+         ((doc_id % 50) + 1) * 800 AS ns,
+         (doc_id % 60) + 3 AS pw, (doc_id % 40) + 2 AS ph,
+         (doc_id % 500) + 1 AS gw, (doc_id % 300) + 1 AS gh,
+         doc_id % 11 AS cl
   FROM documents
 )
 SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
        CASE m WHEN 2 THEN 'stubbed' ELSE 'decoded' END AS status,
        CASE m WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/wav'
+              WHEN 3 THEN 'image/png' WHEN 4 THEN 'image/gif'
               ELSE 'application/octet-stream' END AS sniffed_mime,
        CASE m WHEN 0 THEN CAST(54 + h * (((3 * w + 3) // 4) * 4) AS BIGINT)
               WHEN 1 THEN CAST(44 + 2 * ns AS BIGINT)
+              WHEN 3 THEN CAST(ph * (pw + 1) + 68 AS BIGINT)
+              WHEN 4 THEN CAST(14 + CASE WHEN cl > 0 THEN 4 + cl ELSE 0 END
+                               AS BIGINT)
               ELSE length(text)::BIGINT END AS n_bytes,
-       CASE m WHEN 0 THEN w::INT END AS width,
-       CASE m WHEN 0 THEN h::INT END AS height,
+       CASE m WHEN 0 THEN w::INT WHEN 3 THEN pw::INT WHEN 4 THEN gw::INT
+              END AS width,
+       CASE m WHEN 0 THEN h::INT WHEN 3 THEN ph::INT WHEN 4 THEN gh::INT
+              END AS height,
        CASE m WHEN 1 THEN 8000::INT END AS sample_rate,
        CASE m WHEN 1 THEN (ns // 8)::BIGINT END AS duration_ms
 FROM f ORDER BY media_ref
@@ -1560,13 +1577,17 @@ FROM documents ORDER BY doc_id
 def ext_pdf_bytes(spark, sf_dir):
     """Real PDF bytes (E1 from actual FlateDecode streams): two pages per
     doc through extractors/pdfbytes.py -> pdf_page spans -> the pinned
-    X-Y-cut layout kernel with [Page n] markers."""
-    from .bytecorpus import make_pdf
+    X-Y-cut layout kernel with [Page n] markers. Odd docs use the MODERN
+    encoding (xref stream + /ObjStm-compressed page tree + indirect
+    /Length, PDF >= 1.5) of the same document — the oracle is identical,
+    so the hash gate proves classic/modern span equality."""
+    from .bytecorpus import make_pdf, make_pdf_modern
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
-        return "r.pdf", make_pdf([[text], ["End " + source]])
+        mk = make_pdf_modern if doc_id % 2 else make_pdf
+        return "r.pdf", mk([[text], ["End " + source]])
 
     out = extract_from_bytes(_bytes_table(d, builder))
     return out.select(

@@ -246,6 +246,39 @@ def test_bmp_wav_header_decode(spark):
     assert (feats["w1"]["sample_rate"], feats["w1"]["duration_ms"]) == (8000, 1000)
 
 
+def test_png_gif_header_decode(spark):
+    """PNG IHDR / GIF logical-screen-descriptor dimensions decode from the
+    bytes (pure stdlib), so the reference's OCR pixel gates
+    (app/utils.py:639-682) see real sizes for the two most common web
+    image formats. The PNG builder's stored-block IDAT keeps total size
+    closed-form for the SQL oracle."""
+    from extract_text_spark.bytecorpus import make_gif, make_png
+    from extract_text_spark.functions.multimodal import (
+        decode_gif_header, decode_png_header,
+    )
+    png = make_png(17, 9)
+    assert decode_png_header(png) == {"width": 17, "height": 9}
+    assert len(png) == 9 * 18 + 68  # h*(w+1) + 68 stored-block formula
+    assert sniff_mime(png) == "image/png"
+    assert decode_png_header(b"\x89PNG\r\n\x1a\nxxxx") is None
+    gif = make_gif(640, 480, comment_len=7)
+    assert decode_gif_header(gif) == {"width": 640, "height": 480}
+    assert len(gif) == 14 + 4 + 7
+    assert sniff_mime(gif) == "image/gif"
+    assert len(make_gif(2, 2)) == 14
+
+    rows = [("p1", png, "image/png", None, None),
+            ("g1", gif, "image/gif", None, None)]
+    df = spark.createDataFrame(
+        rows, "media_ref string, payload binary, mime string, "
+              "width int, height int")
+    feats = {r["media_ref"]: r for r in extract_media_features(df).collect()}
+    assert feats["p1"]["status"] == "decoded"
+    assert (feats["p1"]["width"], feats["p1"]["height"]) == (17, 9)
+    assert feats["g1"]["status"] == "decoded"
+    assert (feats["g1"]["width"], feats["g1"]["height"]) == (640, 480)
+
+
 def test_embedding_lsh_pairs(spark):
     """Random-hyperplane LSH: near-parallel vectors share every band and
     are verified by exact cosine; orthogonal vectors pass only if a band

@@ -6,6 +6,7 @@ OOXML XML, mirroring the reference's own archive test
 (/root/reference/tests/test_extractors.py:334-347: literal zip bytes ->
 member fan-out with text equality)."""
 
+import io
 import json
 
 import pytest
@@ -443,6 +444,137 @@ def test_pdf_stream_slicing_respects_declared_length():
     assert _stream_data(body) == payload
 
 
+class _FakeRarInfo:
+    def __init__(self, name, data):
+        self.filename, self._data, self.file_size = name, data, len(data)
+
+    def is_dir(self):
+        return self.filename.endswith("/")
+
+
+class _FakeRarFile:
+    """rarfile.RarFile API subset the walker touches (infolist/read/ctx)."""
+    def __init__(self, fileobj):
+        if fileobj.read(4) != b"Rar!":
+            raise _FakeRarError("not a rar")
+        self._entries = [
+            _FakeRarInfo("a.txt", b"rar member text"),
+            _FakeRarInfo("dir/", b""),
+            _FakeRarInfo("dir/b.md", b"# T\n\nbody"),
+        ]
+
+    def infolist(self):
+        return self._entries
+
+    def read(self, info):
+        return info._data
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeRarError(Exception):
+    pass
+
+
+def test_rar_member_walk(monkeypatch):
+    """Drives the _rar_members body (infolist walk, dir skip, lazy read)
+    through an API-faithful stand-in — the real ``rarfile`` is absent in
+    this sandbox (reference treats it as an optional dep too,
+    app/extractors.py:1813-1820), and rarfile cannot CREATE archives even
+    where installed, so a stub is the only deterministic fixture."""
+    import types
+    import extract_text_spark.ingest as ing
+    fake = types.SimpleNamespace(RarFile=_FakeRarFile, Error=_FakeRarError)
+    monkeypatch.setattr(ing, "rarfile", fake)
+    status, spans = spans_from_bytes(b"Rar!\x1a\x07\x00fakebody", "x.rar")
+    assert status is None
+    members = {json.loads(s["text"])["path"]: json.loads(s["text"])
+               for s in spans}
+    assert set(members) == {"a.txt", "dir/b.md"}
+    assert members["a.txt"]["text"] == "rar member text"
+    # invalid bytes -> the reference's per-file error
+    status, _ = spans_from_bytes(b"XXnotrar", "bad.rar")
+    assert status == "error: Error processing archive: Invalid RAR file"
+
+
+class _Fake7zEntry:
+    def __init__(self, name, size, is_directory):
+        self.filename, self.uncompressed = name, size
+        self.is_directory = is_directory
+
+
+class _Fake7zFile:
+    def __init__(self, fileobj):
+        if fileobj.read(2) != b"7z":
+            raise _FakeBad7zFile("not 7z")
+        self._blobs = {"one.txt": b"seven zip text",
+                       "sub/two.json": b'{"k": "v"}'}
+
+    def list(self):
+        return ([_Fake7zEntry(n, len(b), False)
+                 for n, b in self._blobs.items()]
+                + [_Fake7zEntry("sub", 0, True)])
+
+    def readall(self):
+        return {n: io.BytesIO(b) for n, b in self._blobs.items()}
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+class _FakeBad7zFile(Exception):
+    pass
+
+
+def test_7z_member_walk(monkeypatch):
+    import types
+    import extract_text_spark.ingest as ing
+    fake = types.SimpleNamespace(SevenZipFile=_Fake7zFile,
+                                 Bad7zFile=_FakeBad7zFile)
+    monkeypatch.setattr(ing, "py7zr", fake)
+    status, spans = spans_from_bytes(b"7z\xbc\xaf\x27\x1cfake", "x.7z")
+    assert status is None
+    members = {json.loads(s["text"])["path"]: json.loads(s["text"])
+               for s in spans}
+    assert set(members) == {"one.txt", "sub/two.json"}
+    assert members["one.txt"]["text"] == "seven zip text"
+    status, _ = spans_from_bytes(b"XX", "bad.7z")
+    assert status == "error: Error processing archive: Invalid 7Z file"
+
+
+def test_7z_real_library_round_trip():
+    """Runs only where py7zr is installed (absent in this sandbox): write a
+    real .7z, walk it through the ingest kernel."""
+    py7zr = pytest.importorskip("py7zr")
+    buf = io.BytesIO()
+    with py7zr.SevenZipFile(buf, "w") as z:
+        z.writestr(b"real seven zip", "real.txt")
+    status, spans = spans_from_bytes(buf.getvalue(), "r.7z")
+    assert status is None
+    assert json.loads(spans[0]["text"])["text"] == "real seven zip"
+
+
+def test_rar_7z_missing_library_error_parity():
+    """With the optional libs absent, byte parsing reproduces the
+    reference's optional-dependency errors (app/extractors.py:1813-1830)."""
+    import extract_text_spark.ingest as ing
+    if ing.rarfile is None:
+        status, _ = spans_from_bytes(b"Rar!\x1a\x07\x00x", "m.rar")
+        assert status == ("error: Error processing archive: RAR support "
+                          "not available. Install rarfile library.")
+    if ing.py7zr is None:
+        status, _ = spans_from_bytes(b"7z\xbc\xaf\x27\x1cx", "m.7z")
+        assert status == ("error: Error processing archive: 7Z support "
+                          "not available. Install py7zr library.")
+
+
 def test_truncated_archive_is_per_file_error_not_crash():
     """A corrupt/truncated compressed container must quarantine as a
     per-file error row — EOFError/zlib.error escaping the Arrow kernel
@@ -461,6 +593,48 @@ def test_truncated_archive_is_per_file_error_not_crash():
     status, spans = spans_from_bytes(outer, "outer.zip")
     assert status is None
     assert [json.loads(s["text"])["path"] for s in spans] == ["ok.txt"]
+
+
+def test_modern_pdf_equals_classic_pdf():
+    """The SAME document encoded as PDF 1.4 (classic xref table) and as
+    PDF 1.5 (xref STREAM + /ObjStm-compressed page tree + indirect
+    /Length) must produce identical span sequences — most post-2006 PDFs
+    use the modern layout (reference handles both via pdfplumber,
+    app/extractors.py:223-247)."""
+    from extract_text_spark.bytecorpus import make_pdf, make_pdf_modern
+    from extract_text_spark.extractors import extract_document
+    from extract_text_spark.extractors.pdfbytes import pdf_pages_from_bytes
+    pages = [["First page text", "line 2 (parens)"], ["Second pg"],
+             ["Third \\ backslash"]]
+    classic, modern = make_pdf(pages), make_pdf_modern(pages)
+    assert pdf_pages_from_bytes(classic) == pdf_pages_from_bytes(modern)
+    st_c, out_c = extract_document(
+        "c.pdf", spans_from_bytes(classic, "c.pdf")[1])
+    st_m, out_m = extract_document(
+        "m.pdf", spans_from_bytes(modern, "m.pdf")[1])
+    assert st_c == st_m == "ok"
+    assert [(s["kind"], s["text"], s["offset"]) for s in out_c] == \
+           [(s["kind"], s["text"], s["offset"]) for s in out_m]
+    assert out_c[0]["text"].startswith("[Page 1]\nFirst page text")
+
+
+def test_pdf_indirect_length_and_png_predictor():
+    from extract_text_spark.extractors.pdfbytes import (
+        _png_unpredict, _stream_data)
+    # /Length as an indirect reference resolves through the object table
+    payload = b"hello\r"
+    body = b"<< /Length 9 0 R >>\nstream\n" + payload + b"\nendstream"
+    assert _stream_data(body, {9: b" 6 "}) == payload
+    # PNG Up predictor round-trip (the xref-stream default, Predictor 12)
+    rows = [bytes([1, 0, 0, 37, 0]), bytes([1, 0, 1, 14, 0]),
+            bytes([2, 0, 9, 0, 3])]
+    enc = bytearray()
+    prev = bytes(5)
+    for row in rows:
+        enc.append(2)
+        enc += bytes((row[i] - prev[i]) & 0xFF for i in range(5))
+        prev = row
+    assert _png_unpredict(bytes(enc), 5) == b"".join(rows)
 
 
 def test_pdf_escape_edge_cases():

@@ -54,6 +54,42 @@ def test_stream_extract_incremental_files(spark, tmp_path):
     assert got.filter(F.col("doc_id").startswith("x")).count() >= 10
 
 
+def test_stream_skew_split_matches_batch_and_replays_idempotently(
+        spark, tmp_path):
+    """A whale doc in a micro-batch must be span-chunked across tasks like
+    the batch path (foreachBatch + the same splitter), produce identical
+    spans, and stay exactly-once across a re-run (per-batch dynamic
+    partition overwrite makes replays replace, not append)."""
+    from extract_text_spark.pipeline import extract_spans_df
+
+    docs = gen_corpus(60, seed=7)
+    assert any(d["doc_id"].endswith("-skew") for d in docs)
+    inp, out, ckpt = (str(tmp_path / d) for d in ["in", "out", "ckpt"])
+    df = corpus_to_df(spark, docs)
+    df.write.parquet(inp)
+
+    q = stream_extract_spans(spark, inp, out, ckpt,
+                             skew_split=True, skew_threshold=1)
+    q.awaitTermination()
+
+    def spanify(rows):
+        return {r["doc_id"]: (r["status"],
+                              [(s["kind"], s["text"], s["media_ref"],
+                                s["offset"]) for s in r["spans"]])
+                for r in rows}
+
+    got = spanify(spark.read.parquet(out).collect())
+    exp = spanify(
+        extract_spans_df(df, skew_split=True, skew_threshold=1).collect())
+    assert got == exp
+
+    n1 = spark.read.parquet(out).count()
+    q2 = stream_extract_spans(spark, inp, out, ckpt,
+                              skew_split=True, skew_threshold=1)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+
 def test_windowed_counts_match_batch(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     inp = str(tmp_path / "ev")
