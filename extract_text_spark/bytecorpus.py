@@ -326,6 +326,160 @@ def make_pdf_modern(pages: list[list[str]]) -> bytes:
     return bytes(out)
 
 
+def make_xls(sheets: dict[str, list[list]],
+             in_ministream: bool = False) -> bytes:
+    """Legacy XLS: real OLE2/CFB container + BIFF8 Workbook stream.
+
+    Strings go through a genuine SST (LABELSST cells), numbers are NUMBER
+    records, bools BOOLERR, None skipped. ``in_ministream=True`` keeps the
+    Workbook under the 4096-byte CFB cutoff so it lands in the miniFAT/
+    ministream path (how small real files are laid out); otherwise the
+    stream is padded past the cutoff into the regular FAT.
+    """
+    import struct
+
+    def rec(opcode: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", opcode, len(payload)) + payload
+
+    def bof(substream_type: int) -> bytes:
+        return rec(0x0809, struct.pack("<HHHHII", 0x0600, substream_type,
+                                       0x0DBB, 0x07CC, 0, 0x0600))
+
+    # SST: collect unique strings across all sheets
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    total_refs = 0
+    for grid in sheets.values():
+        for row in grid:
+            for v in row:
+                if isinstance(v, str):
+                    total_refs += 1
+                    if v not in index:
+                        index[v] = len(strings)
+                        strings.append(v)
+
+    sst_payload = struct.pack("<II", total_refs, len(strings))
+    for s in strings:
+        enc = s.encode("latin-1", errors="replace")
+        sst_payload += struct.pack("<HB", len(s), 0) + enc
+
+    def sheet_substream(grid: list[list]) -> bytes:
+        out = bof(0x0010)
+        for r, row in enumerate(grid):
+            for c, v in enumerate(row):
+                if v is None:
+                    continue
+                if isinstance(v, bool):
+                    out += rec(0x0205, struct.pack("<HHHBB", r, c, 0,
+                                                   int(v), 0))
+                elif isinstance(v, (int, float)):
+                    out += rec(0x0203, struct.pack("<HHHd", r, c, 0,
+                                                   float(v)))
+                else:
+                    out += rec(0x00FD, struct.pack("<HHHI", r, c, 0,
+                                                   index[str(v)]))
+        return out + rec(0x000A, b"")
+
+    subs = [sheet_substream(g) for g in sheets.values()]
+    # globals: BOF + SST + one BOUNDSHEET per sheet (offsets backpatched)
+    globals_head = bof(0x0005) + rec(0x00FC, sst_payload)
+    bs_recs = []
+    for name in sheets:
+        enc = name.encode("latin-1", errors="replace")
+        bs_recs.append(rec(0x0085, struct.pack("<IBBBB", 0, 0, 0,
+                                               len(enc), 0) + enc))
+    globals_blob = globals_head + b"".join(bs_recs) + rec(0x000A, b"")
+    offsets, pos = [], len(globals_blob)
+    for sub in subs:
+        offsets.append(pos)
+        pos += len(sub)
+    fixed = globals_head
+    for bs, off in zip(bs_recs, offsets):
+        fixed += bs[:4] + struct.pack("<I", off) + bs[8:]
+    workbook = fixed + rec(0x000A, b"") + b"".join(subs)
+    if not in_ministream and len(workbook) < 4096:
+        workbook += b"\x00" * (4096 - len(workbook))
+    return _cfb_container("Workbook", workbook)
+
+
+def _cfb_container(stream_name: str, stream: bytes) -> bytes:
+    """Wrap one stream in a v3 CFB file (512-byte sectors). Streams under
+    the 4096 cutoff go to the ministream via miniFAT, as real writers do."""
+    import struct
+    ENDOFCHAIN, FREESECT, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+
+    def dir_entry(name: str, etype: int, start: int, size: int,
+                  child: int = FREESECT) -> bytes:
+        raw = name.encode("utf-16-le")
+        return (raw + b"\x00" * (64 - len(raw))
+                + struct.pack("<HBB", len(raw) + 2, etype,
+                              1 if etype != 0 else 0)
+                + struct.pack("<III", FREESECT, FREESECT, child)
+                + b"\x00" * 16 + struct.pack("<I", 0) + b"\x00" * 16
+                + struct.pack("<IQ", start, size))
+
+    mini = len(stream) < 4096
+    sectors: list[bytes] = []
+
+    def add_sector(data: bytes) -> int:
+        sectors.append(data.ljust(512, b"\x00"))
+        return len(sectors) - 1
+
+    fat: list[int] = []
+
+    def add_chain(data: bytes) -> int:
+        n = (len(data) + 511) // 512 or 1
+        first = len(sectors) + 1  # +1: FAT sector itself is sector 0 slot
+        return n, first
+
+    # layout: sector 0 = FAT, 1 = directory, then payload sectors
+    # (ministream or the big stream), then miniFAT sector if mini.
+    body_sectors: list[bytes] = []
+    if mini:
+        ministream = stream + b"\x00" * (-len(stream) % 64)
+        n_mini = len(ministream) // 64
+        minifat = [i + 1 for i in range(n_mini)]
+        minifat[-1] = ENDOFCHAIN
+        minifat += [FREESECT] * (128 - len(minifat))
+        body = ministream
+    else:
+        body = stream
+    n_body = (len(body) + 511) // 512
+    first_body = 2
+    fat = [FATSECT, ENDOFCHAIN]  # sector 0 FAT, sector 1 directory
+    for i in range(n_body):
+        fat.append(first_body + i + 1 if i + 1 < n_body else ENDOFCHAIN)
+    minifat_sid = FREESECT
+    if mini:
+        minifat_sid = first_body + n_body
+        fat.append(ENDOFCHAIN)
+    fat += [FREESECT] * (128 - len(fat))
+
+    root = dir_entry("Root Entry", 5,
+                     first_body if mini else ENDOFCHAIN,
+                     len(body) if mini else 0, child=1)
+    entry = dir_entry(stream_name, 2,
+                      0 if mini else first_body, len(stream))
+    directory = (root + entry).ljust(512, b"\x00")
+
+    header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+              + struct.pack("<HHHHH", 0x3E, 3, 0xFFFE, 9, 6)
+              + b"\x00" * 6
+              + struct.pack("<IIIII", 0, 1, 1, 0, 4096)
+              + struct.pack("<II", minifat_sid if mini else ENDOFCHAIN,
+                            1 if mini else 0)
+              + struct.pack("<II", ENDOFCHAIN, 0)
+              + struct.pack("<I", 0)
+              + struct.pack("<108I", *([FREESECT] * 108)))
+    out = bytearray(header)
+    out += struct.pack("<128I", *fat)          # sector 0
+    out += directory                            # sector 1
+    out += body + b"\x00" * (-len(body) % 512)  # body sectors
+    if mini:
+        out += struct.pack("<128I", *minifat)   # miniFAT sector
+    return bytes(out)
+
+
 def make_bmp(width: int, height: int) -> bytes:
     """Uncompressed 24-bit bottom-up BMP with deterministic pixel bytes."""
     import struct
@@ -337,11 +491,16 @@ def make_bmp(width: int, height: int) -> bytes:
     return header + dib + bytes(i % 251 for i in range(data_size))
 
 
-def make_png(width: int, height: int) -> bytes:
-    """Valid 8-bit grayscale PNG with real CRCs; IDAT deflate level 0
-    (stored blocks) so total size is closed-form:
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def make_png(width: int, height: int, color: int = 0) -> bytes:
+    """Valid 8-bit PNG with real CRCs; IDAT deflate level 0 (stored
+    blocks) so total size is closed-form for the default grayscale:
     8 + 25 + 12 + (height*(width+1) + 11) + 12 for height*(width+1) <=
-    65535. Pixel bytes deterministic."""
+    65535. ``color`` is the IHDR color type (0 grayscale, 2 RGB, 4
+    gray+alpha — the mode PIL reports as LA, which the reference's OCR
+    mode whitelist rejects). Pixel bytes deterministic."""
     import struct
     import zlib
 
@@ -349,13 +508,50 @@ def make_png(width: int, height: int) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ch = _PNG_CHANNELS[color]
     raw = b"".join(
-        b"\x00" + bytes((y * width + x) % 251 for x in range(width))
+        b"\x00" + bytes((y * width * ch + x) % 251
+                        for x in range(width * ch))
         for y in range(height)
     )
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw, 0)) + chunk(b"IEND", b""))
+
+
+def make_jpeg(width: int, height: int, ncomp: int = 3) -> bytes:
+    """Minimal SOF0-bearing JPEG (SOI + frame header + EOI): enough for
+    magic sniff + dimension/mode decode; 14 + 3*ncomp bytes."""
+    import struct
+    sof = (b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8,
+                                     height, width, ncomp)
+           + bytes(3 * ncomp))
+    return b"\xff\xd8" + sof + b"\xff\xd9"
+
+
+def make_tiff(width: int, height: int, samples: int = 1,
+              big_endian: bool = False) -> bytes:
+    """Minimal single-IFD TIFF: ImageWidth/ImageLength/SamplesPerPixel
+    SHORT entries, no strip data; 50 bytes."""
+    import struct
+    bo = ">" if big_endian else "<"
+    head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(bo + "I", 8)
+    entries = b"".join(
+        struct.pack(bo + "HHIHH", tag, 3, 1, val, 0)
+        for tag, val in ((256, width), (257, height), (277, samples))
+    )
+    return head + struct.pack(bo + "H", 3) + entries + struct.pack(bo + "I", 0)
+
+
+def make_webp_vp8x(width: int, height: int) -> bytes:
+    """Minimal extended-format WEBP (VP8X chunk only): canvas size as
+    24-bit LE minus-one fields; 30 bytes. PIL opens these (format WEBP),
+    which the reference's OCR format whitelist rejects."""
+    import struct
+    body = (b"WEBPVP8X" + struct.pack("<I", 10) + b"\x00\x00\x00\x00"
+            + (width - 1).to_bytes(3, "little")
+            + (height - 1).to_bytes(3, "little"))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def make_gif(width: int, height: int, comment_len: int = 0) -> bytes:

@@ -23,7 +23,15 @@ from pyspark.sql.types import (
 if TYPE_CHECKING:
     import pandas as pd
 
-MAX_PIXELS = 50_000_000  # app/utils.py:660 (50 MP OCR gate)
+# Reference OCR gates: pixel cap is 50 * 1024 * 1024 (app/config.py:43-45,
+# checked in validate_image_for_ocr app/utils.py:655-663), the minimum is
+# 22500 = 150x150 (app/config.py:78-80, checked on the URL-image OCR path
+# app/extractors.py:3228-3236).
+MAX_PIXELS = 50 * 1024 * 1024
+MIN_OCR_PIXELS = 22500
+# validate_image_for_ocr whitelists (app/utils.py:666-673)
+OCR_FORMATS = ("JPEG", "PNG", "TIFF", "BMP", "GIF")
+OCR_MODES = ("L", "RGB", "RGBA", "P")
 
 MEDIA_SCHEMA = StructType([
     StructField("media_ref", StringType(), False),
@@ -95,7 +103,11 @@ def decode_bmp_header(payload: bytes) -> dict | None:
     width, height = struct.unpack_from("<ii", payload, 18)
     if width <= 0 or height == 0:
         return None
-    return {"width": width, "height": abs(height)}
+    out = {"width": width, "height": abs(height)}
+    if len(payload) >= 30:
+        (bpp,) = struct.unpack_from("<H", payload, 28)
+        out["mode"] = {1: "1", 8: "P", 24: "RGB", 32: "RGBA"}.get(bpp, "RGB")
+    return out
 
 
 def decode_png_header(payload: bytes) -> dict | None:
@@ -112,7 +124,11 @@ def decode_png_header(payload: bytes) -> dict | None:
     width, height = struct.unpack_from(">II", payload, 16)
     if width == 0 or height == 0:
         return None
-    return {"width": width, "height": height}
+    out = {"width": width, "height": height}
+    if len(payload) >= 26:
+        out["mode"] = {0: "L", 2: "RGB", 3: "P", 4: "LA",
+                       6: "RGBA"}.get(payload[25], "RGB")
+    return out
 
 
 def decode_gif_header(payload: bytes) -> dict | None:
@@ -125,7 +141,93 @@ def decode_gif_header(payload: bytes) -> dict | None:
     width, height = struct.unpack_from("<HH", payload, 6)
     if width == 0 or height == 0:
         return None
-    return {"width": width, "height": height}
+    return {"width": width, "height": height, "mode": "P"}
+
+
+def decode_jpeg_header(payload: bytes) -> dict | None:
+    """JPEG SOF scan (pure struct): walk marker segments from SOI to the
+    first SOFn frame header; height/width are big-endian u16 at offsets
+    +3/+5 inside it, the component count at +7 maps to the PIL mode the
+    reference's whitelist checks (1 -> L, 3 -> RGB, 4 -> CMYK)."""
+    import struct
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        if (0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC)
+                and pos + 9 <= len(payload)):
+            height, width = struct.unpack_from(">HH", payload, pos + 5)
+            ncomp = payload[pos + 9] if pos + 9 < len(payload) else 3
+            mode = {1: "L", 3: "RGB", 4: "CMYK"}.get(ncomp, "RGB")
+            if width == 0 or height == 0:
+                return None
+            return {"width": width, "height": height, "mode": mode}
+        pos += 2 + seg_len
+    return None
+
+
+def decode_tiff_header(payload: bytes) -> dict | None:
+    """TIFF IFD walk (pure struct): first IFD's ImageWidth (256) /
+    ImageLength (257) / SamplesPerPixel (277) tags, honouring the II/MM
+    byte order. SHORT and LONG inline values only — the forms baseline
+    TIFF writers emit."""
+    import struct
+    if len(payload) < 8:
+        return None
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        return None
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return None
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    width = height = None
+    samples = 1
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(payload):
+            break
+        tag, typ = struct.unpack_from(bo + "HH", payload, e)
+        if typ == 3:       # SHORT
+            (val,) = struct.unpack_from(bo + "H", payload, e + 8)
+        elif typ == 4:     # LONG
+            (val,) = struct.unpack_from(bo + "I", payload, e + 8)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 277:
+            samples = val
+    if not width or not height:
+        return None
+    mode = {1: "L", 3: "RGB", 4: "RGBA"}.get(samples, "RGB")
+    return {"width": width, "height": height, "mode": mode}
+
+
+def decode_webp_header(payload: bytes) -> dict | None:
+    """WEBP VP8X (extended format) canvas decode: 24-bit LE minus-one
+    width/height at offsets 24/27. PIL identifies webp, so the OCR gate
+    must reach the format-whitelist rejection, not 'cannot identify'."""
+    if (len(payload) < 30 or payload[:4] != b"RIFF"
+            or payload[8:16] != b"WEBPVP8X"):
+        return None
+    width = 1 + int.from_bytes(payload[24:27], "little")
+    height = 1 + int.from_bytes(payload[27:30], "little")
+    has_alpha = bool(payload[20] & 0x10)
+    return {"width": width, "height": height,
+            "mode": "RGBA" if has_alpha else "RGB"}
 
 
 def decode_wav_header(payload: bytes) -> dict | None:
@@ -149,6 +251,48 @@ def decode_wav_header(payload: bytes) -> dict | None:
         return None
     return {"sample_rate": rate,
             "duration_ms": data_size * 1000 // byte_rate}
+
+
+_FMT_BY_MIME = {"image/jpeg": "JPEG", "image/png": "PNG", "image/gif": "GIF",
+                "image/bmp": "BMP", "image/tiff": "TIFF",
+                "image/webp": "WEBP"}
+
+
+def ocr_gate(payload: bytes | None) -> dict:
+    """The reference's pre-OCR validation on REAL header metadata.
+
+    Mirrors validate_image_for_ocr (app/utils.py:639-682) check-for-check
+    and in ORDER: pixel cap first (50*1024*1024), then the format
+    whitelist (JPEG/PNG/TIFF/BMP/GIF), then the mode whitelist
+    (L/RGB/RGBA/P); an unreadable payload fails like PIL's open would.
+    ``min_ok`` carries the separate 150x150 (22500 px) minimum the
+    URL-image OCR path applies (app/config.py:78-80,
+    app/extractors.py:3228-3236) — there it silently skips, not errors.
+    """
+    decoders = {"JPEG": decode_jpeg_header, "PNG": decode_png_header,
+                "GIF": decode_gif_header, "BMP": decode_bmp_header,
+                "TIFF": decode_tiff_header, "WEBP": decode_webp_header}
+    out = {"eligible": False, "reason": None, "fmt": None, "mode": None,
+           "width": None, "height": None, "min_ok": False}
+    fmt = _FMT_BY_MIME.get(sniff_mime(payload) or "")
+    hdr = decoders[fmt](payload) if fmt else None
+    if hdr is None:
+        out["reason"] = "Failed to process image: cannot identify image"
+        return out
+    width, height, mode = hdr["width"], hdr["height"], hdr.get("mode", "RGB")
+    pixels = width * height
+    out.update({"fmt": fmt, "mode": mode, "width": width, "height": height,
+                "min_ok": pixels >= MIN_OCR_PIXELS})
+    if pixels > MAX_PIXELS:
+        out["reason"] = (f"Image too large: {pixels} pixels "
+                         f"(max: {MAX_PIXELS})")
+    elif fmt not in OCR_FORMATS:
+        out["reason"] = f"Unsupported image format: {fmt}"
+    elif mode not in OCR_MODES:
+        out["reason"] = f"Unsupported color mode: {mode}"
+    else:
+        out["eligible"] = True
+    return out
 
 
 def validate_media_df(df: DataFrame) -> DataFrame:

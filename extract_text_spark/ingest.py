@@ -116,20 +116,19 @@ _TEXT_KIND_BY_EXT = {
 }
 _BYTE_KIND_BY_EXT = {"txt": "plain", "eml": "eml", "msg": "msg"}
 _ZIPXML_EXTS = {"docx", "xlsx", "pptx", "odt", "ods", "epub"}
-# Formats the reference parses via external binaries/libs we declared out of
-# scope (E4 DOC, E8 PPT via LibreOffice; OLE XLS) — app/extractors.py
+# Formats the reference parses via external binaries we declared out of
+# scope (E4 DOC, E8 PPT via LibreOffice conversion) — app/extractors.py
 # dispatch at :188-221. PDF is parsed for the classic-xref + xref-stream/
-# ObjStm Flate subset (extractors/pdfbytes.py); outside it errors like these.
+# ObjStm Flate subset (extractors/pdfbytes.py), XLS for the CFB+BIFF8
+# subset (extractors/olexls.py); outside those they error like these.
 _UNPARSEABLE = {
     "doc": "Error processing DOC: Failed to convert DOC to DOCX",
     "ppt": "Error processing PPT: Failed to convert PPT to PPTX",
-    "xls": "Error processing Excel: OLE workbook parsing not supported; "
-           "convert to xlsx",
 }
 SUPPORTED_EXTS = (
     ARCHIVE_EXTS | IMAGE_EXTS | SOURCE_EXTS | _ZIPXML_EXTS
     | set(_TEXT_KIND_BY_EXT) | set(_BYTE_KIND_BY_EXT) | set(_UNPARSEABLE)
-    | {"csv", "pdf"}
+    | {"csv", "pdf", "xls"}
 )
 
 
@@ -195,9 +194,23 @@ def _zip_mime(content: bytes) -> str:
     return "application/zip"
 
 
+def _ole_mime(content: bytes) -> str:
+    """Classify an OLE2 container by its directory names, as libmagic
+    does: the D0CF11E0 magic is shared by doc/xls/ppt/msg."""
+    from .extractors.olexls import cfb_directory_names
+    names = set(cfb_directory_names(content))
+    if names & {"Workbook", "Book"}:
+        return "application/vnd.ms-excel"
+    if "PowerPoint Document" in names:
+        return "application/vnd.ms-powerpoint"
+    if any(n.startswith("__properties_version") or n.startswith("__substg")
+           for n in names):
+        return "application/vnd.ms-outlook"
+    return "application/msword"
+
+
 _BINARY_SIGS: list[tuple[bytes, str]] = [
     (b"%PDF", "application/pdf"),
-    (b"\xd0\xcf\x11\xe0", "application/msword"),
     (b"\x1f\x8b", "application/gzip"),
     (b"BZh", "application/x-bzip2"),
     (b"\xfd7zXZ\x00", "application/x-xz"),
@@ -221,6 +234,8 @@ def sniff_content_mime(content: bytes) -> str:
         return "application/x-empty"
     if content[:4] in (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08"):
         return _zip_mime(content)
+    if content.startswith(b"\xd0\xcf\x11\xe0"):
+        return _ole_mime(content)
     for sig, mime in _BINARY_SIGS:
         if content.startswith(sig):
             return mime
@@ -457,6 +472,11 @@ def _payload_for_bytes(content: bytes, basename: str) -> tuple[str, str | None, 
             # reference: ods rides the same Excel path as xlsx
             # (app/config.py:129, app/extractors.py:213,475-492)
             return "sheet_part", ods_payload_from_bytes(content), None
+        if ext == "xls":
+            # reference: xls rides pd.read_excel via xlrd
+            # (app/config.py:129, app/extractors.py:475-492)
+            from .extractors.olexls import xls_payload_from_bytes
+            return "sheet_part", xls_payload_from_bytes(content), None
         if ext == "pptx":
             return "pptx_part", pptx_payload_from_bytes(content), None
         if ext == "odt":

@@ -20,7 +20,8 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType, LongType, StringType, StructField, StructType,
+    BinaryType, BooleanType, IntegerType, LongType, StringType, StructField,
+    StructType,
 )
 from pyspark.sql.window import Window
 
@@ -1456,6 +1457,109 @@ FROM f ORDER BY media_ref
 """
 
 
+_OCR_GATE_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("eligible", BooleanType()),
+    StructField("reason", StringType()),
+    StructField("fmt", StringType()),
+    StructField("mode", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("min_ok", BooleanType()),
+])
+
+
+def mm_ocr_gates(spark, sf_dir):
+    """E2/E22 pre-OCR validation on REAL header metadata
+    (validate_image_for_ocr app/utils.py:639-682 check-for-check): the
+    50*1024*1024 pixel cap, the JPEG/PNG/TIFF/BMP/GIF format whitelist,
+    the L/RGB/RGBA/P mode whitelist, plus the URL-path 150x150 minimum
+    (app/config.py:78-80) as min_ok. Dimensions and modes come from
+    from-scratch JPEG SOF / TIFF IFD / PNG IHDR / GIF LSD / WEBP VP8X
+    header decodes — only the Tesseract call itself stays external."""
+    from .bytecorpus import (make_gif, make_jpeg, make_png, make_tiff,
+                             make_webp_vp8x)
+    from .functions.multimodal import ocr_gate
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                m = doc_id % 8
+                if m == 0:
+                    payload = make_jpeg((doc_id % 400) + 100,
+                                        (doc_id % 250) + 50)
+                elif m == 1:
+                    payload = make_tiff((doc_id % 300) + 10,
+                                        (doc_id % 200) + 10,
+                                        samples=3 if doc_id % 2 else 1)
+                elif m == 2:
+                    payload = make_png((doc_id % 50) + 3, (doc_id % 30) + 2)
+                elif m == 3:
+                    payload = make_png(20, 10, color=4)        # LA mode
+                elif m == 4:
+                    payload = make_gif(65000, (doc_id % 300) + 900)  # > cap
+                elif m == 5:
+                    payload = make_webp_vp8x(640, 480)
+                elif m == 6:
+                    payload = make_jpeg(300, 200, ncomp=4)     # CMYK
+                else:
+                    payload = text.encode("utf-8")
+                g = ocr_gate(payload)
+                rows.append((f"m://{doc_id}", g["eligible"], g["reason"],
+                             g["fmt"], g["mode"], g["width"], g["height"],
+                             g["min_ok"]))
+            yield pd.DataFrame(rows, columns=[
+                f.name for f in _OCR_GATE_SCHEMA.fields])
+
+    return d.select("doc_id", "text").mapInPandas(
+        kernel, schema=_OCR_GATE_SCHEMA).orderBy("media_ref")
+
+
+MM_OCR_GATES_SQL = """
+WITH f AS (
+  SELECT doc_id, doc_id % 8 AS m,
+         (doc_id % 400) + 100 AS jw, (doc_id % 250) + 50 AS jh,
+         (doc_id % 300) + 10 AS tw, (doc_id % 200) + 10 AS th,
+         (doc_id % 50) + 3 AS pw, (doc_id % 30) + 2 AS ph,
+         (doc_id % 300) + 900 AS gh
+  FROM documents
+),
+g AS (
+  SELECT doc_id, m,
+         CASE m WHEN 0 THEN 'JPEG' WHEN 1 THEN 'TIFF' WHEN 2 THEN 'PNG'
+                WHEN 3 THEN 'PNG' WHEN 4 THEN 'GIF' WHEN 5 THEN 'WEBP'
+                WHEN 6 THEN 'JPEG' END AS fmt,
+         CASE m WHEN 0 THEN 'RGB'
+                WHEN 1 THEN CASE WHEN doc_id % 2 = 1 THEN 'RGB' ELSE 'L' END
+                WHEN 2 THEN 'L' WHEN 3 THEN 'LA' WHEN 4 THEN 'P'
+                WHEN 5 THEN 'RGB' WHEN 6 THEN 'CMYK' END AS mode,
+         CASE m WHEN 0 THEN jw WHEN 1 THEN tw WHEN 2 THEN pw WHEN 3 THEN 20
+                WHEN 4 THEN 65000 WHEN 5 THEN 640 WHEN 6 THEN 300
+                END::INT AS width,
+         CASE m WHEN 0 THEN jh WHEN 1 THEN th WHEN 2 THEN ph WHEN 3 THEN 10
+                WHEN 4 THEN gh WHEN 5 THEN 480 WHEN 6 THEN 200
+                END::INT AS height
+  FROM f
+)
+SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
+       (m IN (0, 1, 2)) AS eligible,
+       CASE WHEN m = 4 THEN 'Image too large: ' || (65000 * gh.height)::VARCHAR
+                            || ' pixels (max: 52428800)'
+            WHEN m = 5 THEN 'Unsupported image format: WEBP'
+            WHEN m = 3 THEN 'Unsupported color mode: LA'
+            WHEN m = 6 THEN 'Unsupported color mode: CMYK'
+            WHEN m = 7 THEN 'Failed to process image: cannot identify image'
+       END AS reason,
+       gh.fmt AS fmt, gh.mode AS mode, gh.width AS width, gh.height AS height,
+       coalesce(gh.width::BIGINT * gh.height >= 22500, false) AS min_ok
+FROM g gh ORDER BY media_ref
+"""
+
+
 # ---------------------------------------------------------------------------
 # Byte ingestion: REAL container bytes through the full pipeline
 # (ingest kernel -> JVM fan-out -> extraction kernel), closed-form oracles
@@ -1525,17 +1629,19 @@ SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
 
 
 def ext_office_bytes(spark, sf_dir):
-    """Real DOCX/XLSX/PPTX/EPUB/ODS bytes (E3/E5/E7/E19 from actual
-    zip-of-XML containers, app/extractors.py:288-552, 1107-1167, and ods
-    through the Excel path at :475-492): format chosen by doc_id %% 5,
-    each wrapping the known text so extraction is closed-form."""
+    """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS bytes (E3/E5/E7/E19 from actual
+    zip-of-XML containers, app/extractors.py:288-552, 1107-1167; ods and
+    legacy OLE xls through the Excel path at :475-492): format chosen by
+    doc_id %% 6, each wrapping the known text so extraction is
+    closed-form. Legacy xls alternates the regular-FAT and ministream CFB
+    layouts by doc_id parity."""
     from .bytecorpus import make_docx, make_epub, make_ods, make_pptx, \
-        make_xlsx
+        make_xls, make_xlsx
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
-        m = doc_id % 5
+        m = doc_id % 6
         if m == 0:
             return "f.docx", make_docx([text], table=[["a", "b"]], header="Hdr")
         if m == 1:
@@ -1547,8 +1653,11 @@ def ext_office_bytes(spark, sf_dir):
         if m == 3:
             return "f.epub", make_epub({"ch1.xhtml": text},
                                        extras={"style.css": b"p{}"})
-        return "f.ods", make_ods({"T": [["w", "id"], [source, doc_id]]},
-                                 trailing_empty_cols=16382)
+        if m == 4:
+            return "f.ods", make_ods({"T": [["w", "id"], [source, doc_id]]},
+                                     trailing_empty_cols=16382)
+        return "f.xls", make_xls({"T": [["w", "id"], [source, doc_id]]},
+                                 in_ministream=bool(doc_id % 2))
 
     out = extract_from_bytes(_bytes_table(d, builder))
     return out.select(
@@ -1559,7 +1668,7 @@ def ext_office_bytes(spark, sf_dir):
 
 EXT_OFFICE_BYTES_SQL = r"""
 SELECT doc_id, 'ok' AS status, 1 AS n_spans,
-       CASE doc_id % 5
+       CASE doc_id % 6
          WHEN 0 THEN text || chr(10) || chr(10) || 'a' || chr(9) || 'b'
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hdr'
          WHEN 1 THEN '[Sheet: S1]' || chr(10) || chr(10) || 'w,id' || chr(10)
@@ -1749,6 +1858,7 @@ QUERIES = {
     "ext_html_strip": ext_html_strip,
     "mm_media_features": mm_media_features,
     "mm_decode_headers": mm_decode_headers,
+    "mm_ocr_gates": mm_ocr_gates,
     "ext_zip_fanout": ext_zip_fanout,
     "ext_office_bytes": ext_office_bytes,
     "ext_pdf_bytes": ext_pdf_bytes,
@@ -1791,6 +1901,7 @@ ORACLES = {
     "ext_html_strip": EXT_HTML_STRIP_SQL,
     "mm_media_features": MM_MEDIA_SQL,
     "mm_decode_headers": MM_DECODE_SQL,
+    "mm_ocr_gates": MM_OCR_GATES_SQL,
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
     "ext_pdf_bytes": EXT_PDF_BYTES_SQL,

@@ -225,7 +225,8 @@ def test_bmp_wav_header_decode(spark):
     from extract_text_spark.functions.multimodal import (
         decode_bmp_header, decode_wav_header,
     )
-    assert decode_bmp_header(make_bmp(17, 9)) == {"width": 17, "height": 9}
+    assert decode_bmp_header(make_bmp(17, 9)) == {"width": 17, "height": 9,
+                                                  "mode": "RGB"}
     assert decode_bmp_header(b"BMshort") is None
     wav = make_wav(8000, rate=8000)  # 1 s mono 16-bit
     assert decode_wav_header(wav) == {"sample_rate": 8000,
@@ -257,12 +258,13 @@ def test_png_gif_header_decode(spark):
         decode_gif_header, decode_png_header,
     )
     png = make_png(17, 9)
-    assert decode_png_header(png) == {"width": 17, "height": 9}
+    assert decode_png_header(png) == {"width": 17, "height": 9, "mode": "L"}
     assert len(png) == 9 * 18 + 68  # h*(w+1) + 68 stored-block formula
     assert sniff_mime(png) == "image/png"
     assert decode_png_header(b"\x89PNG\r\n\x1a\nxxxx") is None
     gif = make_gif(640, 480, comment_len=7)
-    assert decode_gif_header(gif) == {"width": 640, "height": 480}
+    assert decode_gif_header(gif) == {"width": 640, "height": 480,
+                                      "mode": "P"}
     assert len(gif) == 14 + 4 + 7
     assert sniff_mime(gif) == "image/gif"
     assert len(make_gif(2, 2)) == 14
@@ -277,6 +279,42 @@ def test_png_gif_header_decode(spark):
     assert (feats["p1"]["width"], feats["p1"]["height"]) == (17, 9)
     assert feats["g1"]["status"] == "decoded"
     assert (feats["g1"]["width"], feats["g1"]["height"]) == (640, 480)
+
+
+def test_ocr_gate_mirrors_reference_validation():
+    """validate_image_for_ocr (app/utils.py:639-682) check-for-check on
+    real header decodes: pixel cap BEFORE format check BEFORE mode check;
+    the 150x150 minimum (app/config.py:78-80) rides separately as min_ok
+    because the reference's URL path skips, not errors, on it."""
+    from extract_text_spark.bytecorpus import (
+        make_gif, make_jpeg, make_png, make_tiff, make_webp_vp8x)
+    from extract_text_spark.functions.multimodal import ocr_gate
+
+    ok = ocr_gate(make_jpeg(300, 200))
+    assert ok["eligible"] and ok["min_ok"] and ok["mode"] == "RGB"
+    small = ocr_gate(make_jpeg(100, 100))
+    assert small["eligible"] and not small["min_ok"]
+    assert ocr_gate(make_jpeg(150, 150))["min_ok"]  # 22500 inclusive
+    big = ocr_gate(make_gif(65000, 1000))
+    assert not big["eligible"]
+    assert big["reason"] == ("Image too large: 65000000 pixels "
+                             "(max: 52428800)")
+    assert ocr_gate(make_webp_vp8x(640, 480))["reason"] == \
+        "Unsupported image format: WEBP"
+    assert ocr_gate(make_png(20, 10, color=4))["reason"] == \
+        "Unsupported color mode: LA"
+    assert ocr_gate(make_jpeg(300, 200, ncomp=4))["reason"] == \
+        "Unsupported color mode: CMYK"
+    assert ocr_gate(b"not an image")["reason"] == \
+        "Failed to process image: cannot identify image"
+    # size-vs-format precedence: an oversized CMYK jpeg reports TOO LARGE
+    # (the reference checks resolution first)
+    both = ocr_gate(make_jpeg(60000, 1000, ncomp=4))
+    assert both["reason"].startswith("Image too large")
+    # TIFF both byte orders
+    assert ocr_gate(make_tiff(400, 300))["mode"] == "L"
+    assert ocr_gate(make_tiff(400, 300, samples=3,
+                              big_endian=True))["mode"] == "RGB"
 
 
 def test_embedding_lsh_pairs(spark):

@@ -230,6 +230,103 @@ def test_ods_bytes_bool_and_empty_cells():
     assert out[0]["text"] == "[Sheet: T]\n\na,b,c\nTrue,,end\n"
 
 
+def test_xls_bytes_sheets_csv_dump():
+    """Legacy XLS parses from real OLE2/CFB + BIFF8 bytes (the reference
+    reads it via pd.read_excel/xlrd, app/extractors.py:475-492) — both
+    the regular-FAT layout and the under-4096-byte ministream layout real
+    writers use for small files."""
+    from extract_text_spark.bytecorpus import make_xls
+    from extract_text_spark.extractors import extract_document
+    for mini in (False, True):
+        content = make_xls(
+            {"Data": [["name", "qty"], ["alpha", 3], ["beta", 2.5]],
+             "Flags": [["ok"], [True]]},
+            in_ministream=mini)
+        status, spans = spans_from_bytes(content, "legacy.xls")
+        assert spans[0]["kind"] == "sheet_part"
+        st, out = extract_document("legacy.xls", spans)
+        assert st == "ok"
+        assert out[0]["text"] == (
+            "[Sheet: Data]\n\nname,qty\nalpha,3.0\nbeta,2.5\n\n\n"
+            "[Sheet: Flags]\n\nok\nTrue\n"
+        )
+
+
+def test_xls_rk_mulrk_label_and_continue_records():
+    """BIFF8 record types my fixture writer doesn't emit, decoded from
+    hand-built records: RK (both int and float encodings, x100 flag),
+    MULRK runs, inline LABEL strings, and an SST spilling into a CONTINUE
+    record with a fresh options byte (MS-XLS 2.5.293)."""
+    import struct
+    from extract_text_spark.extractors.olexls import (
+        _parse_sst, _rk_value, xls_payload_from_bytes)
+    from extract_text_spark.bytecorpus import _cfb_container
+
+    assert _rk_value((40 << 2) | 2) == 40
+    assert _rk_value(((-7 & 0x3FFFFFFF) << 2) | 2) == -7
+    assert _rk_value((4025 << 2) | 2 | 1) == 40.25     # int/100
+    (enc,) = struct.unpack("<Q", struct.pack("<d", 2.5))
+    assert _rk_value((enc >> 32) & ~0x3) == 2.5        # float high bits
+
+    # SST with one string straddling a CONTINUE boundary: 'helloworld'
+    # split as compressed 'hello' + spill starting with grbit=0 'world'
+    p1 = struct.pack("<II", 1, 1) + struct.pack("<HB", 10, 0) + b"hello"
+    p2 = b"\x00world"
+    assert _parse_sst([p1, p2]) == ["helloworld"]
+    # ...and a spill that switches to UTF-16 mid-string
+    p2w = b"\x01" + "world".encode("utf-16-le")
+    assert _parse_sst([p1, p2w]) == ["helloworld"]
+
+    def rec(opcode, payload):
+        return struct.pack("<HH", opcode, len(payload)) + payload
+
+    bof_g = rec(0x0809, struct.pack("<HHHHII", 0x600, 0x05, 0, 0, 0, 0))
+    bof_s = rec(0x0809, struct.pack("<HHHHII", 0x600, 0x10, 0, 0, 0, 0))
+    sheet = (bof_s
+             + rec(0x027E, struct.pack("<HHHI", 0, 0, 0, (7 << 2) | 2))
+             + rec(0x00BD, struct.pack("<HH", 1, 0)
+                   + struct.pack("<HI", 0, (1 << 2) | 2)
+                   + struct.pack("<HI", 0, (2 << 2) | 2)
+                   + struct.pack("<H", 1))
+             + rec(0x0204, struct.pack("<HHH", 2, 0, 0)
+                   + struct.pack("<HB", 3, 0) + b"lbl")
+             + rec(0x000A, b""))
+    bs = rec(0x0085, struct.pack("<IBBBB", 0, 0, 0, 1, 0) + b"S")
+    glob = bof_g + bs + rec(0x000A, b"")
+    glob = (bof_g + rec(0x0085, struct.pack("<IBBBB", len(glob), 0, 0, 1, 0)
+                        + b"S") + rec(0x000A, b""))
+    wb = glob + sheet
+    payload = xls_payload_from_bytes(_cfb_container("Workbook", wb))
+    import json as _json
+    sheets = _json.loads(payload)["sheets"]
+    assert sheets[0]["name"] == "S"
+    assert sheets[0]["columns"] == ["7", ""]
+    assert sheets[0]["rows"] == [[1, 2], ["lbl", None]]
+
+
+def test_xls_encrypted_and_sniffer_disambiguation():
+    import struct
+    from extract_text_spark.bytecorpus import _cfb_container, make_xls
+    from extract_text_spark.extractors.olexls import xls_payload_from_bytes
+
+    def rec(opcode, payload):
+        return struct.pack("<HH", opcode, len(payload)) + payload
+
+    wb = (rec(0x0809, struct.pack("<HHHHII", 0x600, 0x05, 0, 0, 0, 0))
+          + rec(0x002F, b"\x01\x00") + rec(0x000A, b""))
+    with pytest.raises(ValueError, match="encrypted"):
+        xls_payload_from_bytes(_cfb_container("Workbook", wb))
+
+    # OLE sniffing by directory names, like libmagic
+    xls = make_xls({"S": [["a"]]})
+    assert sniff_content_mime(xls) == "application/vnd.ms-excel"
+    doc = _cfb_container("WordDocument", b"\x00" * 16)
+    assert sniff_content_mime(doc) == "application/msword"
+    # validate gate now passes a real xls named .xls
+    ok, err = validate_file_type(xls, "book.xls")
+    assert ok, err
+
+
 def test_epub_bytes_members_and_budget(monkeypatch):
     from extract_text_spark.extractors import extract_document
     content = make_zip({

@@ -62,8 +62,10 @@ def test_stream_skew_split_matches_batch_and_replays_idempotently(
     partition overwrite makes replays replace, not append)."""
     from extract_text_spark.pipeline import extract_spans_df
 
-    docs = gen_corpus(60, seed=7)
-    assert any(d["doc_id"].endswith("-skew") for d in docs)
+    whales = [d for d in gen_corpus(400, seed=7)
+              if d["doc_id"].endswith("-skew")]
+    assert whales, "corpus must contain a skew doc"
+    docs = whales + gen_corpus(30, seed=11)
     inp, out, ckpt = (str(tmp_path / d) for d in ["in", "out", "ckpt"])
     df = corpus_to_df(spark, docs)
     df.write.parquet(inp)

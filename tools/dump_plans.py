@@ -122,6 +122,16 @@ def main():
          r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
     ])
 
+    sp = QUERIES["dedup_simhash_pairs"](spark, SF)
+    add("dedup_simhash_pairs — 64-bit banded join (production width)", sp, [
+        ("band self-join is an equi hash join, not cartesian",
+         r"^(?!.*CartesianProduct)"),
+        ("signatures computed JVM-side (no Python anywhere)",
+         r"^(?!.*EvalPython)"),
+        ("hamming verification joins signatures back by id",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+    ])
+
     from extract_text_spark.ingest import ingest_bytes_df
     from extract_text_spark.queries import _bytes_table
     byt = _bytes_table(

@@ -5,17 +5,28 @@ local cores in *separate JVMs* (fresh SparkSession each — no warm-cache
 bleed), reports docs/sec at both and efficiency = (T_N / T_4N) / 4, and
 writes BENCH/BASELINE.md. Target: efficiency >= 0.8.
 
-Usage: python tools/scaling_run.py [n_docs] [N] [4N]
+Measurement protocol (round-3 hardening — the r02 single-pair number had a
+0.785-0.964 band under host load): MEDIAN OF 5 PAIRED TRIALS, each leg
+best-of-2 inside its JVM after a warmup pass, each leg gated on
+1-minute loadavg < threshold (sleep-wait) and its loadavg recorded next to
+its wall time so noisy legs are visible in the table rather than silently
+polluting the headline.
+
+Usage: python tools/scaling_run.py [n_docs] [N] [4N] [pairs]
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOAD_THRESHOLD = 1.5
+LOAD_WAIT_CAP_S = 900
 
 _CHILD = r"""
 import json, sys, time
@@ -44,13 +55,26 @@ spark.stop()
 """
 
 
+def wait_for_quiet() -> float:
+    """Sleep until 1-min loadavg drops under threshold (capped), then
+    return the loadavg the leg actually started at."""
+    t0 = time.time()
+    while (os.getloadavg()[0] > LOAD_THRESHOLD
+           and time.time() - t0 < LOAD_WAIT_CAP_S):
+        time.sleep(15)
+    return round(os.getloadavg()[0], 2)
+
+
 def run_child(cpus: int, n_docs: int) -> dict:
+    load = wait_for_quiet()
     code = _CHILD.format(repo=REPO, cpus=cpus, n_docs=n_docs)
     out = subprocess.run([sys.executable, "-c", code], capture_output=True,
                          text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            res = json.loads(line[len("RESULT "):])
+            res["loadavg"] = load
+            return res
     raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n"
                        f"{out.stderr[-4000:]}")
 
@@ -59,12 +83,34 @@ def main():
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_big = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    ratio = n_big / n_small
 
-    small = run_child(n_small, n_docs)
-    big = run_child(n_big, n_docs)
-    eff = (small["seconds"] / big["seconds"]) / (n_big / n_small)
+    trials = []
+    for i in range(pairs):
+        small = run_child(n_small, n_docs)
+        big = run_child(n_big, n_docs)
+        eff = (small["seconds"] / big["seconds"]) / ratio
+        trials.append({"small": small, "big": big, "eff": eff})
+        print(f"pair {i + 1}/{pairs}: "
+              f"T_{n_small}={small['seconds']:.2f}s (load {small['loadavg']}) "
+              f"T_{n_big}={big['seconds']:.2f}s (load {big['loadavg']}) "
+              f"eff={eff:.3f}", flush=True)
+
+    effs = sorted(t["eff"] for t in trials)
+    med_eff = statistics.median(effs)
+    # median trial (by efficiency) supplies the headline wall numbers
+    med_trial = min(trials, key=lambda t: abs(t["eff"] - med_eff))
+    small, big = med_trial["small"], med_trial["big"]
     tps_small = small["docs"] / small["seconds"]
     tps_big = big["docs"] / big["seconds"]
+
+    trial_rows = "\n".join(
+        f"| {i + 1} | {t['small']['seconds']:.2f} | {t['small']['loadavg']} "
+        f"| {t['big']['seconds']:.2f} | {t['big']['loadavg']} "
+        f"| {t['eff']:.3f} |"
+        for i, t in enumerate(trials)
+    )
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — extraction throughput + scaling evidence
@@ -74,14 +120,27 @@ Identical job (seeded interleaved span corpus, {n_docs} input docs ->
 levels in separate JVMs ({n_small} and {n_big} local cores — the sandbox
 substitution for N and 4N executors; see BASELINE.md).
 
+**Protocol:** median of {pairs} paired trials; each leg is best-of-2
+inside a fresh JVM after one warmup pass, starts only when 1-min loadavg
+< {LOAD_THRESHOLD} (sleep-wait, capped), and records the loadavg it
+started at. The sandbox host is oversubscribed, so a single pair can be
+polluted by invisible co-tenants — the median over pairs is the
+reproducible statistic, and the per-leg loadavg column shows whether any
+outlier leg was load, not engine.
+
+| pair | T_{n_small} (s) | load | T_{n_big} (s) | load | efficiency |
+|---|---|---|---|---|---|
+{trial_rows}
+
+Headline (median pair):
+
 | cores | wall (s) | docs/sec |
 |---|---|---|
 | {n_small} (N) | {small['seconds']:.2f} | {tps_small:.1f} |
 | {n_big} (4N) | {big['seconds']:.2f} | {tps_big:.1f} |
 
-**Scaling efficiency** = (T_N / T_4N) / ({n_big}/{n_small})
-= ({small['seconds']:.2f} / {big['seconds']:.2f}) / {n_big // n_small}
-= **{eff:.3f}** (target >= 0.8)
+**Scaling efficiency (median of {pairs})** = (T_N / T_4N) / {ratio:.0f}
+= **{med_eff:.3f}** (target >= 0.8; band {effs[0]:.3f}-{effs[-1]:.3f})
 
 Reference baseline context: the reference publishes no docs/sec figures
 (BASELINE.md); its envelope is a 4-thread pool with <5 s per simple file.
@@ -113,10 +172,13 @@ uniform hashes, and the skew splitter bounds the largest single task.
 | MinHash: affine 2-hash family + id-only band shuffle | 16x fewer md5 digests; shingle arrays never ride the band join |
 | Arrow 2048 rows + 32 MB maxBytesPerBatch | cold kernel stage 19s -> 8s |
 | steady-state measurement (warm Python workers) | excludes one-time fork+import storms from docs/sec |
+| median-of-{pairs} paired trials with loadavg gating/recording | headline efficiency reproducible on an oversubscribed host |
 """
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as fh:
         fh.write(md)
-    print(json.dumps({"efficiency": round(eff, 3),
+    print(json.dumps({"efficiency_median": round(med_eff, 3),
+                      "efficiency_band": [round(effs[0], 3),
+                                          round(effs[-1], 3)],
                       "docs_per_sec_N": round(tps_small, 1),
                       "docs_per_sec_4N": round(tps_big, 1)}))
 
