@@ -74,7 +74,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "extract_flagship", "q1_pricing_summary", "q3_top_orders",
         "events_sessions", "ta_quality", "dedup_minhash_lsh",
         "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
-        "ext_zip_fanout", "sim_ann_kmeans",
+        "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
     ]
     # Best-of-2 per query: this host is oversubscribed (CLAUDE.md), and a
     # cold first run folds Python-worker forks + codegen into one query's

@@ -362,8 +362,13 @@ def simhash_pairs(df: DataFrame, max_hamming: int = 3,
     uses bits=64 (band width 16), same pigeonhole bound with random band
     collisions at ~1/65536 per band.
     """
+    from pyspark.storagelevel import StorageLevel
+    # the signature table feeds the band join AND both verification sides;
+    # without persist the md5 signature work runs 3x (same rationale as
+    # _shingled)
     s = df.select(F.col(id_col).alias("id"),
-                  simhash_col(text_col, bits).alias("sh"))
+                  simhash_col(text_col, bits).alias("sh")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = 4
     width = bits // n_bands
     bands_long = s.select(
@@ -399,7 +404,14 @@ def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
     (a Python-side ``1 << 63`` literal would overflow py4j's long), and
     the token hash takes ceil(bits/4) hex chars of the md5 — bit 63 lands
     in the BIGINT sign position, which is fine for the equality/xor/
-    bit_count uses signatures have."""
+    bit_count uses signatures have.
+
+    SINGLE PASS over the token hashes: the bit balances accumulate in one
+    ``aggregate`` with an array accumulator (zip_with add). The naive
+    per-bit form inlines the md5 token-hash expression once per bit —
+    Catalyst does not CSE inside higher-order lambdas — so at 64 bits it
+    digests every token 64 times (39.7s -> 5.5s at sf0.1 for the pairs
+    query when switched to this form)."""
     if bits <= 16:
         # oracle-pinned form: one 4-hex-char prefix per token
         def tok_hash(t):
@@ -413,17 +425,28 @@ def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
             lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
             return F.shiftleft(hi, 32).bitwiseOR(lo)
     hashes = F.transform(F.array_distinct(tokens_col(text)), tok_hash)
-    def bit_term(kbit: int) -> Column:
-        balance = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, kbit).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-            ).otherwise(F.lit(-1)),
-        )
-        return F.when(balance > 0,
-                      F.shiftleft(F.lit(1).cast("long"), kbit)) \
-            .otherwise(F.lit(0).cast("long"))
-    out = F.lit(0).cast("long")
-    for kbit in range(bits):
-        out = out + bit_term(kbit)
-    return out.cast("long")
+    ks = F.sequence(F.lit(0), F.lit(bits - 1))
+    # shiftright/shiftleft by a COLUMN shift amount: the Python helpers
+    # only take int literals, the SQL functions take expressions
+    balance = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(ks, lambda k: F.when(
+                F.call_function("shiftright", h, k)
+                .bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1))),
+            lambda a, b: a + b,
+        ),
+    )
+    weights = F.transform(
+        ks, lambda k: F.call_function("shiftleft", F.lit(1).cast("long"), k))
+    return F.aggregate(
+        F.zip_with(
+            balance, weights,
+            lambda b, w: F.when(b > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("long")
