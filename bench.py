@@ -59,8 +59,11 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         F.aggregate("spans", F.lit(0).cast("long"),
                     lambda a, s: a + F.coalesce(F.length(s.text), F.lit(0)))
         .alias("b")).agg(F.sum("b")).collect()[0][0]
+    # Best-of-3 for the headline number: co-tenant load on this host can
+    # triple a single run (observed 6.9s-20s for identical work); the min
+    # is the engine, the rest is the neighbours.
     dt, n_out = None, 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.monotonic()
         n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
         run = time.monotonic() - t0

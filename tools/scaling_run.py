@@ -25,8 +25,8 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOAD_THRESHOLD = 1.5
-LOAD_WAIT_CAP_S = 900
+LOAD_THRESHOLD = float(os.getenv("SCALE_LOAD_THRESHOLD", "2.0"))
+LOAD_WAIT_CAP_S = int(os.getenv("SCALE_LOAD_WAIT_CAP_S", "240"))
 
 _CHILD = r"""
 import json, sys, time
