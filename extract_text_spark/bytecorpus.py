@@ -402,82 +402,223 @@ def make_xls(sheets: dict[str, list[list]],
     return _cfb_container("Workbook", workbook)
 
 
-def _cfb_container(stream_name: str, stream: bytes) -> bytes:
-    """Wrap one stream in a v3 CFB file (512-byte sectors). Streams under
-    the 4096 cutoff go to the ministream via miniFAT, as real writers do."""
+def make_doc(paragraphs: list[str], extra_text: str = "",
+             which_table: int = 1, encrypted: bool = False) -> bytes:
+    """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
+    piece table. The text is split into a cp1252 ``fCompressed`` piece and
+    a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
+    cp range past ccpText (footnote/header territory) and must not be
+    extracted. A dummy Prc chunk precedes the Pcdt to exercise Clx
+    skipping."""
+    import struct
+    text = ("\r".join(paragraphs) + "\r") if paragraphs else "\r"
+    full = text + extra_text
+    # split as close to the midpoint as cp1252-encodability allows
+    split = 0
+    for i in range(len(full) // 2, -1, -1):
+        try:
+            full[:i].encode("cp1252")
+            split = i
+            break
+        except UnicodeEncodeError:
+            continue
+    p1, p2 = full[:split], full[split:]
+
+    wd = bytearray(0x600)                            # FIB zone
+    struct.pack_into("<H", wd, 0, 0xA5EC)            # wIdent
+    struct.pack_into("<H", wd, 2, 0x00C1)            # nFib (Word 97)
+    flags = (0x0200 if which_table else 0) | (0x0100 if encrypted else 0)
+    struct.pack_into("<H", wd, 0x0A, flags)          # fWhichTblStm/fEncrypted
+    struct.pack_into("<H", wd, 0x20, 0x0E)           # csw
+    struct.pack_into("<H", wd, 0x3E, 0x16)           # cslw
+    struct.pack_into("<i", wd, 0x4C, len(text))      # ccpText
+    struct.pack_into("<H", wd, 0x98, 0x5D)           # cbRgFcLcb
+
+    pieces: list[tuple[int, int]] = []               # (char count, fc raw)
+    if p1:
+        off = len(wd)
+        wd += p1.encode("cp1252")
+        pieces.append((len(p1), (off * 2) | 0x40000000))
+    if p2:
+        if len(wd) % 2:
+            wd += b"\x00"
+        off = len(wd)
+        wd += p2.encode("utf-16-le")
+        pieces.append((len(p2), off))
+    struct.pack_into("<I", wd, 0x40, len(wd))        # cbMac
+
+    cps, total = [0], 0
+    for count, _ in pieces:
+        total += count
+        cps.append(total)
+    plc = struct.pack(f"<{len(cps)}I", *cps)
+    for _, fc_raw in pieces:
+        plc += struct.pack("<HIH", 0, fc_raw, 0)     # PCD
+    clx = (b"\x01" + struct.pack("<h", 4) + b"\x00" * 4   # dummy Prc
+           + b"\x02" + struct.pack("<I", len(plc)) + plc)
+    table = b"\x00" * 32 + clx                       # fcClx = 32
+    struct.pack_into("<II", wd, 0x1A2, 32, len(clx))
+    return make_ole({"WordDocument": bytes(wd),
+                     "1Table" if which_table else "0Table": table})
+
+
+def make_ppt(slides: list[dict]) -> bytes:
+    """Legacy PPT: real OLE2 container + [MS-PPT] record stream. ``slides``
+    entries are {"shapes": [str], "notes": [str]} like make_pptx. Shape
+    texts alternate TextCharsAtom (UTF-16) / TextBytesAtom (low-byte) to
+    exercise both record types; \\n inside a shape becomes the \\r
+    paragraph mark PPT stores."""
+    import struct
+
+    def rec(ver_inst: int, rtype: int, payload: bytes) -> bytes:
+        return struct.pack("<HHI", ver_inst, rtype, len(payload)) + payload
+
+    def persist(i: int, ntext: int) -> bytes:
+        return rec(0, 0x03F3,
+                   struct.pack("<IIiiI", i + 1, 0, ntext, 256 + i, 0))
+
+    def text_atoms(texts: list[str], base: int) -> bytes:
+        out = b""
+        for j, t in enumerate(texts):
+            out += rec(0, 0x0F9F, struct.pack("<I", 1))   # TextHeaderAtom
+            t_ppt = t.replace("\n", "\r")
+            wide = (base + j) % 2 == 0
+            if not wide:
+                try:
+                    out += rec(0, 0x0FA8, t_ppt.encode("latin-1"))
+                    continue
+                except UnicodeEncodeError:
+                    pass
+            out += rec(0, 0x0FA0, t_ppt.encode("utf-16-le"))
+        return out
+
+    slw0 = b"".join(
+        persist(i, len(s.get("shapes", [])))
+        + text_atoms(s.get("shapes", []), i)
+        for i, s in enumerate(slides))
+    slw2 = b"".join(
+        persist(i, len(s.get("notes", [])))
+        + text_atoms(s.get("notes", []), i + 1)
+        for i, s in enumerate(slides))
+    doc = rec(0x000F, 0x03E8,
+              rec(0x000F, 0x0FF0, slw0)                   # instance 0
+              + rec(0x000F | (2 << 4), 0x0FF0, slw2))     # instance 2
+    current_user = struct.pack("<I", 20) + b"\x00" * 20
+    return make_ole({"Current User": current_user,
+                     "PowerPoint Document": doc})
+
+
+def make_ole(streams: dict[str, bytes]) -> bytes:
+    """Multi-stream v3 CFB writer (512-byte sectors, 64-byte minisectors).
+    Streams under the 4096 cutoff land in the ministream via miniFAT, as
+    real writers do; larger ones get their own FAT chains. Directory
+    sibling pointers form a simple right-chain off the root child."""
     import struct
     ENDOFCHAIN, FREESECT, FATSECT = 0xFFFFFFFE, 0xFFFFFFFF, 0xFFFFFFFD
+    CUTOFF = 4096
+
+    # ministream assembly (64-byte minisectors) + miniFAT chains
+    ministream = bytearray()
+    minifat: list[int] = []
+    mini_start: dict[str, int] = {}
+    for name, s in streams.items():
+        if len(s) >= CUTOFF:
+            continue
+        if not s:
+            mini_start[name] = ENDOFCHAIN
+            continue
+        first = len(ministream) // 64
+        mini_start[name] = first
+        ministream += s + b"\x00" * (-len(s) % 64)
+        nsec = (len(s) + 63) // 64
+        minifat += list(range(first + 1, first + nsec)) + [ENDOFCHAIN]
+    minifat += [FREESECT] * (-len(minifat) % 128)
+
+    n_entries = 1 + len(streams)
+    n_dir = max(1, (n_entries * 128 + 511) // 512)
+    n_mini_sec = (len(ministream) + 511) // 512
+    n_minifat_sec = len(minifat) // 128
+    big_nsec = {n: (len(s) + 511) // 512
+                for n, s in streams.items() if len(s) >= CUTOFF}
+    data_secs = n_dir + n_mini_sec + sum(big_nsec.values()) + n_minifat_sec
+    n_fat = 1
+    while n_fat * 128 < n_fat + data_secs:
+        n_fat += 1
+
+    # sector layout: [FAT...][directory][ministream][big streams][miniFAT]
+    sid = n_fat
+    first_dir = sid
+    sid += n_dir
+    first_mini = sid if n_mini_sec else ENDOFCHAIN
+    sid += n_mini_sec
+    big_first: dict[str, int] = {}
+    for name in big_nsec:
+        big_first[name] = sid
+        sid += big_nsec[name]
+    first_minifat = sid if n_minifat_sec else ENDOFCHAIN
+
+    fat: list[int] = [FATSECT] * n_fat
+
+    def chain(count: int):
+        first = len(fat)
+        fat.extend(first + i + 1 if i + 1 < count else ENDOFCHAIN
+                   for i in range(count))
+
+    chain(n_dir)
+    if n_mini_sec:
+        chain(n_mini_sec)
+    for name in big_nsec:
+        chain(big_nsec[name])
+    if n_minifat_sec:
+        chain(n_minifat_sec)
+    fat += [FREESECT] * (n_fat * 128 - len(fat))
 
     def dir_entry(name: str, etype: int, start: int, size: int,
-                  child: int = FREESECT) -> bytes:
+                  child: int = FREESECT, right: int = FREESECT) -> bytes:
         raw = name.encode("utf-16-le")
         return (raw + b"\x00" * (64 - len(raw))
                 + struct.pack("<HBB", len(raw) + 2, etype,
                               1 if etype != 0 else 0)
-                + struct.pack("<III", FREESECT, FREESECT, child)
+                + struct.pack("<III", FREESECT, right, child)
                 + b"\x00" * 16 + struct.pack("<I", 0) + b"\x00" * 16
                 + struct.pack("<IQ", start, size))
 
-    mini = len(stream) < 4096
-    sectors: list[bytes] = []
+    entries = [dir_entry("Root Entry", 5,
+                         first_mini if n_mini_sec else ENDOFCHAIN,
+                         len(ministream), child=1)]
+    names = list(streams)
+    for i, name in enumerate(names):
+        s = streams[name]
+        start = big_first[name] if len(s) >= CUTOFF else mini_start[name]
+        right = i + 2 if i + 1 < len(names) else FREESECT
+        entries.append(dir_entry(name, 2, start, len(s), right=right))
+    directory = b"".join(entries)
+    directory += b"\x00" * (-len(directory) % 512)
 
-    def add_sector(data: bytes) -> int:
-        sectors.append(data.ljust(512, b"\x00"))
-        return len(sectors) - 1
-
-    fat: list[int] = []
-
-    def add_chain(data: bytes) -> int:
-        n = (len(data) + 511) // 512 or 1
-        first = len(sectors) + 1  # +1: FAT sector itself is sector 0 slot
-        return n, first
-
-    # layout: sector 0 = FAT, 1 = directory, then payload sectors
-    # (ministream or the big stream), then miniFAT sector if mini.
-    body_sectors: list[bytes] = []
-    if mini:
-        ministream = stream + b"\x00" * (-len(stream) % 64)
-        n_mini = len(ministream) // 64
-        minifat = [i + 1 for i in range(n_mini)]
-        minifat[-1] = ENDOFCHAIN
-        minifat += [FREESECT] * (128 - len(minifat))
-        body = ministream
-    else:
-        body = stream
-    n_body = (len(body) + 511) // 512
-    first_body = 2
-    fat = [FATSECT, ENDOFCHAIN]  # sector 0 FAT, sector 1 directory
-    for i in range(n_body):
-        fat.append(first_body + i + 1 if i + 1 < n_body else ENDOFCHAIN)
-    minifat_sid = FREESECT
-    if mini:
-        minifat_sid = first_body + n_body
-        fat.append(ENDOFCHAIN)
-    fat += [FREESECT] * (128 - len(fat))
-
-    root = dir_entry("Root Entry", 5,
-                     first_body if mini else ENDOFCHAIN,
-                     len(body) if mini else 0, child=1)
-    entry = dir_entry(stream_name, 2,
-                      0 if mini else first_body, len(stream))
-    directory = (root + entry).ljust(512, b"\x00")
-
+    difat = list(range(n_fat)) + [FREESECT] * (109 - n_fat)
     header = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
               + struct.pack("<HHHHH", 0x3E, 3, 0xFFFE, 9, 6)
               + b"\x00" * 6
-              + struct.pack("<IIIII", 0, 1, 1, 0, 4096)
-              + struct.pack("<II", minifat_sid if mini else ENDOFCHAIN,
-                            1 if mini else 0)
+              + struct.pack("<IIIII", 0, n_fat, first_dir, 0, CUTOFF)
+              + struct.pack("<II", first_minifat, n_minifat_sec)
               + struct.pack("<II", ENDOFCHAIN, 0)
-              + struct.pack("<I", 0)
-              + struct.pack("<108I", *([FREESECT] * 108)))
+              + struct.pack("<109I", *difat))
     out = bytearray(header)
-    out += struct.pack("<128I", *fat)          # sector 0
-    out += directory                            # sector 1
-    out += body + b"\x00" * (-len(body) % 512)  # body sectors
-    if mini:
-        out += struct.pack("<128I", *minifat)   # miniFAT sector
+    for i in range(n_fat):
+        out += struct.pack("<128I", *fat[i * 128:(i + 1) * 128])
+    out += directory
+    out += ministream + b"\x00" * (-len(ministream) % 512)
+    for name in big_nsec:
+        s = streams[name]
+        out += s + b"\x00" * (-len(s) % 512)
+    for i in range(n_minifat_sec):
+        out += struct.pack("<128I", *minifat[i * 128:(i + 1) * 128])
     return bytes(out)
+
+
+def _cfb_container(stream_name: str, stream: bytes) -> bytes:
+    """Wrap one stream in a v3 CFB file (back-compat shim over make_ole)."""
+    return make_ole({stream_name: stream})
 
 
 def make_bmp(width: int, height: int) -> bytes:

@@ -1,0 +1,224 @@
+"""Legacy Word (.doc) and PowerPoint (.ppt) binary parsing — E4 / E8.
+
+The reference cannot parse these natively: it shells out to LibreOffice to
+convert doc->docx (/root/reference/app/extractors.py:392-473) and
+ppt->pptx (:554-635), then reuses its python-docx / python-pptx paths. We
+parse the OLE2 binaries from scratch (no LibreOffice in scope) and emit
+the SAME payload JSON the docx/pptx kernels consume (docparts.extract_docx
+/ extract_pptx), so legacy files ride the pinned assembly semantics:
+converted-then-extracted documents and natively-parsed ones produce the
+same span sequences for the same content.
+
+Modeled scope (documented, not hidden):
+
+* DOC — the [MS-DOC] FIB + piece-table text model: main document text
+  range (``ccpText``) reassembled from the Clx/PlcPcd piece table in the
+  1Table/0Table stream, with per-piece ``fCompressed`` handling (cp1252
+  single-byte vs UTF-16LE).  Paragraph marks (0x0D), cell/row marks
+  (0x07) and page breaks (0x0C) split paragraphs; line breaks (0x0B)
+  become "\\n" exactly like <w:br/> in ooxml._w_para_text; field
+  instructions (0x13..0x14) are dropped and field results (0x14..0x15)
+  kept — what LibreOffice's conversion renders.  Headers/footnotes (the
+  cp ranges past ccpText) and binary table structure are out of the
+  modeled range, so the payload carries empty tables/sections like a
+  body-only conversion would.
+* PPT — the [MS-PPT] record stream: DocumentContainer ->
+  SlideListWithText (instance 0 = slides, 2 = notes), text grouped per
+  SlidePersistAtom, one shape per TextCharsAtom (UTF-16LE) /
+  TextBytesAtom (low-byte) run.  This is the outline/placeholder text
+  model; Escher drawing-layer textboxes are outside the modeled range.
+
+Encrypted files fail closed like the reference's conversion path does
+(``fEncrypted`` FIB bit / no parsable piece table -> ValueError).
+"""
+
+from __future__ import annotations
+
+import re
+import struct
+
+from .olexls import _Cfb
+
+# -- DOC ([MS-DOC] 2.5.1 Fib; 2.9.38 Clx; 2.9.177 PlcPcd) ------------------
+
+_FC_COMPRESSED = 0x40000000
+_FIB_MAGIC = 0xA5EC
+# Fib offsets: base(32) + csw(2) + fibRgW(28) + cslw(2) = 0x40 -> fibRgLw97;
+# ccpText is its 4th dword (cbMac, reserved1, reserved2, ccpText).
+_CCP_TEXT_OFF = 0x4C
+# base(32)+csw(2)+fibRgW(28)+cslw(2)+fibRgLw(88)+cbRgFcLcb(2) = 0x9A, then
+# fcClx/lcbClx is the 34th (fc,lcb) pair: 0x9A + 33*8 = 0x1A2.
+_FC_CLX_OFF = 0x1A2
+
+# field instruction text: begin(0x13) .. separator(0x14); the result
+# (0x14..end 0x15) is what a conversion renders.
+_FIELD_CODE = re.compile("\x13[^\x14\x15]*\x14?")
+_PARA_MARKS = re.compile("[\r\x07\x0c]")
+
+
+def _clean_fragment(text: str) -> str:
+    text = _FIELD_CODE.sub("", text)
+    return (text.replace("\x15", "").replace("\x13", "")
+                .replace("\x14", "")
+                .replace("\x0b", "\n")          # line break == <w:br/>
+                .replace("\x1e", "-")           # non-breaking hyphen
+                .replace("\x1f", ""))           # optional hyphen
+
+
+def doc_text_from_bytes(content: bytes) -> str:
+    """Raw main-document text (control chars intact) from DOC bytes."""
+    cfb = _Cfb(content)
+    wd = cfb.stream("WordDocument")
+    if wd is None:
+        raise ValueError("no WordDocument stream in OLE container")
+    if len(wd) < _FC_CLX_OFF + 8:
+        raise ValueError("WordDocument stream truncated before FIB tables")
+    (ident,) = struct.unpack_from("<H", wd, 0)
+    if ident != _FIB_MAGIC:
+        raise ValueError("not a Word binary file (bad FIB magic)")
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    if flags & 0x0100:                          # fEncrypted
+        raise ValueError("encrypted document not supported")
+    table = cfb.stream("1Table" if flags & 0x0200 else "0Table")
+    if table is None:                           # tolerant: either stream
+        table = cfb.stream("0Table") or cfb.stream("1Table")
+    if table is None:
+        raise ValueError("no Table stream in OLE container")
+    (ccp_text,) = struct.unpack_from("<i", wd, _CCP_TEXT_OFF)
+    fc_clx, lcb_clx = struct.unpack_from("<II", wd, _FC_CLX_OFF)
+    clx = table[fc_clx:fc_clx + lcb_clx]
+
+    # Clx = RgPrc (clxt=0x01 prefixed property chunks) then Pcdt (0x02).
+    pos = 0
+    while pos < len(clx) and clx[pos] == 0x01:
+        (cb,) = struct.unpack_from("<h", clx, pos + 1)
+        pos += 3 + max(0, cb)
+    if pos >= len(clx) or clx[pos] != 0x02:
+        raise ValueError("no piece table in Clx")
+    (lcb_plc,) = struct.unpack_from("<I", clx, pos + 1)
+    plc = clx[pos + 5:pos + 5 + lcb_plc]
+    n = (lcb_plc - 4) // 12                     # n+1 CPs (4B) + n PCDs (8B)
+    if n <= 0 or len(plc) < 4 * (n + 1) + 8 * n:
+        raise ValueError("piece table truncated")
+    cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
+
+    pieces = []
+    for i in range(n):
+        count = cps[i + 1] - cps[i]
+        (fc_raw,) = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * i + 2)
+        fc = fc_raw & 0x3FFFFFFF
+        if fc_raw & _FC_COMPRESSED:
+            raw = wd[fc // 2:fc // 2 + count]
+            pieces.append(raw.decode("cp1252", errors="replace"))
+        else:
+            raw = wd[fc:fc + 2 * count]
+            pieces.append(raw.decode("utf-16-le", errors="replace"))
+    full = "".join(pieces)
+    # the piece table covers every text range (main, footnotes, headers,
+    # annotations...); ccpText bounds the main document.
+    return full[:ccp_text] if 0 <= ccp_text <= len(full) else full
+
+
+def doc_payload_from_bytes(content: bytes) -> str:
+    """DOC bytes -> the docx_part payload JSON (docparts.extract_docx),
+    mirroring what LibreOffice conversion + the reference's python-docx
+    read (app/extractors.py:392-473 -> :288-390) yields for body text."""
+    import json
+    text = doc_text_from_bytes(content)
+    parts = _PARA_MARKS.split(text)
+    if parts and parts[-1] == "":               # final paragraph mark
+        parts.pop()
+    return json.dumps({
+        "paragraphs": [_clean_fragment(p) for p in parts],
+        "tables": [], "sections": [], "footnotes": [], "comments": [],
+    })
+
+
+# -- PPT ([MS-PPT] 2.3 Document Stream) -------------------------------------
+
+_RT_DOCUMENT = 0x03E8
+_RT_SLIDE_LIST_WITH_TEXT = 0x0FF0
+_RT_SLIDE_PERSIST_ATOM = 0x03F3
+_RT_TEXT_CHARS = 0x0FA0
+_RT_TEXT_BYTES = 0x0FA8
+_RT_CRYPT_SESSION = 0x2F14                      # CryptSession10Container
+
+
+def _pt_records(data: bytes, start: int, end: int):
+    """Yield (ver_inst, rec_type, body_start, body_end) for the record run
+    in data[start:end] ([MS-PPT] 2.3.1 RecordHeader)."""
+    pos = start
+    while pos + 8 <= end:
+        ver_inst, rtype, rlen = struct.unpack_from("<HHI", data, pos)
+        body = pos + 8
+        yield ver_inst, rtype, body, min(body + rlen, end)
+        pos = body + rlen
+
+
+def _ppt_shape_text(raw: str) -> str:
+    """One text run -> python-pptx-style shape text: \\r paragraph marks
+    join with \\n (shape.text joins paragraphs with newline)."""
+    return raw.replace("\r", "\n").replace("\x0b", "\n").rstrip("\x00")
+
+
+def ppt_payload_from_bytes(content: bytes) -> str:
+    """PPT bytes -> the pptx_part payload JSON (docparts.extract_pptx).
+
+    Slide text comes from SlideListWithText (instance 0), notes from
+    instance 2, both grouped by SlidePersistAtom in persist order — the
+    converted-pptx slide order LibreOffice emits
+    (app/extractors.py:554-635 -> :507-552).
+    """
+    import json
+    cfb = _Cfb(content)
+    st = cfb.stream("PowerPoint Document")
+    if st is None:
+        raise ValueError("no PowerPoint Document stream in OLE container")
+
+    slides: list[list[str]] = []
+    notes: list[list[str]] = []
+
+    def _walk_slw(body_start: int, body_end: int, sink: list[list[str]]):
+        current: list[str] | None = None
+        for vi, rt, b0, b1 in _pt_records(st, body_start, body_end):
+            if rt == _RT_SLIDE_PERSIST_ATOM:
+                current = []
+                sink.append(current)
+            elif rt == _RT_TEXT_CHARS:
+                if current is None:
+                    current = []
+                    sink.append(current)
+                current.append(_ppt_shape_text(
+                    st[b0:b1 - (b1 - b0) % 2].decode("utf-16-le",
+                                                     errors="replace")))
+            elif rt == _RT_TEXT_BYTES:
+                if current is None:
+                    current = []
+                    sink.append(current)
+                # each byte is the low byte of a UTF-16 code unit
+                current.append(_ppt_shape_text(
+                    st[b0:b1].decode("latin-1")))
+
+    def _walk(start: int, end: int, depth: int):
+        for vi, rt, b0, b1 in _pt_records(st, start, end):
+            if rt == _RT_CRYPT_SESSION:
+                raise ValueError("encrypted presentation not supported")
+            if rt == _RT_SLIDE_LIST_WITH_TEXT:
+                inst = (vi >> 4) & 0xFFF
+                if inst == 0:
+                    _walk_slw(b0, b1, slides)
+                elif inst == 2:
+                    _walk_slw(b0, b1, notes)
+            elif (vi & 0xF) == 0xF and depth < 8:
+                _walk(b0, b1, depth + 1)
+
+    _walk(0, len(st), 0)
+    if not slides:
+        raise ValueError("no slide text records in PowerPoint Document")
+    return json.dumps({
+        "slides": [
+            {"shapes": shapes,
+             "notes": notes[i] if i < len(notes) else []}
+            for i, shapes in enumerate(slides)
+        ],
+    })

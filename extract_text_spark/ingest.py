@@ -116,19 +116,10 @@ _TEXT_KIND_BY_EXT = {
 }
 _BYTE_KIND_BY_EXT = {"txt": "plain", "eml": "eml", "msg": "msg"}
 _ZIPXML_EXTS = {"docx", "xlsx", "pptx", "odt", "ods", "epub"}
-# Formats the reference parses via external binaries we declared out of
-# scope (E4 DOC, E8 PPT via LibreOffice conversion) — app/extractors.py
-# dispatch at :188-221. PDF is parsed for the classic-xref + xref-stream/
-# ObjStm Flate subset (extractors/pdfbytes.py), XLS for the CFB+BIFF8
-# subset (extractors/olexls.py); outside those they error like these.
-_UNPARSEABLE = {
-    "doc": "Error processing DOC: Failed to convert DOC to DOCX",
-    "ppt": "Error processing PPT: Failed to convert PPT to PPTX",
-}
 SUPPORTED_EXTS = (
     ARCHIVE_EXTS | IMAGE_EXTS | SOURCE_EXTS | _ZIPXML_EXTS
-    | set(_TEXT_KIND_BY_EXT) | set(_BYTE_KIND_BY_EXT) | set(_UNPARSEABLE)
-    | {"csv", "pdf", "xls"}
+    | set(_TEXT_KIND_BY_EXT) | set(_BYTE_KIND_BY_EXT)
+    | {"csv", "pdf", "xls", "doc", "ppt"}
 )
 
 
@@ -477,8 +468,20 @@ def _payload_for_bytes(content: bytes, basename: str) -> tuple[str, str | None, 
             # (app/config.py:129, app/extractors.py:475-492)
             from .extractors.olexls import xls_payload_from_bytes
             return "sheet_part", xls_payload_from_bytes(content), None
+        if ext == "doc":
+            # reference: LibreOffice doc->docx then the python-docx path
+            # (app/extractors.py:392-473); we parse the [MS-DOC] piece
+            # table from scratch into the same docx_part payload.
+            from .extractors.oledoc import doc_payload_from_bytes
+            return "docx_part", doc_payload_from_bytes(content), None
         if ext == "pptx":
             return "pptx_part", pptx_payload_from_bytes(content), None
+        if ext == "ppt":
+            # reference: LibreOffice ppt->pptx then the python-pptx path
+            # (app/extractors.py:554-635); we parse the [MS-PPT] record
+            # stream from scratch into the same pptx_part payload.
+            from .extractors.oledoc import ppt_payload_from_bytes
+            return "pptx_part", ppt_payload_from_bytes(content), None
         if ext == "odt":
             return "odt_part", odt_payload_from_bytes(content), None
         if ext == "epub":
@@ -488,8 +491,6 @@ def _payload_for_bytes(content: bytes, basename: str) -> tuple[str, str | None, 
     except Exception as exc:
         raise ValueError(
             f"Error processing {ext.upper()}: {exc}") from exc
-    if ext in _UNPARSEABLE:
-        raise ValueError(_UNPARSEABLE[ext])
     raise ValueError(f"Unsupported file format: {ext}")
 
 

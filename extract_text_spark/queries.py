@@ -1629,19 +1629,28 @@ SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
 
 
 def ext_office_bytes(spark, sf_dir):
-    """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS bytes (E3/E5/E7/E19 from actual
-    zip-of-XML containers, app/extractors.py:288-552, 1107-1167; ods and
-    legacy OLE xls through the Excel path at :475-492): format chosen by
-    doc_id %% 6, each wrapping the known text so extraction is
-    closed-form. Legacy xls alternates the regular-FAT and ministream CFB
-    layouts by doc_id parity."""
-    from .bytecorpus import make_docx, make_epub, make_ods, make_pptx, \
-        make_xls, make_xlsx
+    """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS/DOC/PPT bytes (E3/E4/E5/E7/E8/E19
+    from actual containers, app/extractors.py:288-635, 1107-1167; ods and
+    legacy OLE xls through the Excel path at :475-492; legacy doc/ppt via
+    the from-scratch [MS-DOC]/[MS-PPT] parsers where the reference shells
+    to LibreOffice at :392-473/:554-635): format chosen by doc_id %% 8,
+    each wrapping the known text so extraction is closed-form. Legacy xls
+    alternates the regular-FAT and ministream CFB layouts by doc_id
+    parity; legacy doc carries text past ccpText that must NOT leak."""
+    from .bytecorpus import make_doc, make_docx, make_epub, make_ods, \
+        make_ppt, make_pptx, make_xls, make_xlsx
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
-        m = doc_id % 6
+        m = doc_id % 8
+        if m == 6:
+            return "f.doc", make_doc([text, "Legacy " + source],
+                                     extra_text="must-not-leak",
+                                     which_table=(doc_id // 8) % 2)
+        if m == 7:
+            return "f.ppt", make_ppt(
+                [{"shapes": [text], "notes": ["n2 " + source]}])
         if m == 0:
             return "f.docx", make_docx([text], table=[["a", "b"]], header="Hdr")
         if m == 1:
@@ -1668,7 +1677,7 @@ def ext_office_bytes(spark, sf_dir):
 
 EXT_OFFICE_BYTES_SQL = r"""
 SELECT doc_id, 'ok' AS status, 1 AS n_spans,
-       CASE doc_id % 6
+       CASE doc_id % 8
          WHEN 0 THEN text || chr(10) || chr(10) || 'a' || chr(9) || 'b'
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hdr'
          WHEN 1 THEN '[Sheet: S1]' || chr(10) || chr(10) || 'w,id' || chr(10)
@@ -1676,6 +1685,9 @@ SELECT doc_id, 'ok' AS status, 1 AS n_spans,
          WHEN 2 THEN '[Slide 1]' || chr(10) || text || chr(10)
                      || '[Speaker Notes]' || chr(10) || 'n ' || source
          WHEN 3 THEN text
+         WHEN 6 THEN text || chr(10) || chr(10) || 'Legacy ' || source
+         WHEN 7 THEN '[Slide 1]' || chr(10) || text || chr(10)
+                     || '[Speaker Notes]' || chr(10) || 'n2 ' || source
          ELSE '[Sheet: T]' || chr(10) || chr(10) || 'w,id' || chr(10)
               || source || ',' || doc_id::VARCHAR || chr(10)
        END AS extracted

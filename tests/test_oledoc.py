@@ -1,0 +1,132 @@
+"""Legacy DOC/PPT binary parsing (E4/E8) — piece table, record stream,
+and span parity with the modern-format paths.
+
+The reference converts doc->docx / ppt->pptx via LibreOffice and reuses
+its python-docx/python-pptx extractors (app/extractors.py:392-473,
+554-635); these tests pin the from-scratch [MS-DOC]/[MS-PPT] parsers to
+the same downstream span sequences for the same content.
+"""
+
+import json
+
+import pytest
+
+from extract_text_spark.bytecorpus import (
+    make_doc, make_docx, make_ole, make_ppt, make_pptx,
+)
+from extract_text_spark.extractors.oledoc import (
+    doc_payload_from_bytes, doc_text_from_bytes, ppt_payload_from_bytes,
+)
+from extract_text_spark.extractors.olexls import _Cfb, cfb_directory_names
+from extract_text_spark.ingest import sniff_content_mime, spans_from_bytes
+
+
+# -- multi-stream CFB writer --------------------------------------------------
+
+def test_make_ole_multi_stream_mini_and_big():
+    big = bytes(range(256)) * 40                    # 10240 B -> FAT chain
+    ole = make_ole({"small": b"hello" * 10, "big": big, "empty": b""})
+    cfb = _Cfb(ole)
+    assert cfb.stream("small") == b"hello" * 10
+    assert cfb.stream("big") == big
+    assert cfb.stream("empty") == b""
+    assert cfb_directory_names(ole) == ["Root Entry", "small", "big", "empty"]
+
+
+# -- DOC ----------------------------------------------------------------------
+
+def test_doc_piece_table_mixed_encodings_round_trip():
+    paras = ["Hello world", "Zürich — naïve café", "", "The end"]
+    got = json.loads(doc_payload_from_bytes(make_doc(paras)))
+    assert got["paragraphs"] == paras
+    assert got["tables"] == [] and got["footnotes"] == []
+
+
+def test_doc_ccptext_bounds_main_document():
+    # extra_text sits past ccpText (footnote cp range) — never extracted
+    doc = make_doc(["body text"], extra_text="FOOTNOTE-MUST-NOT-APPEAR")
+    assert "FOOTNOTE" not in doc_text_from_bytes(doc)
+
+
+def test_doc_which_table_stream_flag():
+    for which in (0, 1):
+        doc = make_doc(["para via table %d" % which], which_table=which)
+        names = cfb_directory_names(doc)
+        assert ("1Table" if which else "0Table") in names
+        assert json.loads(doc_payload_from_bytes(doc))["paragraphs"] == [
+            "para via table %d" % which]
+
+
+def test_doc_control_chars_model():
+    # \x0b line break -> \n (like <w:br/>); \x13..\x14 field code dropped,
+    # \x14..\x15 field result kept; \x07 cell mark splits paragraphs.
+    raw = "line1\x0bline2\rsee \x13PAGEREF _x\x14page 3\x15 ok\rcellA\x07cellB"
+    doc = make_doc([raw.replace("\r", "\r")])       # single "paragraph" input
+    got = json.loads(doc_payload_from_bytes(doc))["paragraphs"]
+    assert got == ["line1\nline2", "see page 3 ok", "cellA", "cellB"]
+
+
+def test_doc_encrypted_fails_closed():
+    with pytest.raises(ValueError, match="encrypted"):
+        doc_payload_from_bytes(make_doc(["x"], encrypted=True))
+
+
+def test_doc_not_word_magic():
+    with pytest.raises(ValueError, match="FIB magic"):
+        doc_payload_from_bytes(make_ole({"WordDocument": b"\x00" * 1024}))
+
+
+def test_doc_spans_equal_docx_spans():
+    paras = ["Intro paragraph", "Zürich — naïve café", "", "The end"]
+    st_doc, sp_doc = spans_from_bytes(make_doc(paras), "legacy.doc")
+    st_docx, sp_docx = spans_from_bytes(make_docx(paras), "modern.docx")
+    assert st_doc is None and st_docx is None
+    assert sp_doc == sp_docx
+
+
+# -- PPT ----------------------------------------------------------------------
+
+def test_ppt_record_stream_round_trip():
+    slides = [
+        {"shapes": ["Title A", "Body line1\nline2"], "notes": ["note α"]},
+        {"shapes": [], "notes": []},
+        {"shapes": ["Final"], "notes": []},
+    ]
+    got = json.loads(ppt_payload_from_bytes(make_ppt(slides)))
+    assert got["slides"] == [
+        {"shapes": ["Title A", "Body line1\nline2"], "notes": ["note α"]},
+        {"shapes": [], "notes": []},
+        {"shapes": ["Final"], "notes": []},
+    ]
+
+
+def test_ppt_spans_equal_pptx_spans():
+    slides = [
+        {"shapes": ["Deck title", "Bullet one\nBullet two"],
+         "notes": ["presenter notes"]},
+        {"shapes": [], "notes": []},                # empty slide dropped
+        {"shapes": ["Wrap-up"], "notes": []},
+    ]
+    st_ppt, sp_ppt = spans_from_bytes(make_ppt(slides), "legacy.ppt")
+    st_pptx, sp_pptx = spans_from_bytes(make_pptx(slides), "modern.pptx")
+    assert st_ppt is None and st_pptx is None
+    assert sp_ppt == sp_pptx
+
+
+def test_ppt_no_text_records_is_error():
+    ole = make_ole({"PowerPoint Document": b""})
+    with pytest.raises(ValueError, match="no slide text"):
+        ppt_payload_from_bytes(ole)
+
+
+def test_ppt_missing_stream_is_error():
+    with pytest.raises(ValueError, match="PowerPoint Document"):
+        ppt_payload_from_bytes(make_ole({"Other": b"x" * 16}))
+
+
+# -- S6/S7 integration --------------------------------------------------------
+
+def test_ole_mime_classification_doc_ppt():
+    assert sniff_content_mime(make_doc(["x"])) == "application/msword"
+    assert (sniff_content_mime(make_ppt([{"shapes": ["x"], "notes": []}]))
+            == "application/vnd.ms-powerpoint")
