@@ -450,3 +450,55 @@ def simhash_col(text: str | Column = "text", bits: int = 16) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     ).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def word_chunks_col(text: str | Column = "text", k: int = 5) -> Column:
+    """Deterministic "paragraphs": consecutive k-word chunks of the text
+    (the corpus carries no newlines, so paragraph operators chunk words;
+    real corpora would split on \\n\\n instead — same operator shape).
+    """
+    words = F.split(text, " ")
+    n_chunks = F.floor((F.size(words) - F.lit(1)) / F.lit(k))
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.concat_ws(" ", F.slice(words, i * k + 1, k)),
+    )
+
+
+def paragraph_dedup(df: DataFrame, para_col: str = "paragraphs",
+                    id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style paragraph-level exact dedup: a paragraph survives only
+    at its first occurrence across the corpus (lowest (doc_id, position));
+    every later copy is dropped from its document.
+
+    Scale shape (10^12 docs): positions explode once; "first occurrence"
+    is a min-struct aggregate on the paragraph md5 — combinable, so
+    map-side partials absorb hot boilerplate paragraphs before the
+    shuffle (a row_number window would put every copy of a hot paragraph
+    in one partition). The keep-join is an equi-join on the same uniform
+    md5 key (AQE skew-split applies), and reassembly is one doc_id
+    shuffle with an order-restoring sort_array — collect_list order is
+    not deterministic, sort_array(struct(pos, para)) is.
+    """
+    ex = (df.select(id_col, F.posexplode(para_col).alias("pos", "para"))
+            .withColumn("ph", F.md5("para")))
+    firsts = ex.groupBy("ph").agg(
+        F.min(F.struct(id_col, "pos")).alias("first"))
+    kept = ex.join(firsts, "ph").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("first")[id_col])
+        & (F.col("pos") == F.col("first.pos")))
+    return (kept.groupBy(id_col).agg(
+        F.count("*").alias("n_paras"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+         .cast("long").alias("n_kept"),
+        F.concat_ws("\n\n", F.transform(
+            F.sort_array(F.collect_list(F.when(
+                F.col("keep"), F.struct("pos", "para")))),
+            lambda s: s.para,
+        )).alias("text_kept"),
+    ))

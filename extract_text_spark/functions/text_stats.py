@@ -168,3 +168,102 @@ def rolling_fingerprint_col(text: str | Column = "text",
         )),
     )
     return F.array_min(grams)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality gates (Rae et al. 2021, table A1)
+# ---------------------------------------------------------------------------
+
+def _milli(num: Column, den: Column) -> Column:
+    """The repo's integer-millionth ratio convention: ONE double division,
+    floor(x*1e6 + 0.5) — bit-identical in Spark and DuckDB."""
+    return F.floor(num.cast("double") / den.cast("double")
+                   * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def gopher_word_cols(text: str | Column = "text") -> dict[str, Column]:
+    """Word-level Gopher gates as integer/millionth columns (pure
+    codegen): word count, mean word length, symbol-to-word ratio
+    (#/ellipsis), fraction of words containing an alphabetic char.
+    Ratios follow the repo convention: one double division, floored to
+    integer millionths."""
+    words = F.split(text, " ")
+    n_words = F.size(words)
+    n_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+    n_sym = (F.size(F.split(text, "#", -1)) - 1
+             + F.size(F.split(text, r"\.\.\.", -1)) - 1)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len_milli": _milli(n_chars, n_words),
+        "symbol_word_ratio_milli": _milli(n_sym, n_words),
+        "alpha_word_frac_milli": _milli(n_alpha, n_words),
+    }
+
+
+def gopher_dup_line_cols(lines: str | Column = "lines") -> dict[str, Column]:
+    """Duplicate-line gates over an array-of-lines column, computed
+    in-row with higher-order functions (no explode/shuffle): fraction of
+    lines that are duplicates of an earlier line, and the fraction of
+    characters those duplicate lines carry. Catalyst does not CSE inside
+    lambdas, so callers should materialize ``lines`` as a real column."""
+    col = F.col(lines) if isinstance(lines, str) else lines
+    n_lines = F.size(col)
+    # a line is a duplicate iff its first occurrence sits at a lower
+    # index; per-doc cost is O(lines^2) compares, which is fine for web
+    # documents (10^2-10^3 lines) — a corpus of pathological megadocs
+    # would use explode + groupBy(line) instead.
+    idx = F.sequence(F.lit(1), n_lines)
+    dup_flags = F.transform(
+        idx, lambda i: F.when(
+            F.array_position(col, F.element_at(col, i)) < i,
+            F.lit(1)).otherwise(F.lit(0)))
+    dup_chars = F.zip_with(
+        dup_flags, col,
+        lambda flg, line: flg.cast("long") * F.length(line))
+    n_dup = F.aggregate(dup_flags, F.lit(0).cast("long"),
+                        lambda a, x: a + x)
+    n_dup_chars = F.aggregate(dup_chars, F.lit(0).cast("long"),
+                              lambda a, x: a + x)
+    n_chars = F.aggregate(col, F.lit(0).cast("long"),
+                          lambda a, line: a + F.length(line))
+
+
+    return {
+        "n_lines": n_lines.cast("long"),
+        "dup_line_frac_milli": _milli(n_dup, n_lines),
+        "dup_line_char_frac_milli": _milli(n_dup_chars, n_chars),
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (regex redaction; patterns valid in Java regex AND RE2 so
+# the DuckDB oracle is exact — no lookbehind, no backreferences)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_RE = r"\+\d{1,3}-\d{3}-\d{4}"
+
+
+def pii_scrub_cols(text: str | Column = "text") -> dict[str, Column]:
+    """Counts + redacted text for emails, IPv4s and rigid international
+    phone numbers. Email runs first (its domain would otherwise feed the
+    IP pattern); replacement tokens contain no digits or '@' so passes
+    cannot cascade."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_emails = F.regexp_count(col, F.lit(PII_EMAIL_RE))
+    after_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4_RE))
+    after_ip = F.regexp_replace(after_email, PII_IPV4_RE, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE_RE))
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE_RE, "<PHONE>")
+    return {
+        "n_emails": n_emails.cast("long"),
+        "n_ips": n_ips.cast("long"),
+        "n_phones": n_phones.cast("long"),
+        "scrubbed": scrubbed,
+    }

@@ -25,7 +25,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-from .functions import dedup, similarity, text_stats
+from .functions import dedup, sampling, similarity, text_stats
 
 JACCARD_T = 0.05      # word-soup corpus: low threshold yields real pairs
 MINHASH_T = 0.05
@@ -391,6 +391,180 @@ SELECT doc_id,
                  / len(toks) * 3.0, 1.0) * 0.3
        ) * 1000000.0 + 0.5) AS BIGINT) AS quality_milli
 FROM t ORDER BY doc_id
+"""
+
+
+def ta_gopher(spark, sf_dir):
+    """Gopher-style repetition/quality gates (Rae et al. 2021, table A1):
+    word stats as pure codegen columns, duplicate-"line" fractions over
+    deterministic 3-word chunks (the corpus has no newlines) computed
+    in-row with higher-order functions — zero extra shuffles; one scan."""
+    d = _t(spark, sf_dir, "documents")
+    # materialize lines as a real column: no CSE inside HOF lambdas
+    d = d.withColumn("lines", dedup.word_chunks_col("text", k=3))
+    cols = {**text_stats.gopher_word_cols("text"),
+            **text_stats.gopher_dup_line_cols("lines")}
+    return d.select(
+        "doc_id", *(v.alias(k) for k, v in cols.items())).orderBy("doc_id")
+
+
+TA_GOPHER_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS words FROM documents
+), l AS (
+  SELECT doc_id, text, words,
+         list_transform(range(((len(words) - 1) // 3 + 1)::BIGINT),
+                        i -> array_to_string(words[(i*3+1):(i*3+3)], ' '))
+           AS lines
+  FROM t
+), f AS (
+  SELECT doc_id, text, words, lines,
+         list_transform(range(1, len(lines) + 1),
+                        i -> CASE WHEN list_position(lines, lines[i]) < i
+                                  THEN 1 ELSE 0 END) AS dupf
+  FROM l
+)
+SELECT doc_id,
+  len(words)::BIGINT AS n_words,
+  floor(list_aggregate(list_transform(words, w -> length(w)),
+                       'sum')::DOUBLE / len(words) * 1000000.0 + 0.5)::BIGINT
+    AS mean_word_len_milli,
+  floor((len(string_split(text, '#')) - 1
+         + len(string_split(text, '...')) - 1)::DOUBLE
+        / len(words) * 1000000.0 + 0.5)::BIGINT AS symbol_word_ratio_milli,
+  floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+        / len(words) * 1000000.0 + 0.5)::BIGINT AS alpha_word_frac_milli,
+  len(lines)::BIGINT AS n_lines,
+  floor(list_aggregate(dupf, 'sum')::DOUBLE / len(lines) * 1000000.0
+        + 0.5)::BIGINT AS dup_line_frac_milli,
+  floor(list_aggregate(list_transform(range(1, len(lines) + 1),
+                                      i -> dupf[i] * length(lines[i])),
+                       'sum')::DOUBLE
+        / list_aggregate(list_transform(lines, x -> length(x)),
+                         'sum') * 1000000.0 + 0.5)::BIGINT
+    AS dup_line_char_frac_milli
+FROM f ORDER BY doc_id
+"""
+
+
+def ta_pii_scrub(spark, sf_dir):
+    """PII redaction (email/IPv4/rigid-phone regexes valid in BOTH Java
+    regex and RE2, so the oracle is exact): deterministic PII is injected
+    per doc, then counted and replaced by tokens. Pure codegen — one scan,
+    three regexp passes, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    injected = F.concat(
+        F.col("text"), F.lit(" reach user"),
+        F.col("doc_id").cast("string"), F.lit("@mail.example.org or 10."),
+        (F.col("doc_id") % 200).cast("string"), F.lit(".0.7 tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" cc u"), F.col("doc_id").cast("string"), F.lit("@ex.io"))
+    d = d.withColumn("pii_text", injected)
+    cols = text_stats.pii_scrub_cols("pii_text")
+    return d.select(
+        "doc_id", *(v.alias(k) for k, v in cols.items())).orderBy("doc_id")
+
+
+TA_PII_SCRUB_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id::VARCHAR || '@mail.example.org or 10.'
+              || (doc_id % 200)::VARCHAR || '.0.7 tel +1-555-'
+              || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              || ' cc u' || doc_id::VARCHAR || '@ex.io' AS pii_text
+  FROM documents
+), e AS (
+  SELECT doc_id, pii_text,
+         len(regexp_extract_all(pii_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+           AS n_emails,
+         regexp_replace(pii_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM t
+), i AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t2
+  FROM e
+)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{4}'))::BIGINT
+         AS n_phones,
+       regexp_replace(t2, '\+\d{1,3}-\d{3}-\d{4}', '<PHONE>', 'g')
+         AS scrubbed
+FROM i ORDER BY doc_id
+"""
+
+
+def dedup_paragraphs(spark, sf_dir):
+    """CCNet-style paragraph-level exact dedup over deterministic 5-word
+    chunks: a paragraph survives only at its first (doc_id, pos)
+    occurrence corpus-wide. First-occurrence is a combinable min-struct
+    aggregate on the paragraph md5 (map-side partials absorb hot
+    boilerplate), then an equi-join back and one doc_id reassembly
+    shuffle with order restored by sort_array."""
+    d = _t(spark, sf_dir, "documents")
+    paras = d.select(
+        "doc_id", dedup.word_chunks_col("text", k=5).alias("paragraphs"))
+    out = dedup.paragraph_dedup(paras)
+    return out.select("doc_id", "n_paras", "n_kept", "text_kept") \
+              .orderBy("doc_id")
+
+
+DEDUP_PARAGRAPHS_SQL = """
+WITH ex AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*5+1):(i*5+5)], ' ') AS para
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       LATERAL unnest(range(((len(words) - 1) // 5 + 1)::BIGINT)) AS u(i)
+), kept AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY md5(para)
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM ex
+)
+SELECT doc_id, count(*)::BIGINT AS n_paras,
+       sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       coalesce(string_agg(CASE WHEN keep THEN para END,
+                           chr(10) || chr(10) ORDER BY pos), '')
+         AS text_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-source sampling (training-mix construction):
+    membership = md5 hash bucket < per-stratum rate, a pure filter at the
+    scan — reproducible across reruns/engines/partitionings, never
+    materializes the reject set. Verified per stratum by count + id-sum."""
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.stratified_sample(
+        d, {"src0": 500000, "src1": 250000, "src2": 125000},
+        default_milli=62500)
+    return (s.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    ).orderBy("source"))
+
+
+SAMPLE_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS bucket
+  FROM documents
+)
+SELECT source, count(*)::BIGINT AS n_sampled, sum(doc_id)::BIGINT AS sum_ids,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM b
+WHERE bucket < CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 250000
+                           WHEN 'src2' THEN 125000 ELSE 62500 END
+GROUP BY source ORDER BY source
 """
 
 
@@ -1695,6 +1869,70 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ext_url_source(spark, sf_dir):
+    """URL source (S3, app/main.py:516-639 + extract_from_url) with the
+    fetch tier injected: doc_id % 4 exercises the HTML-page path (page-
+    mode strip via the shared kernel), the file-download path (filename
+    derivation + byte ingestion), the SSRF hostname block, and the scheme
+    gate. The fetcher derives content deterministically from the URL, so
+    every row is closed-form."""
+    from . import urlsource
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    urls = d.select(
+        F.when(d.doc_id % 4 == 0, F.concat(
+            F.lit("http://corpus.example/doc"), did, F.lit(".html")))
+         .when(d.doc_id % 4 == 1, F.concat(
+            F.lit("http://corpus.example/doc"), did, F.lit(".txt")))
+         .when(d.doc_id % 4 == 2, F.concat(
+            F.lit("http://localhost/doc"), did))
+         .otherwise(F.concat(F.lit("ftp://corpus.example/doc"), did))
+         .alias("url"))
+
+    def fetch(url, ua):
+        name = url.rsplit("/", 1)[-1]
+        did = name.split(".")[0][3:]
+        if url.endswith(".html"):
+            html = ("<html><head><style>p{margin:0}</style></head><body>"
+                    "<nav>site chrome</nav><p>Doc " + did + " body</p>"
+                    "<footer>footer junk</footer></body></html>")
+            return {"content_type": "text/html", "final_url": url,
+                    "headers": {}, "content": html.encode("utf-8")}
+        return {"content_type": "text/plain", "final_url": url,
+                "headers": {"content-type": "text/plain"},
+                "content": ("Plain doc " + did + " payload").encode("utf-8")}
+
+    out = urlsource.extract_from_urls(
+        urls, fetch, resolver=lambda h: ["93.184.216.34"])
+    return out.select(
+        F.col("doc_id").alias("url"), "status",
+        F.try_element_at("spans", F.lit(1)).getField("text")
+         .alias("extracted"),
+    ).orderBy("url")
+
+
+EXT_URL_SOURCE_SQL = """
+SELECT CASE doc_id % 4
+         WHEN 0 THEN 'http://corpus.example/doc' || doc_id::VARCHAR || '.html'
+         WHEN 1 THEN 'http://corpus.example/doc' || doc_id::VARCHAR || '.txt'
+         WHEN 2 THEN 'http://localhost/doc' || doc_id::VARCHAR
+         ELSE 'ftp://corpus.example/doc' || doc_id::VARCHAR
+       END AS url,
+       CASE doc_id % 4
+         WHEN 0 THEN 'ok'
+         WHEN 1 THEN 'ok'
+         WHEN 2 THEN 'error: Access to internal IP addresses is ' ||
+                     'prohibited for security reasons.'
+         ELSE 'error: URL must start with http:// or https://'
+       END AS status,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Doc ' || doc_id::VARCHAR || ' body'
+         WHEN 1 THEN 'Plain doc ' || doc_id::VARCHAR || ' payload'
+       END AS extracted
+FROM documents ORDER BY url
+"""
+
+
 def ext_pdf_bytes(spark, sf_dir):
     """Real PDF bytes (E1 from actual FlateDecode streams): two pages per
     doc through extractors/pdfbytes.py -> pdf_page spans -> the pinned
@@ -1848,6 +2086,10 @@ QUERIES = {
     "ta_langid": ta_langid,
     "ta_langid_multi": ta_langid_multi,
     "ta_fingerprint": ta_fingerprint,
+    "ta_gopher": ta_gopher,
+    "ta_pii_scrub": ta_pii_scrub,
+    "dedup_paragraphs": dedup_paragraphs,
+    "sample_stratified": sample_stratified,
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -1873,6 +2115,7 @@ QUERIES = {
     "mm_ocr_gates": mm_ocr_gates,
     "ext_zip_fanout": ext_zip_fanout,
     "ext_office_bytes": ext_office_bytes,
+    "ext_url_source": ext_url_source,
     "ext_pdf_bytes": ext_pdf_bytes,
     "ext_validate_mime": ext_validate_mime,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -1891,6 +2134,10 @@ ORACLES = {
     "ta_langid": TA_LANGID_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "ta_fingerprint": TA_FINGERPRINT_SQL,
+    "ta_gopher": TA_GOPHER_SQL,
+    "ta_pii_scrub": TA_PII_SCRUB_SQL,
+    "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
@@ -1916,6 +2163,7 @@ ORACLES = {
     "mm_ocr_gates": MM_OCR_GATES_SQL,
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
+    "ext_url_source": EXT_URL_SOURCE_SQL,
     "ext_pdf_bytes": EXT_PDF_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
     "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,

@@ -1,0 +1,240 @@
+"""URL source (S3): the reference's ``/v1/extract/url`` flow re-expressed
+for batch ingestion.
+
+Network I/O is INJECTED (``fetch``/``resolver`` callables): this sandbox
+has no network, and at 10^12 docs the fetch tier is its own service
+anyway. What the engine owns — and what is pinned here check-for-check —
+is the decidable logic:
+
+* SSRF validation (`_is_safe_url`, app/extractors.py:2851-2871): http(s)
+  scheme only (:2872-2877), hostname blocklist (:2879-2889 + defaults
+  app/config.py:121-123), per-resolved-IP checks — loopback/private/
+  link-local (:2938-2945), blocked CIDR ranges (:2947-2965 + defaults
+  config.py:115-118), the 169.254.169.254 metadata service (:2967-2972),
+  the Docker bridge gateway 172.16-31.0.1 (:2974-2987); DNS failure and
+  any validation exception FAIL CLOSED (:2891-2902, :2866-2870); invalid
+  resolved IPs are NOT blocked (:2934-2936).
+* Content routing (`_is_html_content`, :2442-2475): Content-Type first,
+  text/plain by URL extension, empty/octet-stream by extension with
+  extensionless meaning "dynamic page".
+* Filename derivation (`_extract_filename_from_response`, :2589-2630):
+  Content-Disposition, else last URL path segment (unquoted), extension
+  backfilled from the MIME map (config.py:269-293), sanitized (S1).
+* Error surface: the endpoint's message strings (app/main.py:516-639).
+
+HTML pages route to the page-mode strip (E12) via the ``html_page`` span
+kind; file URLs route through the byte-ingestion path (S5-S7 + archives)
+— both extracted by the SAME downstream kernel, exactly once per row.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from collections.abc import Iterator
+from urllib.parse import unquote, urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType, IntegerType, StringType, StructField, StructType,
+)
+
+# app/config.py:115-118
+BLOCKED_IP_RANGES = (
+    "127.0.0.0/8,10.0.0.0/8,172.16.0.0/12,192.168.0.0/16,169.254.0.0/16,"
+    "::1/128,fe80::/10"
+)
+# app/config.py:121-123
+BLOCKED_HOSTNAMES = "localhost,host.docker.internal,ip6-localhost,ip6-loopback"
+# app/config.py:269-293
+MIME_TO_EXTENSION = {
+    "application/pdf": "pdf",
+    "application/msword": "doc",
+    "application/vnd.openxmlformats-officedocument.wordprocessingml"
+    ".document": "docx",
+    "application/vnd.ms-excel": "xls",
+    "application/vnd.openxmlformats-officedocument.spreadsheetml"
+    ".sheet": "xlsx",
+    "application/vnd.ms-powerpoint": "ppt",
+    "application/vnd.openxmlformats-officedocument.presentationml"
+    ".presentation": "pptx",
+    "application/zip": "zip",
+    "application/x-rar-compressed": "rar",
+    "application/x-7z-compressed": "7z",
+    "application/x-tar": "tar",
+    "application/gzip": "gz",
+    "image/jpeg": "jpg",
+    "image/png": "png",
+    "image/gif": "gif",
+    "image/bmp": "bmp",
+    "image/tiff": "tiff",
+    "text/plain": "txt",
+    "text/html": "html",
+    "text/csv": "csv",
+    "application/json": "json",
+    "application/xml": "xml",
+    "text/xml": "xml",
+}
+
+
+def default_resolver(hostname: str) -> list[str]:
+    """Literal-IP-only resolver. With no network, a non-literal hostname
+    "does not resolve", and the reference fails closed on DNS failure
+    (app/extractors.py:2891-2902 -> :2856-2858)."""
+    try:
+        return [str(ipaddress.ip_address(hostname))]
+    except ValueError:
+        return []
+
+
+def _ip_safe(ip_str: str) -> bool:
+    try:
+        ip = ipaddress.ip_address(ip_str)
+    except ValueError:
+        return True                       # invalid IP not blocked (:2934-2936)
+    if ip.is_loopback or ip.is_private or ip.is_link_local:
+        return False                      # :2938-2945
+    for range_str in BLOCKED_IP_RANGES.split(","):
+        range_str = range_str.strip()
+        if range_str and ip in ipaddress.ip_network(range_str, strict=False):
+            return False                  # :2947-2965
+    if str(ip) == "169.254.169.254":
+        return False                      # :2967-2972
+    if ip.version == 4:                   # :2974-2987
+        octets = str(ip).split(".")
+        if (octets[0] == "172" and 16 <= int(octets[1]) <= 31
+                and octets[2] == "0" and octets[3] == "1"):
+            return False
+    return True
+
+
+def is_safe_url(url: str, resolver=default_resolver) -> bool:
+    """`_is_safe_url` (app/extractors.py:2851-2871): fail-closed SSRF
+    gate over scheme, hostname blocklist and every resolved IP."""
+    try:
+        parsed = urlparse(url)
+        if parsed.scheme not in ("http", "https"):
+            return False
+        hostname = parsed.hostname
+        if not hostname:
+            return False
+        blocked = {h.strip().lower()
+                   for h in BLOCKED_HOSTNAMES.split(",") if h.strip()}
+        if hostname.lower() in blocked:
+            return False
+        ips = resolver(hostname)
+        if not ips:
+            return False
+        return all(_ip_safe(ip) for ip in ips)
+    except Exception:
+        return False                      # fail closed (:2866-2870)
+
+
+def _url_extension(name: str) -> str | None:
+    from .ingest import get_file_extension
+    return get_file_extension(name)
+
+
+def is_html_content(content_type: str, url: str) -> bool:
+    """`_is_html_content` (app/extractors.py:2442-2475)."""
+    ct = content_type or ""
+    if "text/html" in ct or "application/xhtml" in ct:
+        return True
+    if "text/plain" in ct:
+        return _url_extension(url.split("?")[0]) in ("html", "htm")
+    if not ct or "application/octet-stream" in ct:
+        ext = _url_extension(url.split("?")[0])
+        return ext in ("html", "htm") or ext is None
+    return False
+
+
+def filename_from_response(headers: dict, url: str) -> str:
+    """`_extract_filename_from_response` (app/extractors.py:2589-2630)."""
+    from .ingest import sanitize_filename
+    headers = {k.lower(): v for k, v in (headers or {}).items()}
+    cd = headers.get("content-disposition", "")
+    if "filename=" in cd:
+        m = re.search(r'filename=["\']*([^"\';\r\n]*)', cd)
+        if m and m.group(1).strip():
+            return sanitize_filename(m.group(1).strip())
+    filename = unquote(urlparse(url).path.split("/")[-1])
+    if not _url_extension(filename):
+        ct = headers.get("content-type", "").lower().split(";")[0].strip()
+        ext = MIME_TO_EXTENSION.get(ct)
+        if ext:
+            filename = f"{filename}.{ext}"
+    return sanitize_filename(filename) if filename else "downloaded_file"
+
+
+def spans_from_url(url: str, fetch, user_agent: str | None = None,
+                   resolver=default_resolver):
+    """One URL -> (status|None, input spans), the spans_from_bytes
+    contract. ``fetch(url, user_agent)`` must return a dict with
+    ``content_type``, ``final_url``, ``headers`` and ``content`` (bytes);
+    error strings mirror the endpoint's surface (app/main.py:516-639)."""
+    from .ingest import spans_from_bytes
+    url = (url or "").strip()
+    if not url:
+        return "error: URL is required", []
+    if not url.startswith(("http://", "https://")):
+        return "error: URL must start with http:// or https://", []
+    if not is_safe_url(url, resolver=resolver):
+        return ("error: Access to internal IP addresses is prohibited "
+                "for security reasons."), []
+    if fetch is None:
+        return ("error: Error processing URL: network access is not "
+                "available in this environment"), []
+    try:
+        resp = fetch(url, user_agent)
+        content = resp.get("content") or b""
+        content_type = resp.get("content_type") or ""
+        final_url = resp.get("final_url") or url
+    except Exception as exc:              # extract_from_url wrapper :2685-2687
+        return f"error: Error processing URL: {exc}", []
+    if is_html_content(content_type, final_url):
+        html = content.decode("utf-8", errors="replace")
+        return None, [{"kind": "html_page", "text": html,
+                       "media_ref": final_url, "offset": 0}]
+    filename = filename_from_response(resp.get("headers") or {}, final_url)
+    return spans_from_bytes(content, filename)
+
+
+_URL_SCHEMA = StructType([
+    StructField("doc_id", StringType(), False),
+    StructField("status", StringType()),
+    StructField("spans", ArrayType(StructType([
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]))),
+])
+
+
+def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
+                   user_agent: str | None = None,
+                   resolver=default_resolver) -> DataFrame:
+    """URL table -> span-model documents (doc_id = url). One Arrow kernel
+    per row does validation + injected fetch + routing; extraction runs
+    in the SAME downstream kernel as every other source, exactly once.
+    Quarantine rows carry the endpoint's error strings in ``status``."""
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for url in b[url_col]:
+                status, spans = spans_from_url(
+                    url, fetch, user_agent=user_agent, resolver=resolver)
+                rows.append((url, status, spans))
+            yield pd.DataFrame(rows, columns=["doc_id", "status", "spans"])
+    return df.select(url_col).mapInPandas(kernel, schema=_URL_SCHEMA)
+
+
+def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
+    """Full URL pipeline: validate+fetch+route -> JVM fan-out ->
+    extraction kernel, mirroring ingest.extract_from_bytes."""
+    from .pipeline import extract_spans_df
+    ingest_kwargs = {k: kwargs.pop(k) for k in
+                     ("url_col", "user_agent", "resolver") if k in kwargs}
+    return extract_spans_df(ingest_urls_df(df, fetch, **ingest_kwargs),
+                            **kwargs)

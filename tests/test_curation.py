@@ -1,0 +1,117 @@
+"""Training-data curation operators: paragraph-level exact dedup
+(CCNet-style), Gopher repetition/quality gates, PII scrubbing.
+
+All three are pure-Catalyst (no Python rows); these tests pin semantics
+on tiny closed-form corpora. The driver queries (dedup_paragraphs,
+ta_gopher, ta_pii_scrub) hash-check them against DuckDB at sf0.01.
+"""
+
+from pyspark.sql import functions as F
+
+from extract_text_spark.functions import dedup, text_stats
+
+
+def test_word_chunks_cover_and_order(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "id long, text string")
+    (chunks,) = df.select(
+        dedup.word_chunks_col("text", k=3).alias("c")).first()
+    assert chunks == ["a b c", "d e f", "g"]
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    rows = [
+        (1, ["alpha beta", "dup para", "gamma"]),
+        (2, ["dup para", "delta", "dup para"]),      # both copies dropped
+        (3, ["dup para"]),                           # whole doc duplicated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, paragraphs array<string>")
+    got = {r.doc_id: r for r in dedup.paragraph_dedup(df).collect()}
+    assert got[1].n_paras == 3 and got[1].n_kept == 3
+    assert got[1].text_kept == "alpha beta\n\ndup para\n\ngamma"
+    assert got[2].n_paras == 3 and got[2].n_kept == 1
+    assert got[2].text_kept == "delta"
+    assert got[3].n_paras == 1 and got[3].n_kept == 0
+    assert got[3].text_kept == ""                    # all dropped -> empty
+
+
+def test_paragraph_dedup_within_doc_dedups_too(spark):
+    df = spark.createDataFrame(
+        [(7, ["same", "same", "other"])],
+        "doc_id long, paragraphs array<string>")
+    r = dedup.paragraph_dedup(df).first()
+    assert r.n_kept == 2 and r.text_kept == "same\n\nother"
+
+
+def test_gopher_word_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bbbb # 123 ...")], "doc_id long, text string")
+    r = df.select(*(v.alias(k) for k, v in
+                    text_stats.gopher_word_cols("text").items())).first()
+    assert r.n_words == 5
+    # chars: 2+4+1+3+3 = 13 over 5 words
+    assert r.mean_word_len_milli == round(13 / 5 * 1e6)
+    assert r.symbol_word_ratio_milli == round(2 / 5 * 1e6)
+    assert r.alpha_word_frac_milli == round(2 / 5 * 1e6)
+
+
+def test_gopher_duplicate_lines(spark):
+    df = spark.createDataFrame(
+        [(1, ["x y", "xx", "x y", "x y", "zz"])],
+        "doc_id long, lines array<string>")
+    r = df.select(*(v.alias(k) for k, v in
+                    text_stats.gopher_dup_line_cols("lines").items())).first()
+    assert r.n_lines == 5
+    assert r.dup_line_frac_milli == round(2 / 5 * 1e6)
+    # dup chars: 3+3 of total 3+2+3+3+2 = 13
+    assert r.dup_line_char_frac_milli == round(6 / 13 * 1e6)
+
+
+def test_pii_scrub_counts_and_tokens(spark):
+    text = ("mail bob.smith+x@corp.example.com and alice@ex.io, "
+            "server 10.2.0.7, call +44-555-0042 now")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = df.select(*(v.alias(k) for k, v in
+                    text_stats.pii_scrub_cols("text").items())).first()
+    assert (r.n_emails, r.n_ips, r.n_phones) == (2, 1, 1)
+    assert r.scrubbed == ("mail <EMAIL> and <EMAIL>, "
+                          "server <IP>, call <PHONE> now")
+
+
+def test_pii_scrub_email_domain_not_double_counted_as_ip(spark):
+    # a dotted-quad inside an email domain must be scrubbed as EMAIL
+    df = spark.createDataFrame(
+        [(1, "x u@10.1.2.3.example.com y")], "doc_id long, text string")
+    r = df.select(*(v.alias(k) for k, v in
+                    text_stats.pii_scrub_cols("text").items())).first()
+    assert (r.n_emails, r.n_ips) == (1, 0)
+    assert r.scrubbed == "x <EMAIL> y"
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    from extract_text_spark.functions import sampling
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 2).cast("string"))
+         .alias("source"))
+    s = sampling.stratified_sample(
+        df, {"src0": 500000, "src1": 100000}, id_col="doc_id")
+    a = sorted(r.doc_id for r in s.collect())
+    b = sorted(r.doc_id for r in
+               s.orderBy(F.rand(7)).repartition(13).collect())
+    assert a == b                                    # partitioning-stable
+    n0 = sum(1 for i in a if i % 2 == 0)
+    n1 = len(a) - n0
+    assert abs(n0 / 2000 - 0.5) < 0.05               # ~50% of src0
+    assert abs(n1 / 2000 - 0.1) < 0.03               # ~10% of src1
+
+
+def test_curation_plans_stay_jvm_side(spark):
+    """ta_gopher / ta_pii_scrub are single-scan codegen plans — no
+    Python evaluation, no exchange (beyond the final orderBy sort)."""
+    from extract_text_spark import queries
+    for name in ("ta_gopher", "ta_pii_scrub"):
+        plan = queries.QUERIES[name](
+            spark, "/root/testdata/sf0.001")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "Scan parquet" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

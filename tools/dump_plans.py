@@ -154,6 +154,45 @@ def main():
         ("windowed top-k", r"Window"),
     ])
 
+    pd_ = QUERIES["dedup_paragraphs"](spark, SF)
+    add("dedup_paragraphs — combinable first-occurrence aggregate", pd_, [
+        ("map-side partial min(struct) before the hash shuffle "
+         "(hot boilerplate absorbed)", r"partial_min|HashAggregate"),
+        ("keep-join is an equi-join on the paragraph md5",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("adaptive execution enabled", r"AdaptiveSparkPlan"),
+    ])
+
+    gop = QUERIES["ta_gopher"](spark, SF)
+    add("ta_gopher — single scan, in-row HOFs, zero added shuffles", gop, [
+        ("exactly one parquet scan", one_scan),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("only the final orderBy exchanges",
+         lambda t: t.count("Exchange") <= 2),
+    ])
+
+    pii = QUERIES["ta_pii_scrub"](spark, SF)
+    add("ta_pii_scrub — pure codegen regex passes", pii, [
+        ("exactly one parquet scan", one_scan),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("regex passes fuse into Projects directly over the scan "
+         "(no extra stages)", r"Project \(\d\)\n\s*\+- Scan parquet"),
+    ])
+
+    samp = QUERIES["sample_stratified"](spark, SF)
+    add("sample_stratified — membership filter before any exchange", samp, [
+        ("filter sits directly on the scan (reject set never shuffles)",
+         r"Filter"),
+        ("map-side partial aggregate of the per-stratum stats",
+         r"partial_count|HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     header = (
         "# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n\n"
         "Each section asserts the plan properties the engine's scale story\n"
