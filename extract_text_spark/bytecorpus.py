@@ -431,10 +431,15 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
     struct.pack_into("<H", wd, 0x0A, flags)          # fWhichTblStm/fEncrypted
     struct.pack_into("<H", wd, 0x20, 0x0E)           # csw
     struct.pack_into("<H", wd, 0x3E, 0x16)           # cslw
-    struct.pack_into("<i", wd, 0x4C, len(text))      # ccpText
+
+    def u16len(s: str) -> int:
+        # [MS-DOC] CPs count UTF-16 CODE UNITS (astral chars = 2)
+        return len(s.encode("utf-16-le")) // 2
+
+    struct.pack_into("<i", wd, 0x4C, u16len(text))   # ccpText
     struct.pack_into("<H", wd, 0x98, 0x5D)           # cbRgFcLcb
 
-    pieces: list[tuple[int, int]] = []               # (char count, fc raw)
+    pieces: list[tuple[int, int]] = []               # (CP count, fc raw)
     if p1:
         off = len(wd)
         wd += p1.encode("cp1252")
@@ -444,7 +449,7 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
             wd += b"\x00"
         off = len(wd)
         wd += p2.encode("utf-16-le")
-        pieces.append((len(p2), off))
+        pieces.append((u16len(p2), off))
     struct.pack_into("<I", wd, 0x40, len(wd))        # cbMac
 
     cps, total = [0], 0

@@ -114,9 +114,23 @@ def doc_text_from_bytes(content: bytes) -> str:
             raw = wd[fc:fc + 2 * count]
             pieces.append(raw.decode("utf-16-le", errors="replace"))
     full = "".join(pieces)
-    # the piece table covers every text range (main, footnotes, headers,
-    # annotations...); ccpText bounds the main document.
-    return full[:ccp_text] if 0 <= ccp_text <= len(full) else full
+    # The piece table covers every text range (main, footnotes, headers,
+    # annotations...); ccpText bounds the main document — measured in
+    # UTF-16 CODE UNITS ([MS-DOC] CPs), not code points, so supplementary-
+    # plane chars count 2.
+    total_units = len(full.encode("utf-16-le")) // 2
+    if not 0 <= ccp_text <= total_units:
+        return full
+    if total_units == len(full):                # BMP-only fast path
+        return full[:ccp_text]
+    units, cut = 0, 0
+    for ch in full:
+        w = 2 if ord(ch) > 0xFFFF else 1
+        if units + w > ccp_text:
+            break
+        units += w
+        cut += 1
+    return full[:cut]
 
 
 def doc_payload_from_bytes(content: bytes) -> str:

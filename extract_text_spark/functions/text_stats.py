@@ -267,3 +267,65 @@ def pii_scrub_cols(text: str | Column = "text") -> dict[str, Column]:
         "n_phones": n_phones.cast("long"),
         "scrubbed": scrubbed,
     }
+
+
+def gopher_top_ngram_cols(text: str | Column = "text",
+                          n: int = 2) -> dict[str, Column]:
+    """Gopher's "fraction of characters in the most frequent n-gram"
+    (Rae et al. 2021, table A1), in-row: word n-grams, per-gram
+    occurrence counts via a filter over the gram list, max by
+    (count, chars) struct — the lexicographic struct max is identical in
+    Spark and DuckDB, so ties on count resolve to the larger char mass
+    deterministically. O(grams^2) compares per doc, fine for web docs."""
+    col = F.col(text) if isinstance(text, str) else text
+    words = F.split(col, " ")
+    m = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[
+            F.element_at(words, F.least(i + j, m)) for j in range(n)]))
+    # count once per gram, then pair with char mass: Catalyst has no CSE
+    # inside HOF lambdas, so the count must not be written twice
+    counts = F.transform(
+        grams, lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    scored = F.zip_with(
+        counts, grams,
+        lambda c, g: F.struct(c.alias("cnt"),
+                              (c * F.length(g)).alias("chars")))
+    best = F.array_max(scored)
+    return {
+        f"top{n}gram_char_frac_milli": _milli(
+            best.getField("chars"), F.length(col)),
+    }
+
+
+# Gopher table A1 thresholds (Rae et al. 2021) the composed gate applies.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN_MILLI = 3_000_000
+GOPHER_MAX_MEAN_WORD_LEN_MILLI = 10_000_000
+GOPHER_MAX_SYMBOL_RATIO_MILLI = 100_000
+GOPHER_MIN_ALPHA_FRAC_MILLI = 800_000
+GOPHER_MAX_DUP_LINE_FRAC_MILLI = 300_000
+GOPHER_MAX_DUP_CHAR_FRAC_MILLI = 200_000
+GOPHER_MAX_TOP2GRAM_FRAC_MILLI = 200_000
+
+
+def gopher_keep_col(stats: dict[str, Column]) -> Column:
+    """The composed Gopher keep/drop decision over the integer-millionth
+    stat columns (word bounds, mean word length, symbol ratio, alpha
+    fraction, duplicate lines, top-2-gram mass)."""
+    return (
+        (stats["n_words"] >= GOPHER_MIN_WORDS)
+        & (stats["n_words"] <= GOPHER_MAX_WORDS)
+        & (stats["mean_word_len_milli"] >= GOPHER_MIN_MEAN_WORD_LEN_MILLI)
+        & (stats["mean_word_len_milli"] <= GOPHER_MAX_MEAN_WORD_LEN_MILLI)
+        & (stats["symbol_word_ratio_milli"] <= GOPHER_MAX_SYMBOL_RATIO_MILLI)
+        & (stats["alpha_word_frac_milli"] >= GOPHER_MIN_ALPHA_FRAC_MILLI)
+        & (stats["dup_line_frac_milli"] <= GOPHER_MAX_DUP_LINE_FRAC_MILLI)
+        & (stats["dup_line_char_frac_milli"]
+           <= GOPHER_MAX_DUP_CHAR_FRAC_MILLI)
+        & (stats["top2gram_char_frac_milli"]
+           <= GOPHER_MAX_TOP2GRAM_FRAC_MILLI)
+    )

@@ -403,7 +403,9 @@ def ta_gopher(spark, sf_dir):
     # materialize lines as a real column: no CSE inside HOF lambdas
     d = d.withColumn("lines", dedup.word_chunks_col("text", k=3))
     cols = {**text_stats.gopher_word_cols("text"),
-            **text_stats.gopher_dup_line_cols("lines")}
+            **text_stats.gopher_dup_line_cols("lines"),
+            **text_stats.gopher_top_ngram_cols("text", n=2)}
+    cols["keep"] = text_stats.gopher_keep_col(cols)
     return d.select(
         "doc_id", *(v.alias(k) for k, v in cols.items())).orderBy("doc_id")
 
@@ -423,27 +425,54 @@ WITH t AS (
                         i -> CASE WHEN list_position(lines, lines[i]) < i
                                   THEN 1 ELSE 0 END) AS dupf
   FROM l
+), g AS (
+  SELECT *, list_transform(range(1, greatest(len(words) - 1, 1) + 1),
+            i -> words[least(i, len(words))] || ' '
+                 || words[least(i + 1, len(words))]) AS grams
+  FROM f
+), h AS (
+  SELECT *, list_transform(grams,
+            x -> len(list_filter(grams, y -> y = x))) AS cnts
+  FROM g
+), s AS (
+  SELECT doc_id, text, words, lines, dupf,
+         list_aggregate(list_transform(range(1, len(grams) + 1),
+           i -> {'cnt': cnts[i], 'chars': cnts[i] * length(grams[i])}),
+           'max') AS best
+  FROM h
+), m AS (
+  SELECT doc_id,
+    len(words)::BIGINT AS n_words,
+    floor(list_aggregate(list_transform(words, w -> length(w)),
+                         'sum')::DOUBLE / len(words) * 1000000.0
+          + 0.5)::BIGINT AS mean_word_len_milli,
+    floor((len(string_split(text, '#')) - 1
+           + len(string_split(text, '...')) - 1)::DOUBLE
+          / len(words) * 1000000.0 + 0.5)::BIGINT AS symbol_word_ratio_milli,
+    floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+          / len(words) * 1000000.0 + 0.5)::BIGINT AS alpha_word_frac_milli,
+    len(lines)::BIGINT AS n_lines,
+    floor(list_aggregate(dupf, 'sum')::DOUBLE / len(lines) * 1000000.0
+          + 0.5)::BIGINT AS dup_line_frac_milli,
+    floor(list_aggregate(list_transform(range(1, len(lines) + 1),
+                                        i -> dupf[i] * length(lines[i])),
+                         'sum')::DOUBLE
+          / list_aggregate(list_transform(lines, x -> length(x)),
+                           'sum') * 1000000.0 + 0.5)::BIGINT
+      AS dup_line_char_frac_milli,
+    floor(best.chars::DOUBLE / length(text) * 1000000.0 + 0.5)::BIGINT
+      AS top2gram_char_frac_milli
+  FROM s
 )
-SELECT doc_id,
-  len(words)::BIGINT AS n_words,
-  floor(list_aggregate(list_transform(words, w -> length(w)),
-                       'sum')::DOUBLE / len(words) * 1000000.0 + 0.5)::BIGINT
-    AS mean_word_len_milli,
-  floor((len(string_split(text, '#')) - 1
-         + len(string_split(text, '...')) - 1)::DOUBLE
-        / len(words) * 1000000.0 + 0.5)::BIGINT AS symbol_word_ratio_milli,
-  floor(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
-        / len(words) * 1000000.0 + 0.5)::BIGINT AS alpha_word_frac_milli,
-  len(lines)::BIGINT AS n_lines,
-  floor(list_aggregate(dupf, 'sum')::DOUBLE / len(lines) * 1000000.0
-        + 0.5)::BIGINT AS dup_line_frac_milli,
-  floor(list_aggregate(list_transform(range(1, len(lines) + 1),
-                                      i -> dupf[i] * length(lines[i])),
-                       'sum')::DOUBLE
-        / list_aggregate(list_transform(lines, x -> length(x)),
-                         'sum') * 1000000.0 + 0.5)::BIGINT
-    AS dup_line_char_frac_milli
-FROM f ORDER BY doc_id
+SELECT *,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len_milli BETWEEN 3000000 AND 10000000
+   AND symbol_word_ratio_milli <= 100000
+   AND alpha_word_frac_milli >= 800000
+   AND dup_line_frac_milli <= 300000
+   AND dup_line_char_frac_milli <= 200000
+   AND top2gram_char_frac_milli <= 200000) AS keep
+FROM m ORDER BY doc_id
 """
 
 

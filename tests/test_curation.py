@@ -66,6 +66,35 @@ def test_gopher_duplicate_lines(spark):
     assert r.dup_line_char_frac_milli == round(6 / 13 * 1e6)
 
 
+def test_gopher_top2gram_mass(spark):
+    # "ab cd ab cd ab" -> 2-grams: [ab cd, cd ab, ab cd, cd ab]; top is a
+    # tie at cnt=2, both 5 chars -> chars=10 over 14 text chars
+    df = spark.createDataFrame([(1, "ab cd ab cd ab")],
+                               "doc_id long, text string")
+    from extract_text_spark.functions.text_stats import gopher_top_ngram_cols
+    r = df.select(*(v.alias(k) for k, v in
+                    gopher_top_ngram_cols("text").items())).first()
+    assert r.top2gram_char_frac_milli == round(10 / 14 * 1e6)
+
+
+def test_gopher_keep_gate_composes(spark):
+    from extract_text_spark.functions import text_stats as ts
+    # genuinely diverse doc: 60 distinct words (a repeated phrase would
+    # rightly trip the dup-chunk and top-2-gram gates)
+    good = " ".join(f"alpha{i} beta{i}" for i in range(30))
+    bad = "spam " * 60                                 # one hot 2-gram
+    df = spark.createDataFrame(
+        [(1, good.strip()), (2, bad.strip())], "doc_id long, text string")
+    df = df.withColumn("lines", dedup.word_chunks_col("text", k=3))
+    cols = {**ts.gopher_word_cols("text"),
+            **ts.gopher_dup_line_cols("lines"),
+            **ts.gopher_top_ngram_cols("text", n=2)}
+    cols["keep"] = ts.gopher_keep_col(cols)
+    got = {r.doc_id: r.keep for r in df.select(
+        "doc_id", *(v.alias(k) for k, v in cols.items())).collect()}
+    assert got == {1: True, 2: False}
+
+
 def test_pii_scrub_counts_and_tokens(spark):
     text = ("mail bob.smith+x@corp.example.com and alice@ex.io, "
             "server 10.2.0.7, call +44-555-0042 now")

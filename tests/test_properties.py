@@ -142,3 +142,63 @@ def test_ingest_total_on_byte_soup(data):
         assert isinstance(spans, list)
     ok, err = validate_file_type(data, "f.txt")
     assert isinstance(ok, bool)
+
+
+# -- legacy DOC/PPT round trips (oledoc) -------------------------------------
+
+# printable-ish text without the chars make_doc/ppt treat as structure
+_para_chars = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        exclude_characters="\r\x07\x0b\x0c\x13\x14\x15\x1e\x1f\x00\n",
+        exclude_categories=("Cs",),
+    ),
+    max_size=60,
+)
+
+
+@given(st.lists(_para_chars, min_size=1, max_size=8),
+       st.text(alphabet=string.ascii_letters, max_size=30))
+@settings(**_SETTINGS)
+def test_doc_piece_table_round_trips_any_text(paras, extra):
+    from extract_text_spark.bytecorpus import make_doc
+    from extract_text_spark.extractors.oledoc import doc_payload_from_bytes
+    got = json.loads(doc_payload_from_bytes(
+        make_doc(paras, extra_text=extra)))
+    assert got["paragraphs"] == paras
+
+
+@given(st.lists(st.lists(_para_chars, max_size=3), min_size=1, max_size=4))
+@settings(**_SETTINGS)
+def test_ppt_record_stream_round_trips_any_text(slides):
+    from extract_text_spark.bytecorpus import make_ppt
+    from extract_text_spark.extractors.oledoc import ppt_payload_from_bytes
+    payload = json.loads(ppt_payload_from_bytes(
+        make_ppt([{"shapes": s, "notes": []} for s in slides])))
+    assert [sl["shapes"] for sl in payload["slides"]] == slides
+
+
+@given(st.binary(max_size=4000))
+@settings(**_SETTINGS)
+def test_oledoc_parsers_never_crash_on_byte_soup(data):
+    from extract_text_spark.extractors.oledoc import (
+        doc_payload_from_bytes, ppt_payload_from_bytes)
+    for fn in (doc_payload_from_bytes, ppt_payload_from_bytes):
+        try:
+            fn(data)
+        except ValueError:
+            pass                      # typed parse error is the contract
+
+
+@given(st.text(max_size=200))
+@settings(**_SETTINGS)
+def test_url_validation_is_total_and_fail_closed(url):
+    from extract_text_spark.urlsource import is_safe_url, spans_from_url
+    # never raises; unfetchable/unresolvable always lands closed or typed
+    safe = is_safe_url(url)
+    status, spans = spans_from_url(url, None)
+    assert isinstance(safe, bool)
+    if not url.strip().startswith(("http://", "https://")):
+        assert not safe
+    if status is not None:
+        assert status.startswith("error: ") and spans == []
