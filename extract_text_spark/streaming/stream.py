@@ -165,6 +165,51 @@ def stream_extract_files(
     return writer.start()
 
 
+def stream_extract_urls(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    fetch,
+    user_agent: str | None = None,
+    resolver=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming URL extraction (S3 as a continuous source): drop files of
+    URLs (one per line) into a watch directory -> SSRF validation +
+    injected fetch + content routing (urlsource.py) -> the SAME JVM
+    fan-out + extraction kernel as every other source -> parquet sink,
+    exactly-once per URL file (file-source offset log + sink commit log).
+
+    ``fetch``/``resolver`` are the injected network tier — in production a
+    rate-limited HTTP client, in tests a deterministic fake; the engine
+    owns validation, routing and extraction (the reference's
+    /v1/extract/url semantics, app/main.py:516-639).
+    """
+    from ..urlsource import default_resolver, ingest_urls_df
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    urls = reader.load(input_path).select(F.col("value").alias("url"))
+    ingested = ingest_urls_df(
+        urls, fetch, user_agent=user_agent,
+        resolver=resolver if resolver is not None else default_resolver)
+    fanned = explode_archives_df(ingested)
+    out = fanned.select("doc_id", "spans", "status").mapInPandas(
+        _extract_batches, schema=OUT_SCHEMA
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
                           watermark: str = "30 minutes") -> DataFrame:
     """Watermarked tumbling-window counts per event_type (append-safe)."""

@@ -181,3 +181,53 @@ def test_stream_extract_raw_files(spark, tmp_path):
         fh.write(b"late arrival")
     stream_extract_files(spark, inp, out, ckpt).awaitTermination()
     assert spark.read.parquet(out).count() == n1 + 1
+
+
+def test_stream_extract_urls(spark, tmp_path):
+    """URL streaming source: drop files of URLs into a watch directory,
+    validated + fetched (injected) + extracted spans come out
+    exactly-once; blocked URLs surface as quarantine rows."""
+    from extract_text_spark.streaming.stream import stream_extract_urls
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["inurl", "outurl", "ckurl"])
+    import os
+    os.makedirs(inp)
+    with open(f"{inp}/batch1.txt", "w") as fh:
+        fh.write("http://site.example/page.html\n"
+                 "http://site.example/notes.txt\n"
+                 "http://localhost/blocked\n")
+
+    def fake_fetch(url, ua):
+        if url.endswith(".html"):
+            return {"content_type": "text/html", "final_url": url,
+                    "headers": {},
+                    "content": b"<html><nav>x</nav><p>Streamed page</p></html>"}
+        return {"content_type": "text/plain", "final_url": url,
+                "headers": {"content-type": "text/plain"},
+                "content": b"streamed plain"}
+
+    def resolve_public(hostname):
+        return ["93.184.216.34"]
+
+    stream_extract_urls(spark, inp, out, ckpt, fake_fetch,
+                        resolver=resolve_public).awaitTermination()
+    rows = {r["doc_id"]: (r["status"], [s["text"] for s in r["spans"]])
+            for r in spark.read.parquet(out).collect()}
+    assert rows["http://site.example/page.html"] == ("ok", ["Streamed page"])
+    assert rows["http://site.example/notes.txt"] == ("ok", ["streamed plain"])
+    st, spans = rows["http://localhost/blocked"]
+    assert st.startswith("error: Access to internal IP") and spans == []
+
+    # exactly-once: rerun with same checkpoint adds nothing
+    n1 = spark.read.parquet(out).count()
+    stream_extract_urls(spark, inp, out, ckpt, fake_fetch,
+                        resolver=resolve_public).awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+    # a new URL file arriving is picked up incrementally
+    with open(f"{inp}/batch2.txt", "w") as fh:
+        fh.write("http://site.example/late.txt\n")
+    stream_extract_urls(spark, inp, out, ckpt, fake_fetch,
+                        resolver=resolve_public).awaitTermination()
+    rows2 = spark.read.parquet(out)
+    assert rows2.count() == n1 + 1
