@@ -43,3 +43,29 @@ def stratified_sample(df: DataFrame, fracs_milli: dict[str, int],
             else F.lit(default_milli))
     bucket = hash_bucket_col(id_col, salt="strat")
     return df.where(bucket < rate)
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   id_col: str = "doc_id",
+                   buckets: int = 1024) -> DataFrame:
+    """Token-budget sequence packing (training-batch construction):
+    contiguous greedy packing of documents into bins of ``budget`` tokens
+    — the concat-then-chunk semantics LLM pretraining pipelines use.
+
+    Global first-fit is inherently sequential, so the scale form packs
+    WITHIN uniform md5 hash buckets: each bucket packs independently in
+    parallel (one shuffle on the bucket key + an in-partition sort), and
+    bins are globally identified by (pack_bucket, pack_bin). That is the
+    shape a 10^12-doc job needs anyway — bins feed parallel trainers.
+    Within a bucket, docs pack in deterministic id order:
+    ``pack_bin = exclusive-cumsum(tokens) // budget`` (an oversized doc
+    overflows its own bin rather than being dropped)."""
+    from pyspark.sql.window import Window
+    bucket = hash_bucket_col(id_col, salt="pack") % buckets
+    out = df.withColumn("pack_bucket", bucket)
+    w = Window.partitionBy("pack_bucket").orderBy(id_col)
+    cum_excl = F.sum(token_col).over(w) - F.col(token_col)
+    return out.withColumn(
+        "pack_bin",
+        F.floor(cum_excl.cast("double") / F.lit(float(budget)))
+         .cast("long"))

@@ -597,6 +597,33 @@ GROUP BY source ORDER BY source
 """
 
 
+def pack_batches(spark, sf_dir):
+    """Token-budget sequence packing: docs pack contiguously into
+    256-token bins inside 16 independent md5 hash buckets (global
+    first-fit is sequential; bucketed packing is the parallel form a
+    10^12-doc job needs — bins feed parallel trainers as (bucket, bin))."""
+    d = _t(spark, sf_dir, "documents")
+    d = d.withColumn("n_tokens",
+                     text_stats.token_count_col("text").cast("long"))
+    out = sampling.pack_sequences(d, "n_tokens", budget=256, buckets=16)
+    return out.select("doc_id", "n_tokens", "pack_bucket", "pack_bin") \
+              .orderBy("doc_id")
+
+
+PACK_BATCHES_SQL = """
+WITH t AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5('pack:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 % 16 AS pack_bucket
+  FROM documents
+)
+SELECT doc_id, n_tokens, pack_bucket,
+       ((sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id)
+         - n_tokens) // 256)::BIGINT AS pack_bin
+FROM t ORDER BY doc_id
+"""
+
+
 def ta_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -2119,6 +2146,7 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "dedup_paragraphs": dedup_paragraphs,
     "sample_stratified": sample_stratified,
+    "pack_batches": pack_batches,
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2167,6 +2195,7 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "pack_batches": PACK_BATCHES_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

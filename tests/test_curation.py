@@ -134,6 +134,22 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert abs(n1 / 2000 - 0.1) < 0.03               # ~10% of src1
 
 
+def test_pack_sequences_contiguous_bins(spark):
+    from extract_text_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tokens long")
+    out = sampling.pack_sequences(df, "n_tokens", budget=256, buckets=1)
+    rows = sorted((r.doc_id, r.pack_bin) for r in out.collect())
+    # 100-token docs into 256-token bins: exclusive cumsum // 256
+    assert [b for _, b in rows] == [i * 100 // 256 for i in range(10)]
+    # an oversized doc overflows its own bin, never dropped
+    big = spark.createDataFrame(
+        [(1, 50), (2, 9000), (3, 50)], "doc_id long, n_tokens long")
+    got = {r.doc_id: r.pack_bin for r in sampling.pack_sequences(
+        big, "n_tokens", budget=256, buckets=1).collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == (50 + 9000) // 256
+
+
 def test_curation_plans_stay_jvm_side(spark):
     """ta_gopher / ta_pii_scrub are single-scan codegen plans — no
     Python evaluation, no exchange (beyond the final orderBy sort)."""

@@ -124,6 +124,25 @@ def test_ppt_missing_stream_is_error():
         ppt_payload_from_bytes(make_ole({"Other": b"x" * 16}))
 
 
+def test_doc_ppt_as_archive_members():
+    """Legacy binaries nested in archives ride the member model (A1/A6)."""
+    from extract_text_spark.bytecorpus import make_zip
+    from extract_text_spark.ingest import spans_from_bytes
+    z = make_zip({
+        "word/legacy.doc": make_doc(["Zipped doc para"]),
+        "decks/old.ppt": make_ppt([{"shapes": ["Zipped slide"],
+                                    "notes": []}]),
+    })
+    st, spans = spans_from_bytes(z, "bundle.zip")
+    assert st is None
+    members = {m["path"]: m for m in
+               (json.loads(s["text"]) for s in spans)}
+    assert members["word/legacy.doc"]["kind"] == "docx_part"
+    assert json.loads(members["word/legacy.doc"]["text"])["paragraphs"] == [
+        "Zipped doc para"]
+    assert members["decks/old.ppt"]["kind"] == "pptx_part"
+
+
 # -- S6/S7 integration --------------------------------------------------------
 
 def test_ole_mime_classification_doc_ppt():

@@ -183,6 +183,16 @@ def main():
          "(no extra stages)", r"Project \(\d\)\n\s*\+- Scan parquet"),
     ])
 
+    pk = QUERIES["pack_batches"](spark, SF)
+    add("pack_batches — bucketed packing, one shuffle + in-partition sort",
+        pk, [
+        ("window partitioned by pack_bucket (parallel per-bucket packing, "
+         "never a global single-partition sort)",
+         r"Window.*pack_bucket|hashpartitioning\(pack_bucket"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     samp = QUERIES["sample_stratified"](spark, SF)
     add("sample_stratified — membership filter before any exchange", samp, [
         ("filter sits directly on the scan (reject set never shuffles)",
