@@ -65,7 +65,9 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     out = df.withColumn("pack_bucket", bucket)
     w = Window.partitionBy("pack_bucket").orderBy(id_col)
     cum_excl = F.sum(token_col).over(w) - F.col(token_col)
+    # exact integral division (SQL `div`): a double floor would lose
+    # exactness once a bucket's cumulative tokens pass 2^53 — precisely
+    # the scale this operator exists for. Matches DuckDB's `//`.
     return out.withColumn(
         "pack_bin",
-        F.floor(cum_excl.cast("double") / F.lit(float(budget)))
-         .cast("long"))
+        F.call_function("div", cum_excl, F.lit(budget)).cast("long"))

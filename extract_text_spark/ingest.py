@@ -723,6 +723,18 @@ def _ingest_batches(validate: bool):
     return run
 
 
+def named_binary_df(files: DataFrame) -> DataFrame:
+    """binaryFile-source rows -> the (doc_id, filename, content) ingest
+    contract: doc_id = full path, filename = last path segment. The ONE
+    owner of raw-file naming for both batch submit and streaming."""
+    from pyspark.sql import functions as F
+    return files.select(
+        F.col("path").alias("doc_id"),
+        F.element_at(F.split("path", "/"), -1).alias("filename"),
+        F.col("content"),
+    )
+
+
 def ingest_bytes_df(df: DataFrame, validate: bool = False) -> DataFrame:
     """(doc_id, filename, content: binary) -> (doc_id, spans, status).
 

@@ -405,9 +405,15 @@ def ta_gopher(spark, sf_dir):
     cols = {**text_stats.gopher_word_cols("text"),
             **text_stats.gopher_dup_line_cols("lines"),
             **text_stats.gopher_top_ngram_cols("text", n=2)}
-    cols["keep"] = text_stats.gopher_keep_col(cols)
-    return d.select(
-        "doc_id", *(v.alias(k) for k, v in cols.items())).orderBy("doc_id")
+    # two projections: keep reads the MATERIALIZED stat columns. Folding
+    # gopher_keep_col(cols) into one select would embed a second copy of
+    # every O(n^2) HOF stat — codegen subexpression elimination skips
+    # lambda-bearing trees (SPARK-35410), and CollapseProject keeps
+    # multiply-referenced non-cheap aliases apart.
+    stats = d.select("doc_id", *(v.alias(k) for k, v in cols.items()))
+    keep = text_stats.gopher_keep_col(
+        {k: F.col(k) for k in cols})
+    return stats.select("*", keep.alias("keep")).orderBy("doc_id")
 
 
 TA_GOPHER_SQL = """

@@ -27,13 +27,19 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    master = master or os.environ.get("SPARK_MASTER")
+    if master is None and "PYSPARK_GATEWAY_PORT" not in os.environ:
+        # Under spark-submit (PythonRunner sets PYSPARK_GATEWAY_PORT) the
+        # submit conf supplies the master, and calling .master() here
+        # would OVERRIDE it — conf set in code wins over submit flags —
+        # silently running the whole "cluster" job local to the driver.
+        # Only fall back to local[*] for plain `python script.py` usage.
+        master = "local[*]"
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus and master == "local[*]":
         master = f"local[{cpus}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -49,6 +55,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

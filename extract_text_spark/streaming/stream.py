@@ -134,12 +134,8 @@ def stream_extract_files(
     reader = spark.readStream.format("binaryFile").schema(binary_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    files = reader.load(input_path)
-    named = files.select(
-        F.col("path").alias("doc_id"),
-        F.element_at(F.split("path", "/"), -1).alias("filename"),
-        F.col("content"),
-    )
+    from ..ingest import named_binary_df
+    named = named_binary_df(reader.load(input_path))
     if skew_split:
         from ..ingest import extract_from_bytes
         kwargs = {} if skew_threshold is None else {
@@ -149,17 +145,28 @@ def stream_extract_files(
             lambda b: extract_from_bytes(b, validate=validate,
                                          skew_split=True, **kwargs),
         )).option("checkpointLocation", checkpoint_path)
-    else:
-        fanned = explode_archives_df(ingest_bytes_df(named, validate=validate))
-        out = fanned.select("doc_id", "spans", "status").mapInPandas(
-            _extract_batches, schema=OUT_SCHEMA
-        )
-        writer = (
-            out.writeStream.format("parquet")
-            .option("path", output_path)
-            .option("checkpointLocation", checkpoint_path)
-            .outputMode("append")
-        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+    return _start_span_sink(ingest_bytes_df(named, validate=validate),
+                            output_path, checkpoint_path, available_now)
+
+
+def _start_span_sink(ingested: DataFrame, output_path: str,
+                     checkpoint_path: str, available_now: bool):
+    """Shared streaming tail: span-model docs -> JVM fan-out -> extraction
+    kernel -> append parquet sink. One place owns the sink shape for every
+    streaming source (files, URLs, span tables)."""
+    fanned = explode_archives_df(ingested)
+    out = fanned.select("doc_id", "spans", "status").mapInPandas(
+        _extract_batches, schema=OUT_SCHEMA
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -195,19 +202,8 @@ def stream_extract_urls(
     ingested = ingest_urls_df(
         urls, fetch, user_agent=user_agent,
         resolver=resolver if resolver is not None else default_resolver)
-    fanned = explode_archives_df(ingested)
-    out = fanned.select("doc_id", "spans", "status").mapInPandas(
-        _extract_batches, schema=OUT_SCHEMA
-    )
-    writer = (
-        out.writeStream.format("parquet")
-        .option("path", output_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_span_sink(ingested, output_path, checkpoint_path,
+                            available_now)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

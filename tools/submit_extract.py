@@ -77,14 +77,10 @@ def main(argv: list[str]) -> int:
     spark = get_spark(app_name="extract-text-submit")
     t0 = time.monotonic()
     if args.input_format == "binary":
-        from pyspark.sql import functions as F
-        from extract_text_spark.ingest import ingest_bytes_df
-        raw = (spark.read.format("binaryFile").load(args.input)
-               .select(F.col("path").alias("doc_id"),
-                       F.element_at(F.split("path", "/"), -1)
-                        .alias("filename"),
-                       F.col("content")))
-        docs = ingest_bytes_df(raw)
+        from extract_text_spark.ingest import ingest_bytes_df, named_binary_df
+        docs = ingest_bytes_df(
+            named_binary_df(spark.read.format("binaryFile")
+                            .load(args.input)))
     else:
         docs = spark.read.parquet(args.input)
     metrics = run_extraction(
