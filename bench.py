@@ -78,7 +78,8 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "events_sessions", "ta_quality", "dedup_minhash_lsh",
         "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
         "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
-        "dedup_paragraphs", "ta_gopher",
+        "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
+        "ext_url_source",
     ]
     # Best-of-2 per query: this host is oversubscribed (CLAUDE.md), and a
     # cold first run folds Python-worker forks + codegen into one query's
