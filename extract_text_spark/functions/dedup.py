@@ -502,3 +502,38 @@ def paragraph_dedup(df: DataFrame, para_col: str = "paragraphs",
             lambda s: s.para,
         )).alias("text_kept"),
     ))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix-C style n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def contamination_flags(df: DataFrame, bench_pred: Column, n: int = 3,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Flag training docs sharing any word n-gram with a held-out
+    benchmark/eval subset (the GPT-3 decontamination recipe; production
+    uses n of 8-13 — the word-soup gate corpus needs n=3 for hits).
+
+    Scale shape: the benchmark side reduces to DISTINCT grams and
+    broadcasts (at 100 TB you'd compile it into a Bloom filter — same
+    join shape, approximate membership); the corpus side explodes once
+    and equi-joins — never an all-pairs comparison. Output is one row
+    per non-benchmark doc: (id, n_hits, contaminated).
+    """
+    s = df.select(F.col(id_col).alias("id"),
+                  shingles_col(text_col, n).alias("g"),
+                  bench_pred.alias("is_bench"))
+    bench = (s.filter(F.col("is_bench"))
+              .select(F.explode("g").alias("gram")).distinct())
+    ex = (s.filter(~F.col("is_bench"))
+           .select("id", F.explode("g").alias("gram")))
+    hits = (ex.join(F.broadcast(bench), "gram")
+              .groupBy("id")
+              .agg(F.count_distinct("gram").alias("hits")))
+    return (s.filter(~F.col("is_bench")).select("id")
+             .join(hits, "id", "left")
+             .select(
+                 "id",
+                 F.coalesce("hits", F.lit(0)).cast("long").alias("n_hits"),
+                 (F.coalesce("hits", F.lit(0)) > 0).alias("contaminated")))

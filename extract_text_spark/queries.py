@@ -704,6 +704,42 @@ _SHINGLES_SQL = """
 """
 
 
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 style): docs with doc_id %% 97 == 0
+    form the held-out eval set; every other doc is flagged if it shares
+    any word 3-gram with it. Bench grams deduplicate then broadcast
+    (Bloom filter at 100 TB); the corpus explodes once and equi-joins."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.contamination_flags(d, (F.col("doc_id") % 97) == 0, n=3)
+    return (out.select(F.col("id").alias("doc_id"), "n_hits", "contaminated")
+               .orderBy("doc_id"))
+
+
+DECONTAMINATE_SQL = """
+WITH s AS (
+  -- unlike _SHINGLES_SQL, keeps short docs (empty gram list, 0 hits)
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+),
+tagged AS (SELECT s.id, s.sh, (s.id % 97 = 0) AS is_bench FROM s),
+bench AS (SELECT DISTINCT unnest(sh) AS gram FROM tagged WHERE is_bench),
+ex AS (SELECT id, unnest(sh) AS gram FROM tagged WHERE NOT is_bench),
+hits AS (
+  SELECT ex.id, count(DISTINCT ex.gram) AS n FROM ex
+  JOIN bench ON ex.gram = bench.gram GROUP BY ex.id
+)
+SELECT t.id AS doc_id, coalesce(h.n, 0)::BIGINT AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM tagged t LEFT JOIN hits h ON h.id = t.id
+WHERE NOT t.is_bench
+ORDER BY doc_id
+"""
+
+
 NGRAM_MAX_DF = 100
 
 
@@ -2153,6 +2189,7 @@ QUERIES = {
     "dedup_paragraphs": dedup_paragraphs,
     "sample_stratified": sample_stratified,
     "pack_batches": pack_batches,
+    "decontaminate": decontaminate,
     "dedup_exact": dedup_exact,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2202,6 +2239,7 @@ ORACLES = {
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pack_batches": PACK_BATCHES_SQL,
+    "decontaminate": DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,

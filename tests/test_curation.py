@@ -134,6 +134,23 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert abs(n1 / 2000 - 0.1) < 0.03               # ~10% of src1
 
 
+def test_contamination_flags_ngram_overlap(spark):
+    rows = [
+        (0, "held out eval question about spark"),     # benchmark (id%2==0... pred below)
+        (1, "the eval question about spark appears verbatim here"),
+        (3, "completely unrelated words only"),
+        (5, "x y"),                                    # too short for 3-grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.n_hits, r.contaminated)
+           for r in dedup.contamination_flags(
+               df, F.col("doc_id") == 0, n=3).collect()}
+    assert 0 not in out                                # bench doc excluded
+    assert out[1][1] is True and out[1][0] >= 1        # shares "eval question about"
+    assert out[3] == (0, False)
+    assert out[5] == (0, False)                        # short doc kept, 0 hits
+
+
 def test_pack_sequences_contiguous_bins(spark):
     from extract_text_spark.functions import sampling
     df = spark.createDataFrame(
