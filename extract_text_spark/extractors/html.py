@@ -26,10 +26,17 @@ Tokenizer tolerances: comments, doctype, CDATA, quoted attributes containing
 
 from __future__ import annotations
 
+import string
 from html import unescape
 
 # Elements whose content html.parser treats as raw text (no nested tags).
 _RAWTEXT = {"script", "style"}
+
+# ASCII-only lowercase table for close-tag search: length-preserving (real
+# str.lower() can CHANGE length — 'İ'.lower() is two chars — which would
+# misalign find() indices), and tag names are ASCII so this matches
+# html.parser's ASCII-case-insensitive end-tag scan.
+_ASCII_LOWER = str.maketrans(string.ascii_uppercase, string.ascii_lowercase)
 
 # Void elements never push nesting depth.
 _VOID = {
@@ -87,6 +94,7 @@ def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
 def tokenize(html: str):
     """Yield ('text', data) / ('start', tag) / ('end', tag) events."""
     i, n = 0, len(html)
+    low = None  # built once on first rawtext element; O(n*tags) otherwise
     while i < n:
         lt = html.find("<", i)
         if lt < 0:
@@ -129,7 +137,9 @@ def tokenize(html: str):
             yield ("end", name)
         elif name in _RAWTEXT:
             # Raw-text content: everything up to the matching close tag.
-            close = html.lower().find(f"</{name}", i)
+            if low is None:
+                low = html.translate(_ASCII_LOWER)
+            close = low.find(f"</{name}", i)
             raw_end = n if close < 0 else close
             # Raw text is *not* emitted here — callers always drop it; if a
             # mode ever keeps script text, emit it as a text event instead.
@@ -166,6 +176,100 @@ def get_text(html: str, drop: frozenset | set = frozenset(_RAWTEXT)) -> str:
                 out.append(data)
         # rawtext events are always dropped (script/style only).
     return "".join(out)
+
+
+def _tag_attrs(tag_src: str) -> dict[str, str | None]:
+    """Parse attributes from one start tag's raw text (``'<img a="b" c>'``).
+
+    html.parser semantics: names ASCII-lowercased, entity-unescaped values,
+    valueless attributes map to ``None`` (html.parser emits ``(name, None)``
+    and BeautifulSoup stores it as-is), duplicate names last-wins.
+    """
+    i, n = 1, len(tag_src)
+    while i < n and (tag_src[i].isalnum() or tag_src[i] in "-_:/"):
+        i += 1
+    attrs: dict[str, str | None] = {}
+    while i < n:
+        while i < n and tag_src[i] in " \t\r\n\f/":
+            i += 1
+        if i >= n or tag_src[i] == ">":
+            break
+        start = i
+        while i < n and tag_src[i] not in " \t\r\n\f=/>":
+            i += 1
+        name = tag_src[start:i].lower()
+        while i < n and tag_src[i] in " \t\r\n\f":
+            i += 1
+        value: str | None = None
+        if i < n and tag_src[i] == "=":
+            i += 1
+            while i < n and tag_src[i] in " \t\r\n\f":
+                i += 1
+            if i < n and tag_src[i] in "\"'":
+                q = tag_src[i]
+                i += 1
+                vstart = i
+                while i < n and tag_src[i] != q:
+                    i += 1
+                value = tag_src[vstart:i]
+                i += 1
+            else:
+                vstart = i
+                while i < n and tag_src[i] not in " \t\r\n\f>":
+                    i += 1
+                value = tag_src[vstart:i]
+        if name:
+            attrs[name] = unescape(value) if value is not None else None
+    return attrs
+
+
+def find_img_srcs(html: str, cap: int | None = None) -> list[str | None]:
+    """Document-order ``src`` values of ``<img>`` elements that carry a
+    ``src`` attribute — BeautifulSoup ``find_all("img", src=True)`` parity
+    (app/extractors.py:3085-3089: attribute *presence* matches, even empty).
+    Imgs inside comments or script/style raw text are not element nodes and
+    are skipped. ``cap`` is the reference's ``[:max_images]`` document-order
+    cap applied before categorization (:3088-3089). A valueless ``src``
+    yields ``None`` (html.parser's value for bare attributes) — the caller
+    pins the reference's resulting all-images-lost quirk.
+    """
+    out: list[str | None] = []
+    i, n = 0, len(html)
+    low = None
+    while i < n and (cap is None or len(out) < cap):
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        nxt = html[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt == "/"):
+            i = lt + 1
+            continue
+        j, name, is_end, _self_closing = _scan_tag(html, lt)
+        if not is_end and name == "img":
+            attrs = _tag_attrs(html[lt:j])
+            if "src" in attrs:
+                out.append(attrs["src"])
+        elif not is_end and name in _RAWTEXT:
+            if low is None:
+                low = html.translate(_ASCII_LOWER)
+            close = low.find(f"</{name}", j)
+            if close < 0:
+                break
+            j, _, _, _ = _scan_tag(html, close)
+        i = j
+    return out
 
 
 _FILE_DROP = frozenset({"script", "style"})

@@ -213,23 +213,18 @@ def gopher_dup_line_cols(lines: str | Column = "lines") -> dict[str, Column]:
     col = F.col(lines) if isinstance(lines, str) else lines
     n_lines = F.size(col)
     # a line is a duplicate iff its first occurrence sits at a lower
-    # index; per-doc cost is O(lines^2) compares, which is fine for web
-    # documents (10^2-10^3 lines) — a corpus of pathological megadocs
-    # would use explode + groupBy(line) instead.
-    idx = F.sequence(F.lit(1), n_lines)
-    dup_flags = F.transform(
-        idx, lambda i: F.when(
-            F.array_position(col, F.element_at(col, i)) < i,
-            F.lit(1)).otherwise(F.lit(0)))
-    dup_chars = F.zip_with(
-        dup_flags, col,
-        lambda flg, line: flg.cast("long") * F.length(line))
-    n_dup = F.aggregate(dup_flags, F.lit(0).cast("long"),
-                        lambda a, x: a + x)
-    n_dup_chars = F.aggregate(dup_chars, F.lit(0).cast("long"),
-                              lambda a, x: a + x)
+    # index — i.e. everything except the first occurrence of each value.
+    # array_distinct keeps exactly the first occurrences (hash-based,
+    # O(L)), so duplicate count/chars are total minus distinct — linear
+    # in-row, where the naive per-element array_position scan is O(L^2)
+    # (ruinous at book length: 16k chunk-lines = 2.6e8 string compares
+    # in one task).
+    firsts = F.array_distinct(col)
+    n_dup = n_lines - F.size(firsts)
     n_chars = F.aggregate(col, F.lit(0).cast("long"),
                           lambda a, line: a + F.length(line))
+    n_dup_chars = n_chars - F.aggregate(
+        firsts, F.lit(0).cast("long"), lambda a, line: a + F.length(line))
 
 
     return {
@@ -272,28 +267,59 @@ def pii_scrub_cols(text: str | Column = "text") -> dict[str, Column]:
 def gopher_top_ngram_cols(text: str | Column = "text",
                           n: int = 2) -> dict[str, Column]:
     """Gopher's "fraction of characters in the most frequent n-gram"
-    (Rae et al. 2021, table A1), in-row: word n-grams, per-gram
-    occurrence counts via a filter over the gram list, max by
-    (count, chars) struct — the lexicographic struct max is identical in
-    Spark and DuckDB, so ties on count resolve to the larger char mass
-    deterministically. O(grams^2) compares per doc, fine for web docs."""
+    (Rae et al. 2021, table A1), in-row and O(L log L): sort the gram
+    array once, then a single ``aggregate`` pass counts equal runs,
+    keeping the max by (count, chars) — the same lexicographic order the
+    DuckDB oracle computes, so ties on count resolve to the larger char
+    mass deterministically. Every prefix of a run is dominated by the
+    full run, so updating the best at each element is exact. A 50k-word
+    doc costs ~50k comparisons in-row (the old per-gram filter was
+    O(L^2): 2.5e9 lambda evaluations for the same doc, one unsplittable
+    multi-minute task at book length)."""
     col = F.col(text) if isinstance(text, str) else text
     words = F.split(col, " ")
     m = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[
-            F.element_at(words, F.least(i + j, m)) for j in range(n)]))
-    # count once per gram, then pair with char mass: Catalyst has no CSE
-    # inside HOF lambdas, so the count must not be written twice
-    counts = F.transform(
-        grams, lambda g: F.size(F.filter(grams, lambda x: x == g)))
-    scored = F.zip_with(
-        counts, grams,
-        lambda c, g: F.struct(c.alias("cnt"),
-                              (c * F.length(g)).alias("chars")))
-    best = F.array_max(scored)
+    # Gram construction must NOT reference `words` inside a HOF lambda:
+    # Catalyst does no CSE in lambdas, so element_at(words, i) re-splits
+    # the whole document per element (O(L^2) — this was the real cost of
+    # the old form, on top of the per-gram filter). Instead build n
+    # shifted copies (shift j clamps trailing indices to the last word,
+    # matching the old least(i+j, m) lookup) and fold them with zip_with:
+    # zip_with arguments are evaluated ONCE, lambdas only touch bound
+    # pair elements.
+    def shifted(j):
+        if j == 0:
+            return words
+        return F.concat(
+            F.slice(words, 1 + j, F.greatest(m - j, F.lit(0))),
+            F.array_repeat(F.element_at(words, -1), j))
+
+    grams = shifted(0)
+    for j in range(1, n):
+        grams = F.zip_with(grams, shifted(j),
+                           lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(m - (n - 1), F.lit(1)))
+    zero = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                    zero.alias("cnt"), zero.alias("chars"))
+
+    def merge(acc, g):
+        # run/better appear in more than one field below: re-evaluated per
+        # use (no CSE in HOF lambdas) but constant-size — cheap, unlike the
+        # per-gram array filter this replaces.
+        run = F.when(g == acc.getField("prev"),
+                     acc.getField("run") + F.lit(1).cast("long")
+                     ).otherwise(F.lit(1).cast("long"))
+        chars = run * F.length(g)
+        better = (run > acc.getField("cnt")) | (
+            (run == acc.getField("cnt")) & (chars > acc.getField("chars")))
+        return F.struct(
+            g.alias("prev"), run.alias("run"),
+            F.when(better, run).otherwise(acc.getField("cnt")).alias("cnt"),
+            F.when(better, chars).otherwise(acc.getField("chars"))
+            .alias("chars"))
+
+    best = F.aggregate(F.array_sort(grams), init, merge)
     return {
         f"top{n}gram_char_frac_milli": _milli(
             best.getField("chars"), F.length(col)),

@@ -177,3 +177,24 @@ def test_curation_plans_stay_jvm_side(spark):
             .executedPlan().toString()
         assert "InMemoryTableScan" in plan or "Scan parquet" in plan
         assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_gopher_top2gram_bounded_on_book_length_doc(spark):
+    """The top-n-gram stat must be O(L log L) in-row, not O(L^2): a
+    50k-word doc was ~2.5e9 lambda evaluations under the old per-gram
+    filter (one unsplittable multi-minute task); the sorted run-length
+    aggregate finishes in seconds. The value stays closed-form: 'w0 w1
+    ... w49999 REP REP ... REP' -> top 2-gram 'REP REP' (cnt 99)."""
+    import time
+    from extract_text_spark.functions.text_stats import gopher_top_ngram_cols
+    words = [f"w{i}" for i in range(50_000)] + ["REP"] * 100
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.monotonic()
+    r = df.select(*(v.alias(k) for k, v in
+                    gopher_top_ngram_cols("text").items())).first()
+    elapsed = time.monotonic() - t0
+    assert r.top2gram_char_frac_milli == round(99 * 7 / len(text) * 1e6)
+    # generous bound for the oversubscribed host; the quadratic form
+    # took minutes on this doc
+    assert elapsed < 60, f"top-2-gram took {elapsed:.1f}s on 50k words"

@@ -138,3 +138,50 @@ def test_main_content_drops_short_shouty_chrome():
     out = extract_main_content(html)
     assert ARTICLE in out
     assert "SUBSCRIBE" not in out and "Cookie" not in out
+
+
+def test_rawtext_scan_is_single_pass():
+    """The close-tag scan must case-fold the document at most ONCE per
+    tokenize call, not once per script/style tag (O(n*tags) at scale)."""
+    from extract_text_spark.extractors import html as H
+
+    calls = {"lower": 0, "translate": 0}
+
+    class Counting(str):
+        def lower(self):
+            calls["lower"] += 1
+            return super().lower()
+
+        def translate(self, table):
+            calls["translate"] += 1
+            return super().translate(table)
+
+    doc = Counting("<p>a</p>" + "<script>x()</script><p>t</p>" * 100)
+    assert H.strip_html(doc, mode="file") == "a" + "t" * 100
+    assert calls["lower"] == 0
+    assert calls["translate"] <= 1
+
+
+def test_rawtext_close_scan_survives_length_changing_casefold():
+    """'İ'.lower() is TWO chars — a full str.lower() misaligns find()
+    indices for every rawtext close-tag scan after it. The ASCII-only
+    table is length-preserving."""
+    from extract_text_spark.extractors.html import strip_html
+    doc = "İİİ<p>keep</p><SCRIPT>drop()</SCRIPT><p>tail</p>"
+    assert strip_html(doc, mode="file") == "İİİkeeptail"
+
+
+def test_find_img_srcs_document_order_cap_and_contexts():
+    from extract_text_spark.extractors.html import find_img_srcs
+    doc = (
+        '<body><img src="a.png"><IMG SRC=b.gif alt="x">'
+        "<img data-no-src=1>"                       # no src attr: not matched
+        '<!-- <img src="in-comment"> -->'           # comments are not elements
+        "<script>var h = '<img src=\"in-script\">';</script>"
+        '<img src="data:image/png;base64,AAA"/>'
+        "<img src>"                                 # valueless src -> None
+        '<img src="a&amp;b.png"></body>'            # entity-unescaped value
+    )
+    assert find_img_srcs(doc) == [
+        "a.png", "b.gif", "data:image/png;base64,AAA", None, "a&b.png"]
+    assert find_img_srcs(doc, cap=2) == ["a.png", "b.gif"]
