@@ -403,16 +403,30 @@ def make_xls(sheets: dict[str, list[list]],
 
 
 def make_doc(paragraphs: list[str], extra_text: str = "",
-             which_table: int = 1, encrypted: bool = False) -> bytes:
+             which_table: int = 1, encrypted: bool = False,
+             header: str | None = None, footer: str | None = None) -> bytes:
     """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
     piece table. The text is split into a cp1252 ``fCompressed`` piece and
     a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
-    cp range past ccpText (footnote/header territory) and must not be
-    extracted. A dummy Prc chunk precedes the Pcdt to exercise Clx
-    skipping."""
+    cp range past every declared subdocument and must not be extracted.
+    ``header``/``footer`` populate the ccpHdd range with a real PlcfHdd
+    (six empty separator stories, then one section whose odd header/footer
+    carry the text — [MS-DOC] 2.8.25 story order). A dummy Prc chunk
+    precedes the Pcdt to exercise Clx skipping."""
     import struct
     text = ("\r".join(paragraphs) + "\r") if paragraphs else "\r"
-    full = text + extra_text
+
+    def u16len_(s: str) -> int:
+        return len(s.encode("utf-16-le")) // 2
+
+    hdd_stories: list[str] = []
+    if header is not None or footer is not None:
+        hdd_stories = ([""] * 6                       # note separators
+                       + ["", (header or "") and header + "\r",
+                          "", (footer or "") and footer + "\r",
+                          "", ""])
+    hdd_text = "".join(hdd_stories)
+    full = text + hdd_text + extra_text
     # split as close to the midpoint as cp1252-encodability allows
     split = 0
     for i in range(len(full) // 2, -1, -1):
@@ -437,6 +451,8 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
         return len(s.encode("utf-16-le")) // 2
 
     struct.pack_into("<i", wd, 0x4C, u16len(text))   # ccpText
+    struct.pack_into("<i", wd, 0x50, 0)              # ccpFtn
+    struct.pack_into("<i", wd, 0x54, u16len(hdd_text))   # ccpHdd
     struct.pack_into("<H", wd, 0x98, 0x5D)           # cbRgFcLcb
 
     pieces: list[tuple[int, int]] = []               # (CP count, fc raw)
@@ -463,16 +479,29 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
            + b"\x02" + struct.pack("<I", len(plc)) + plc)
     table = b"\x00" * 32 + clx                       # fcClx = 32
     struct.pack_into("<II", wd, 0x1A2, 32, len(clx))
+    if hdd_stories:
+        hdd_cps, acc = [0], 0
+        for story in hdd_stories:
+            acc += u16len_(story)
+            hdd_cps.append(acc)
+        plcfhdd = struct.pack(f"<{len(hdd_cps)}I", *hdd_cps)
+        struct.pack_into("<II", wd, 0xF2, len(table), len(plcfhdd))
+        table += plcfhdd
     return make_ole({"WordDocument": bytes(wd),
                      "1Table" if which_table else "0Table": table})
 
 
 def make_ppt(slides: list[dict]) -> bytes:
     """Legacy PPT: real OLE2 container + [MS-PPT] record stream. ``slides``
-    entries are {"shapes": [str], "notes": [str]} like make_pptx. Shape
-    texts alternate TextCharsAtom (UTF-16) / TextBytesAtom (low-byte) to
-    exercise both record types; \\n inside a shape becomes the \\r
-    paragraph mark PPT stores."""
+    entries are {"shapes": [str], "notes": [str], "textboxes": [str]} like
+    make_pptx plus drawing-layer textboxes. Shape texts alternate
+    TextCharsAtom (UTF-16) / TextBytesAtom (low-byte) to exercise both
+    record types; \\n inside a shape becomes the \\r paragraph mark PPT
+    stores. ``textboxes`` entries are written as real Escher layers — a
+    Slide container with PPDrawing -> OfficeArtDg/Spgr/Sp containers whose
+    OfficeArtClientTextbox holds the text atoms; each Slide also carries a
+    placeholder Sp whose ClientTextbox only holds an OutlineTextRefAtom
+    (its text lives in SlideListWithText and must not double-count)."""
     import struct
 
     def rec(ver_inst: int, rtype: int, payload: bytes) -> bytes:
@@ -508,9 +537,23 @@ def make_ppt(slides: list[dict]) -> bytes:
     doc = rec(0x000F, 0x03E8,
               rec(0x000F, 0x0FF0, slw0)                   # instance 0
               + rec(0x000F | (2 << 4), 0x0FF0, slw2))     # instance 2
+
+    def slide_container(i: int, s: dict) -> bytes:
+        # placeholder shape: ClientTextbox -> OutlineTextRefAtom only
+        sp_list = rec(0x000F, 0xF004,
+                      rec(0x000F, 0xF00D,
+                          rec(0, 0x0F9E, struct.pack("<i", i))))
+        for j, t in enumerate(s.get("textboxes", [])):
+            sp_list += rec(0x000F, 0xF004,
+                           rec(0x000F, 0xF00D, text_atoms([t], i + j)))
+        dg = rec(0x000F, 0xF002, rec(0x000F, 0xF003, sp_list))
+        return rec(0x000F, 0x03EE, rec(0x000F, 0x040C, dg))
+
+    slide_recs = b"".join(slide_container(i, s)
+                          for i, s in enumerate(slides))
     current_user = struct.pack("<I", 20) + b"\x00" * 20
     return make_ole({"Current User": current_user,
-                     "PowerPoint Document": doc})
+                     "PowerPoint Document": doc + slide_recs})
 
 
 def make_ole(streams: dict[str, bytes]) -> bytes:

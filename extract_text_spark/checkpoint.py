@@ -82,8 +82,12 @@ def run_extraction(
     # The increment's bucket set stays a DataFrame end-to-end: at 10^5
     # buckets a collected python list would bloat the manifest plan with a
     # 10^5-literal IN — the manifest scopes itself with a broadcast
-    # semi-join instead. The only driver action is the cheap emptiness
-    # probe (column-pruned scan, limit 1).
+    # semi-join instead. The only driver action is the emptiness probe
+    # (limit 1): on parquet inputs it is a column-pruned scan, but when
+    # ``docs`` arrives through the byte-ingestion kernel (submit
+    # --input-format binary) the probe does execute that kernel for the
+    # first non-empty partition — one extra kernel invocation, bounded
+    # by the limit, not a full pass.
     inc_buckets = docs.select("bucket").distinct()
     if docs.select("bucket").isEmpty():
         return {"buckets": 0, "docs": 0, "spans": 0, "bytes_in": 0,

@@ -18,10 +18,12 @@ Modeled scope (documented, not hidden):
   (0x07) and page breaks (0x0C) split paragraphs; line breaks (0x0B)
   become "\\n" exactly like <w:br/> in ooxml._w_para_text; field
   instructions (0x13..0x14) are dropped and field results (0x14..0x15)
-  kept — what LibreOffice's conversion renders.  Headers/footnotes (the
-  cp ranges past ccpText) and binary table structure are out of the
-  modeled range, so the payload carries empty tables/sections like a
-  body-only conversion would.
+  kept — what LibreOffice's conversion renders.  Section headers/footers
+  ARE modeled: the ``ccpHdd`` cp range is split into stories by PlcfHdd
+  ([MS-DOC] 2.8.25) and each section's odd (default) header/footer feeds
+  the payload's sections — the ``[Header]``/``[Footer]`` blocks the
+  converted docx path emits.  Footnote text and binary table structure
+  remain out of the modeled range, so those payload fields stay empty.
 * PPT — the [MS-PPT] record stream: DocumentContainer ->
   SlideListWithText (instance 0 = slides, 2 = notes), text grouped per
   SlidePersistAtom, one shape per TextCharsAtom (UTF-16LE) /
@@ -44,11 +46,16 @@ from .olexls import _Cfb
 _FC_COMPRESSED = 0x40000000
 _FIB_MAGIC = 0xA5EC
 # Fib offsets: base(32) + csw(2) + fibRgW(28) + cslw(2) = 0x40 -> fibRgLw97;
-# ccpText is its 4th dword (cbMac, reserved1, reserved2, ccpText).
+# ccpText is its 4th dword (cbMac, reserved1, reserved2, ccpText), then
+# ccpFtn and ccpHdd follow ([MS-DOC] 2.5.7 FibRgLw97).
 _CCP_TEXT_OFF = 0x4C
+_CCP_FTN_OFF = 0x50
+_CCP_HDD_OFF = 0x54
 # base(32)+csw(2)+fibRgW(28)+cslw(2)+fibRgLw(88)+cbRgFcLcb(2) = 0x9A, then
-# fcClx/lcbClx is the 34th (fc,lcb) pair: 0x9A + 33*8 = 0x1A2.
+# fcClx/lcbClx is the 34th (fc,lcb) pair: 0x9A + 33*8 = 0x1A2, and
+# fcPlcfhdd/lcbPlcfhdd the 12th: 0x9A + 11*8 = 0xF2 ([MS-DOC] 2.5.5).
 _FC_CLX_OFF = 0x1A2
+_FC_PLCFHDD_OFF = 0xF2
 
 # field instruction text: begin(0x13) .. separator(0x14); the result
 # (0x14..end 0x15) is what a conversion renders.
@@ -65,8 +72,35 @@ def _clean_fragment(text: str) -> str:
                 .replace("\x1f", ""))           # optional hyphen
 
 
+def _cp_slice(full: str, start_units: int, end_units: int) -> str:
+    """Slice by [MS-DOC] CP range — UTF-16 CODE UNITS, not code points."""
+    if len(full.encode("utf-16-le")) // 2 == len(full):   # BMP-only fast path
+        return full[start_units:end_units]
+    out, units = [], 0
+    for ch in full:
+        w = 2 if ord(ch) > 0xFFFF else 1
+        if units >= end_units:
+            break
+        if units >= start_units and units + w <= end_units:
+            out.append(ch)
+        units += w
+    return "".join(out)
+
+
 def doc_text_from_bytes(content: bytes) -> str:
     """Raw main-document text (control chars intact) from DOC bytes."""
+    return _doc_subdocs(content)[0]
+
+
+def _doc_subdocs(content: bytes) -> tuple[str, list[str]]:
+    """DOC bytes -> (main text, Hdd header/footer stories), control chars
+    intact.
+
+    Stories come from PlcfHdd over the cp range past ccpText+ccpFtn
+    ([MS-DOC] 2.8.25): the first six are note separators, then six per
+    section — even header, odd header, even footer, odd footer, first-page
+    header, first-page footer.
+    """
     cfb = _Cfb(content)
     wd = cfb.stream("WordDocument")
     if wd is None:
@@ -120,17 +154,25 @@ def doc_text_from_bytes(content: bytes) -> str:
     # plane chars count 2.
     total_units = len(full.encode("utf-16-le")) // 2
     if not 0 <= ccp_text <= total_units:
-        return full
-    if total_units == len(full):                # BMP-only fast path
-        return full[:ccp_text]
-    units, cut = 0, 0
-    for ch in full:
-        w = 2 if ord(ch) > 0xFFFF else 1
-        if units + w > ccp_text:
-            break
-        units += w
-        cut += 1
-    return full[:cut]
+        return full, []
+    main = _cp_slice(full, 0, ccp_text)
+
+    stories: list[str] = []
+    (ccp_ftn,) = struct.unpack_from("<i", wd, _CCP_FTN_OFF)
+    (ccp_hdd,) = struct.unpack_from("<i", wd, _CCP_HDD_OFF)
+    if ccp_hdd > 0 and len(wd) >= _FC_PLCFHDD_OFF + 8:
+        fc_hdd, lcb_hdd = struct.unpack_from("<II", wd, _FC_PLCFHDD_OFF)
+        hdd_base = ccp_text + max(ccp_ftn, 0)
+        if (lcb_hdd >= 8 and hdd_base + ccp_hdd <= total_units
+                and fc_hdd + lcb_hdd <= len(table)):
+            n_cps = lcb_hdd // 4
+            cps_h = struct.unpack_from(f"<{n_cps}I",
+                                       table, fc_hdd)
+            for i in range(n_cps - 1):
+                stories.append(_cp_slice(full, hdd_base + cps_h[i],
+                                         hdd_base + min(cps_h[i + 1],
+                                                        ccp_hdd)))
+    return main, stories
 
 
 def doc_payload_from_bytes(content: bytes) -> str:
@@ -138,24 +180,52 @@ def doc_payload_from_bytes(content: bytes) -> str:
     mirroring what LibreOffice conversion + the reference's python-docx
     read (app/extractors.py:392-473 -> :288-390) yields for body text."""
     import json
-    text = doc_text_from_bytes(content)
+    text, stories = _doc_subdocs(content)
+    # Field instructions strip over the FULL text before paragraph
+    # splitting: an 0x13..0x14 range may span a paragraph mark, and the
+    # conversion renders only field results — the instruction text and any
+    # marks inside it disappear together.
+    text = _FIELD_CODE.sub("", text)
     parts = _PARA_MARKS.split(text)
     if parts and parts[-1] == "":               # final paragraph mark
         parts.pop()
+
+    def story_paras(idx: int) -> list[str]:
+        if idx >= len(stories):
+            return []
+        ps = _PARA_MARKS.split(_FIELD_CODE.sub("", stories[idx]))
+        if ps and ps[-1] == "":
+            ps.pop()
+        return [_clean_fragment(p) for p in ps]
+
+    # PlcfHdd stories 0-5 are note separators; per section the layout is
+    # [evenH, oddH, evenF, oddF, firstH, firstF] — the odd (default)
+    # header/footer is what a LibreOffice conversion surfaces into the
+    # docx section python-docx reads (app/extractors.py:341-349).
+    sections = []
+    n_sections = max(0, (len(stories) - 6) // 6)
+    for s in range(n_sections):
+        base = 6 + 6 * s
+        sections.append({"header": story_paras(base + 1),
+                         "footer": story_paras(base + 3)})
     return json.dumps({
         "paragraphs": [_clean_fragment(p) for p in parts],
-        "tables": [], "sections": [], "footnotes": [], "comments": [],
+        "tables": [], "sections": sections, "footnotes": [], "comments": [],
     })
 
 
 # -- PPT ([MS-PPT] 2.3 Document Stream) -------------------------------------
 
 _RT_DOCUMENT = 0x03E8
+_RT_SLIDE = 0x03EE
+_RT_PPDRAWING = 0x040C
 _RT_SLIDE_LIST_WITH_TEXT = 0x0FF0
 _RT_SLIDE_PERSIST_ATOM = 0x03F3
+_RT_OUTLINE_TEXT_REF = 0x0F9E
 _RT_TEXT_CHARS = 0x0FA0
 _RT_TEXT_BYTES = 0x0FA8
 _RT_CRYPT_SESSION = 0x2F14                      # CryptSession10Container
+_ESCHER_CLIENT_TEXTBOX = 0xF00D                 # OfficeArtClientTextbox
 
 
 def _pt_records(data: bytes, start: int, end: int):
@@ -191,6 +261,34 @@ def ppt_payload_from_bytes(content: bytes) -> str:
 
     slides: list[list[str]] = []
     notes: list[list[str]] = []
+    slide_textboxes: list[list[str]] = []       # per Slide container, in order
+
+    def _decode_chars(b0: int, b1: int) -> str:
+        return _ppt_shape_text(
+            st[b0:b1 - (b1 - b0) % 2].decode("utf-16-le", errors="replace"))
+
+    def _escher_textboxes(start: int, end: int, out: list[str],
+                          depth: int) -> None:
+        """Collect OfficeArtClientTextbox text runs inside a drawing layer.
+        A ClientTextbox holding an OutlineTextRefAtom is a placeholder
+        whose text lives in SlideListWithText — skipped, never
+        double-counted."""
+        for vi, rt, b0, b1 in _pt_records(st, start, end):
+            if rt == _ESCHER_CLIENT_TEXTBOX:
+                texts: list[str] = []
+                has_ref = False
+                for _v2, rt2, c0, c1 in _pt_records(st, b0, b1):
+                    if rt2 == _RT_OUTLINE_TEXT_REF:
+                        has_ref = True
+                    elif rt2 == _RT_TEXT_CHARS:
+                        texts.append(_decode_chars(c0, c1))
+                    elif rt2 == _RT_TEXT_BYTES:
+                        texts.append(_ppt_shape_text(
+                            st[c0:c1].decode("latin-1")))
+                if not has_ref:
+                    out.extend(texts)
+            elif (vi & 0xF) == 0xF and depth < 16:
+                _escher_textboxes(b0, b1, out, depth + 1)
 
     def _walk_slw(body_start: int, body_end: int, sink: list[list[str]]):
         current: list[str] | None = None
@@ -223,10 +321,22 @@ def ppt_payload_from_bytes(content: bytes) -> str:
                     _walk_slw(b0, b1, slides)
                 elif inst == 2:
                     _walk_slw(b0, b1, notes)
+            elif rt == _RT_SLIDE:
+                # Nth Slide container <-> Nth SlidePersistAtom bucket (the
+                # modeled persist order); its PPDrawing may carry
+                # non-placeholder Escher textboxes the outline never sees.
+                tbs: list[str] = []
+                _escher_textboxes(b0, b1, tbs, 0)
+                slide_textboxes.append(tbs)
             elif (vi & 0xF) == 0xF and depth < 8:
                 _walk(b0, b1, depth + 1)
 
     _walk(0, len(st), 0)
+    for i, tbs in enumerate(slide_textboxes):
+        while len(slides) <= i and tbs:
+            slides.append([])
+        if tbs:
+            slides[i].extend(tbs)
     if not slides:
         raise ValueError("no slide text records in PowerPoint Document")
     return json.dumps({

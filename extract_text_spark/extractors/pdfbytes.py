@@ -79,13 +79,22 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _parse_objects(content: bytes) -> dict[int, bytes]:
-    objs = {}
+def _parse_objects(content: bytes) -> tuple[dict[int, bytes], dict[int, int]]:
+    """Linear scan -> (bodies, file offset of each winning definition).
+
+    Later occurrences win within the scan (incremental updates append), and
+    the offsets let ObjStm expansion apply the same rule across storage
+    forms: a member of an ObjStm that appears later in the file supersedes
+    an earlier top-level body of the same number."""
+    objs: dict[int, bytes] = {}
+    offs: dict[int, int] = {}
     for m in _OBJ_RE.finditer(content):
-        objs[int(m.group(1))] = m.group(3)
+        num = int(m.group(1))
+        objs[num] = m.group(3)
+        offs[num] = m.start()
     if not objs:
         raise ValueError("no PDF objects found")
-    return objs
+    return objs, offs
 
 
 def _dict_part(body: bytes) -> bytes:
@@ -173,16 +182,20 @@ def _stream_data(body: bytes, objs: dict[int, bytes] | None = None) -> bytes | N
     return data
 
 
-def _expand_object_streams(objs: dict[int, bytes]) -> None:
+def _expand_object_streams(objs: dict[int, bytes],
+                           offs: dict[int, int]) -> None:
     """Add objects stored inside /Type /ObjStm streams (PDF >= 1.5).
 
     Modern writers compress the Catalog / page tree / resource dicts into
     object streams; a linear top-level scan alone would find only the
     content streams and fail at 'no /Catalog'. The stream layout (ISO
     32000-1 §7.5.7): /N pairs of ``objnum offset`` ints, then the object
-    bodies at /First + offset. Direct top-level objects keep priority on
-    number collisions (single-generation files never collide)."""
-    for num in list(objs):
+    bodies at /First + offset. Number collisions follow the same
+    later-file-offset-wins rule as the top-level scan: a member inherits
+    its containing stream's offset, so an incremental update's ObjStm
+    supersedes an older top-level body and vice versa (single-generation
+    files never collide)."""
+    for num in sorted(objs, key=lambda n: offs.get(n, -1)):
         body = objs[num]
         head = _dict_part(body)
         if b"/ObjStm" not in head:
@@ -199,10 +212,13 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
         if len(header) < 2 * n:
             raise ValueError("object stream header shorter than /N pairs")
         nums = [int(x) for x in header[0:2 * n:2]]
-        offs = [int(x) for x in header[1:2 * n:2]]
-        for i, (onum, off) in enumerate(zip(nums, offs)):
-            end = first + offs[i + 1] if i + 1 < n else len(data)
-            objs.setdefault(onum, data[first + off:end])
+        m_offs = [int(x) for x in header[1:2 * n:2]]
+        stream_off = offs.get(num, -1)
+        for i, (onum, m_off) in enumerate(zip(nums, m_offs)):
+            end = first + m_offs[i + 1] if i + 1 < n else len(data)
+            if onum not in objs or offs.get(onum, -1) < stream_off:
+                objs[onum] = data[first + m_off:end]
+                offs[onum] = stream_off
 
 
 def _find_pages(objs: dict[int, bytes]) -> list[int]:
@@ -283,8 +299,8 @@ def pdf_pages_from_bytes(content: bytes) -> list[str]:
         raise ValueError("not a PDF (missing %PDF header)")
     if b"/Encrypt" in content:
         raise ValueError("encrypted PDF not supported")
-    objs = _parse_objects(content)
-    _expand_object_streams(objs)
+    objs, offs = _parse_objects(content)
+    _expand_object_streams(objs, offs)
     payloads = []
     for page_no, num in enumerate(_find_pages(objs), 1):
         body = objs[num]

@@ -217,17 +217,43 @@ def decode_tiff_header(payload: bytes) -> dict | None:
 
 
 def decode_webp_header(payload: bytes) -> dict | None:
-    """WEBP VP8X (extended format) canvas decode: 24-bit LE minus-one
-    width/height at offsets 24/27. PIL identifies webp, so the OCR gate
-    must reach the format-whitelist rejection, not 'cannot identify'."""
-    if (len(payload) < 30 or payload[:4] != b"RIFF"
-            or payload[8:16] != b"WEBPVP8X"):
+    """WEBP canvas decode for all three RIFF layouts. PIL identifies any
+    of them, so the OCR gate must reach the format-whitelist rejection
+    ('Unsupported image format: WEBP'), never 'cannot identify'.
+
+    VP8X (extended): 24-bit LE minus-one width/height at offsets 24/27.
+    'VP8 ' (lossy): 3-byte frame tag, 9D 01 2A start code, then two LE
+    u16s whose low 14 bits are width/height (VP8 spec RFC 6386 §9.1).
+    VP8L (lossless): 0x2F signature then 14-bit minus-one width/height
+    packed little-endian; bit 28 of the same u32 is the alpha flag.
+    """
+    if len(payload) < 16 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
-    width = 1 + int.from_bytes(payload[24:27], "little")
-    height = 1 + int.from_bytes(payload[27:30], "little")
-    has_alpha = bool(payload[20] & 0x10)
-    return {"width": width, "height": height,
-            "mode": "RGBA" if has_alpha else "RGB"}
+    chunk = payload[12:16]
+    if chunk == b"VP8X" and len(payload) >= 30:
+        width = 1 + int.from_bytes(payload[24:27], "little")
+        height = 1 + int.from_bytes(payload[27:30], "little")
+        has_alpha = bool(payload[20] & 0x10)
+        return {"width": width, "height": height,
+                "mode": "RGBA" if has_alpha else "RGB"}
+    if chunk == b"VP8 " and len(payload) >= 30:
+        if payload[23:26] != b"\x9d\x01\x2a":
+            return None
+        width = int.from_bytes(payload[26:28], "little") & 0x3FFF
+        height = int.from_bytes(payload[28:30], "little") & 0x3FFF
+        if not width or not height:
+            return None
+        return {"width": width, "height": height, "mode": "RGB"}
+    if chunk == b"VP8L" and len(payload) >= 25:
+        if payload[20] != 0x2F:
+            return None
+        bits = int.from_bytes(payload[21:25], "little")
+        width = (bits & 0x3FFF) + 1
+        height = ((bits >> 14) & 0x3FFF) + 1
+        has_alpha = bool((bits >> 28) & 1)
+        return {"width": width, "height": height,
+                "mode": "RGBA" if has_alpha else "RGB"}
+    return None
 
 
 def decode_wav_header(payload: bytes) -> dict | None:

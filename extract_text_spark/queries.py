@@ -1919,10 +1919,13 @@ def ext_office_bytes(spark, sf_dir):
         if m == 6:
             return "f.doc", make_doc([text, "Legacy " + source],
                                      extra_text="must-not-leak",
-                                     which_table=(doc_id // 8) % 2)
+                                     which_table=(doc_id // 8) % 2,
+                                     header="Hd " + source,
+                                     footer="Ft " + str(doc_id))
         if m == 7:
             return "f.ppt", make_ppt(
-                [{"shapes": [text], "notes": ["n2 " + source]}])
+                [{"shapes": [text], "notes": ["n2 " + source],
+                  "textboxes": ["Tb " + source]}])
         if m == 0:
             return "f.docx", make_docx([text], table=[["a", "b"]], header="Hdr")
         if m == 1:
@@ -1958,7 +1961,11 @@ SELECT doc_id, 'ok' AS status, 1 AS n_spans,
                      || '[Speaker Notes]' || chr(10) || 'n ' || source
          WHEN 3 THEN text
          WHEN 6 THEN text || chr(10) || chr(10) || 'Legacy ' || source
+                     || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hd '
+                     || source || chr(10) || chr(10) || '[Footer]'
+                     || chr(10) || 'Ft ' || doc_id::VARCHAR
          WHEN 7 THEN '[Slide 1]' || chr(10) || text || chr(10)
+                     || 'Tb ' || source || chr(10)
                      || '[Speaker Notes]' || chr(10) || 'n2 ' || source
          ELSE '[Sheet: T]' || chr(10) || chr(10) || 'w,id' || chr(10)
               || source || ',' || doc_id::VARCHAR || chr(10)

@@ -149,3 +149,58 @@ def test_ole_mime_classification_doc_ppt():
     assert sniff_content_mime(make_doc(["x"])) == "application/msword"
     assert (sniff_content_mime(make_ppt([{"shapes": ["x"], "notes": []}]))
             == "application/vnd.ms-powerpoint")
+
+
+def test_doc_header_footer_stories_extracted():
+    """ccpHdd range via PlcfHdd: the odd (default) header/footer stories
+    surface as the section header/footer, exactly as the reference's
+    LibreOffice doc->docx conversion exposes them to python-docx
+    (/root/reference/app/extractors.py:341-349 via :392-473); text past
+    the declared subdocuments still must not leak."""
+    doc = make_doc(["body"], header="Page Head", footer="Page Foot",
+                   extra_text="must-not-leak")
+    got = json.loads(doc_payload_from_bytes(doc))
+    assert got["sections"] == [
+        {"header": ["Page Head"], "footer": ["Page Foot"]}]
+    text = doc_text_from_bytes(doc)
+    assert "must-not-leak" not in text and "Page Head" not in text
+
+
+def test_doc_with_header_spans_equal_docx_spans():
+    paras = ["Intro paragraph", "The end"]
+    st_doc, sp_doc = spans_from_bytes(
+        make_doc(paras, header="Shared Hdr"), "legacy.doc")
+    st_docx, sp_docx = spans_from_bytes(
+        make_docx(paras, header="Shared Hdr"), "modern.docx")
+    assert st_doc is None and st_docx is None
+    assert sp_doc == sp_docx
+
+
+def test_doc_field_instruction_spanning_paragraph_mark():
+    # the 0x13..0x14 instruction range crosses a paragraph mark: the whole
+    # instruction (marks included) disappears; only the result renders
+    raw = "see \x13PAGEREF\rdeep _x\x14page 9\x15 done"
+    got = json.loads(doc_payload_from_bytes(make_doc([raw])))["paragraphs"]
+    assert got == ["see page 9 done"]
+
+
+def test_ppt_escher_textboxes_append_after_placeholders():
+    """Drawing-layer (OfficeArtClientTextbox) text that never appears in
+    SlideListWithText must still extract — and a placeholder's
+    ClientTextbox (OutlineTextRefAtom) must NOT double-count its outline
+    text. Parity: the converted-pptx equivalent has the textboxes as
+    ordinary shapes after the placeholders."""
+    slides = [
+        {"shapes": ["Title A"], "notes": ["n1"],
+         "textboxes": ["Floating box", "Box β"]},
+        {"shapes": ["Title B"], "notes": []},
+    ]
+    got = json.loads(ppt_payload_from_bytes(make_ppt(slides)))
+    assert got["slides"][0]["shapes"] == ["Title A", "Floating box", "Box β"]
+    assert got["slides"][1]["shapes"] == ["Title B"]
+    st_ppt, sp_ppt = spans_from_bytes(make_ppt(slides), "a.ppt")
+    st_pptx, sp_pptx = spans_from_bytes(make_pptx([
+        {"shapes": ["Title A", "Floating box", "Box β"], "notes": ["n1"]},
+        {"shapes": ["Title B"], "notes": []},
+    ]), "a.pptx")
+    assert st_ppt is None and st_pptx is None and sp_ppt == sp_pptx
