@@ -2038,6 +2038,119 @@ FROM documents ORDER BY url
 """
 
 
+def ext_url_images(spark, sf_dir):
+    """<img> harvesting on the URL page path (app/extractors.py:3016-3359
+    + record order :2749-2765): every doc is an HTML page; doc_id %% 4
+    exercises (0) base64-before-URL emission order, (1) the 20-image
+    document-order cap, (2) the per-image drop gates — pixel floor, SSRF,
+    unidentifiable bytes, extensionless src whose content-type is outside
+    the images_ocr whitelist — plus content-type extension backfill, and
+    (3) data-URI mime whitelisting + query-string filename derivation.
+    Every fetched byte is closed-form (bytecorpus builders), so each
+    surviving image's media_ref JSON is literal in the oracle."""
+    from . import urlsource
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    urls = d.select(F.concat(F.lit("http://imgs.example/page"), did,
+                             F.lit(".html")).alias("url"))
+
+    def fetch(url, ua):
+        import base64
+        from extract_text_spark.bytecorpus import (
+            make_gif, make_jpeg, make_png)
+        name = url.rsplit("/", 1)[-1]
+        if name.endswith(".html"):
+            d_id = int(name[4:-5])
+            m = d_id % 4
+            body = f"<nav>chrome</nav><p>Page {d_id}</p>"
+            if m == 0:
+                b64 = base64.b64encode(make_png(200, 150)).decode()
+                body += ('<img src="/img/a.gif">'
+                         f'<img src="data:image/png;base64,{b64}">')
+            elif m == 1:
+                body += "".join(f'<img src="/i{k}.gif">' for k in range(25))
+            elif m == 2:
+                b64s = base64.b64encode(make_png(100, 100)).decode()
+                body += (f'<img src="data:image/png;base64,{b64s}">'
+                         '<img src="http://localhost/evil.gif">'
+                         '<img src="/junk.png">'
+                         '<img src="/noct">'
+                         '<img src="/raw">')
+            else:
+                body += ('<img src="data:image/svg+xml;base64,AAAA">'
+                         '<img src="/photo.png?v=2">')
+            return {"content_type": "text/html", "final_url": url,
+                    "headers": {}, "content": body.encode()}
+        if name == "a.gif":
+            content, ct = make_gif(150, 150), "image/gif"
+        elif name.startswith("i") and name.endswith(".gif"):
+            content, ct = make_gif(160, 150), "image/gif"
+        elif name == "junk.png":
+            content, ct = b"junk bytes", "image/png"
+        elif name == "noct":
+            content, ct = make_gif(200, 200), "application/octet-stream"
+        elif name == "raw":
+            content, ct = make_jpeg(180, 130), "image/jpeg"
+        elif name.startswith("photo.png"):
+            content, ct = make_png(200, 150), "image/png"
+        else:
+            content, ct = b"", "application/octet-stream"
+        return {"content_type": ct, "final_url": url,
+                "headers": {"content-type": ct}, "content": content}
+
+    out = urlsource.extract_from_urls(
+        urls, fetch, resolver=lambda h: ["93.184.216.34"])
+    ex = out.select(F.col("doc_id").alias("url"),
+                    F.explode("spans").alias("span"))
+    return ex.select(
+        "url",
+        F.col("span.offset").cast("long").alias("off"),
+        F.col("span.kind").alias("kind"),
+        F.coalesce(F.col("span.text"), F.col("span.media_ref"))
+         .alias("content"),
+    ).orderBy("url", "off")
+
+
+EXT_URL_IMAGES_SQL = """
+WITH pages AS (
+  SELECT doc_id, doc_id % 4 AS m,
+         'http://imgs.example/page' || doc_id::VARCHAR || '.html' AS url
+  FROM documents
+), recs AS (
+  SELECT url, 0 AS off, 'text' AS kind,
+         'Page ' || doc_id::VARCHAR AS content FROM pages
+  UNION ALL
+  SELECT url, 1, 'media',
+         '{"filename":"base64_image.png",'
+         || '"path":"data:image/png;base64,[base64_data]",'
+         || '"size":30218,"type":"png","width":200,"height":150}'
+  FROM pages WHERE m = 0
+  UNION ALL
+  SELECT url, 2, 'media',
+         '{"filename":"a.gif","path":"http://imgs.example/img/a.gif",'
+         || '"size":14,"type":"gif","width":150,"height":150}'
+  FROM pages WHERE m = 0
+  UNION ALL
+  SELECT url, k + 1, 'media',
+         '{"filename":"i' || k::VARCHAR || '.gif",'
+         || '"path":"http://imgs.example/i' || k::VARCHAR || '.gif",'
+         || '"size":14,"type":"gif","width":160,"height":150}'
+  FROM pages, range(20) t(k) WHERE m = 1
+  UNION ALL
+  SELECT url, 1, 'media',
+         '{"filename":"raw.jpg","path":"http://imgs.example/raw",'
+         || '"size":23,"type":"jpg","width":180,"height":130}'
+  FROM pages WHERE m = 2
+  UNION ALL
+  SELECT url, 1, 'media',
+         '{"filename":"photo.png","path":"http://imgs.example/photo.png?v=2",'
+         || '"size":30218,"type":"png","width":200,"height":150}'
+  FROM pages WHERE m = 3
+)
+SELECT url, off::BIGINT AS off, kind, content FROM recs ORDER BY url, off
+"""
+
+
 def ext_pdf_bytes(spark, sf_dir):
     """Real PDF bytes (E1 from actual FlateDecode streams): two pages per
     doc through extractors/pdfbytes.py -> pdf_page spans -> the pinned
@@ -2223,6 +2336,7 @@ QUERIES = {
     "ext_zip_fanout": ext_zip_fanout,
     "ext_office_bytes": ext_office_bytes,
     "ext_url_source": ext_url_source,
+    "ext_url_images": ext_url_images,
     "ext_pdf_bytes": ext_pdf_bytes,
     "ext_validate_mime": ext_validate_mime,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -2273,6 +2387,7 @@ ORACLES = {
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
     "ext_url_source": EXT_URL_SOURCE_SQL,
+    "ext_url_images": EXT_URL_IMAGES_SQL,
     "ext_pdf_bytes": EXT_PDF_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
     "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,

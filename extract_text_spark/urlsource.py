@@ -166,12 +166,169 @@ def filename_from_response(headers: dict, url: str) -> str:
     return sanitize_filename(filename) if filename else "downloaded_file"
 
 
+# app/config.py:78-84,98-99
+MAX_IMAGES_PER_PAGE = 20
+MIN_IMAGE_SIZE_FOR_OCR = 22500
+# the images_ocr whitelist (app/config.py:127)
+_IMAGES_OCR = ("jpg", "jpeg", "png", "tiff", "tif", "bmp", "gif", "webp")
+# get_extension_from_mime's exact-match table, in ITERATION ORDER — the
+# reference substring-matches each mime against the content type
+# (app/utils.py:740-755).
+_IMG_MIME_EXT = [
+    ("image/jpeg", "jpg"), ("image/jpg", "jpg"), ("image/png", "png"),
+    ("image/webp", "webp"), ("image/gif", "gif"), ("image/bmp", "bmp"),
+    ("image/tiff", "tiff"), ("image/tif", "tif"),
+]
+
+
+def image_ext_from_mime(content_type: str | None) -> str | None:
+    """``get_extension_from_mime`` (app/utils.py:719-776) over the
+    images_ocr whitelist: exact-table substring pass first, then the
+    partial-match fallbacks ('jpeg' anywhere -> jpg, etc.)."""
+    if not content_type:
+        return None
+    ct = content_type.lower().strip()
+    for mime, ext in _IMG_MIME_EXT:
+        if mime in ct and ext in _IMAGES_OCR:
+            return ext
+    if "jpeg" in ct or "jpg" in ct:
+        return "jpg"
+    if "png" in ct:
+        return "png"
+    if "webp" in ct:
+        return "webp"
+    if "gif" in ct:
+        return "gif"
+    if "bmp" in ct:
+        return "bmp"
+    if "tiff" in ct or "tif" in ct:
+        return "tiff"
+    return None
+
+
+def _image_dims(content: bytes) -> tuple[int, int] | None:
+    """PIL-identifiability stand-in: real header decodes (7 formats + all
+    three WEBP layouts). The URL-image path applies no format whitelist —
+    only ``Image.open`` success and the pixel floor
+    (app/extractors.py:3225-3238)."""
+    from .functions.multimodal import ocr_gate
+    gate = ocr_gate(content)
+    if gate["width"] is None or gate["height"] is None:
+        return None
+    return gate["width"], gate["height"]
+
+
+def _media_span(filename: str, path: str, size: int, img_type: str,
+                width: int, height: int) -> dict:
+    ref = (f'{{"filename":"{filename}","path":"{path}","size":{size},'
+           f'"type":"{img_type}","width":{width},"height":{height}}}')
+    return {"kind": "media", "text": None, "media_ref": ref, "offset": 0}
+
+
+def _process_base64_image(src: str) -> dict | None:
+    """``_process_base64_image`` (app/extractors.py:3279-3359), decidable
+    part: data-URI mime -> whitelisted extension, base64 decode, dims
+    floor. The OCR text itself is the external Tesseract tier; the record
+    (filename/path/size/type) is what the engine owns."""
+    import base64
+    if not src.startswith("data:image/"):
+        return None
+    if ";" not in src:                  # extract_mime_from_base64_data_uri
+        return None                     # (app/utils.py:810-833)
+    mime = src.split(";")[0].replace("data:", "")
+    if not mime.startswith("image/"):
+        return None
+    ext = image_ext_from_mime(mime)
+    if not ext:
+        return None
+    if "," not in src:                  # decode_base64_image (:779-807)
+        return None
+    try:
+        content = base64.b64decode(src.split(",", 1)[1])
+    except Exception:
+        return None
+    if not content:
+        return None
+    dims = _image_dims(content)
+    if dims is None:
+        return None
+    if dims[0] * dims[1] < MIN_IMAGE_SIZE_FOR_OCR:
+        return None                     # silently skipped (:3330-3338)
+    return _media_span(f"base64_image.{ext}",
+                       f"data:image/{ext};base64,[base64_data]",
+                       len(content), ext, dims[0], dims[1])
+
+
+def _process_url_image(src: str, base_url: str, fetch, user_agent,
+                       resolver) -> dict | None:
+    """``_process_single_image`` (app/extractors.py:3173-3277): relative ->
+    absolute, per-image SSRF gate, fetch, dims floor, filename derivation
+    (basename, extension backfilled from content-type via the images_ocr
+    whitelist or the image is dropped)."""
+    import os.path
+    from urllib.parse import urljoin
+    if not src:
+        return None
+    img_url = urljoin(base_url, src)
+    if not is_safe_url(img_url, resolver=resolver):
+        return None
+    try:
+        resp = fetch(img_url, user_agent)
+        content = resp.get("content") or b""
+    except Exception:
+        return None
+    if not content:
+        return None
+    dims = _image_dims(content)
+    if dims is None:
+        return None
+    if dims[0] * dims[1] < MIN_IMAGE_SIZE_FOR_OCR:
+        return None
+    filename = os.path.basename(urlparse(img_url).path) or "image"
+    if "." not in filename:
+        headers = {k.lower(): v for k, v in (resp.get("headers") or {}).items()}
+        ext = image_ext_from_mime(headers.get("content-type", "").lower())
+        if not ext:
+            return None                 # unsupported MIME -> ignored
+        filename = f"{filename}.{ext}"
+    return _media_span(filename, img_url, len(content),
+                       filename.split(".")[-1].lower(), dims[0], dims[1])
+
+
+def harvest_images(html: str, base_url: str, fetch, user_agent=None,
+                   resolver=default_resolver,
+                   max_images: int = MAX_IMAGES_PER_PAGE,
+                   enable_base64: bool = True) -> list[dict]:
+    """``_extract_images_from_html`` (app/extractors.py:3016-3058): the
+    first ``max_images`` <img src> tags in document order, categorized
+    into base64-data-URI vs URL images, processed base64-first then URL
+    (:3046-3052) — each surviving image becomes one media span after the
+    page record. A valueless ``src`` raises inside the reference's
+    try-block, losing EVERY image on the page (quirk pinned: [] here)."""
+    from .extractors.html import find_img_srcs
+    srcs = find_img_srcs(html, cap=max_images)
+    base64_srcs, url_srcs = [], []
+    for src in srcs:
+        if src is None:                 # .startswith on None -> exception
+            return []                   # -> the whole harvest returns []
+        if src.startswith("data:image/") and enable_base64:
+            base64_srcs.append(src)
+        else:
+            url_srcs.append(src)
+    out = [_process_base64_image(s) for s in base64_srcs]
+    out += [_process_url_image(s, base_url, fetch, user_agent, resolver)
+            for s in url_srcs]
+    return [span for span in out if span is not None]
+
+
 def spans_from_url(url: str, fetch, user_agent: str | None = None,
-                   resolver=default_resolver):
+                   resolver=default_resolver, process_images: bool = True):
     """One URL -> (status|None, input spans), the spans_from_bytes
     contract. ``fetch(url, user_agent)`` must return a dict with
     ``content_type``, ``final_url``, ``headers`` and ``content`` (bytes);
-    error strings mirror the endpoint's surface (app/main.py:516-639)."""
+    error strings mirror the endpoint's surface (app/main.py:516-639).
+    HTML pages yield the page span plus harvested <img> media spans
+    (``process_images``, default on like settings.process_images)."""
     from .ingest import spans_from_bytes
     url = (url or "").strip()
     if not url:
@@ -193,8 +350,18 @@ def spans_from_url(url: str, fetch, user_agent: str | None = None,
         return f"error: Error processing URL: {exc}", []
     if is_html_content(content_type, final_url):
         html = content.decode("utf-8", errors="replace")
-        return None, [{"kind": "html_page", "text": html,
-                       "media_ref": final_url, "offset": 0}]
+        spans = [{"kind": "html_page", "text": html,
+                  "media_ref": final_url, "offset": 0}]
+        if process_images:
+            # page record first, then one media span per harvested image —
+            # the reference's normative record order (app/extractors.py:
+            # 2749-2765: page content appended, then image_texts extend).
+            for i, span in enumerate(harvest_images(
+                    html, final_url, fetch, user_agent=user_agent,
+                    resolver=resolver), start=1):
+                span["offset"] = i
+                spans.append(span)
+        return None, spans
     filename = filename_from_response(resp.get("headers") or {}, final_url)
     return spans_from_bytes(content, filename)
 
@@ -213,7 +380,8 @@ _URL_SCHEMA = StructType([
 
 def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
                    user_agent: str | None = None,
-                   resolver=default_resolver) -> DataFrame:
+                   resolver=default_resolver,
+                   process_images: bool = True) -> DataFrame:
     """URL table -> span-model documents (doc_id = url). One Arrow kernel
     per row does validation + injected fetch + routing; extraction runs
     in the SAME downstream kernel as every other source, exactly once.
@@ -224,7 +392,8 @@ def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
             rows = []
             for url in b[url_col]:
                 status, spans = spans_from_url(
-                    url, fetch, user_agent=user_agent, resolver=resolver)
+                    url, fetch, user_agent=user_agent, resolver=resolver,
+                    process_images=process_images)
                 rows.append((url, status, spans))
             yield pd.DataFrame(rows, columns=["doc_id", "status", "spans"])
     return df.select(url_col).mapInPandas(kernel, schema=_URL_SCHEMA)
@@ -235,6 +404,7 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
     extraction kernel, mirroring ingest.extract_from_bytes."""
     from .pipeline import extract_spans_df
     ingest_kwargs = {k: kwargs.pop(k) for k in
-                     ("url_col", "user_agent", "resolver") if k in kwargs}
+                     ("url_col", "user_agent", "resolver", "process_images")
+                     if k in kwargs}
     return extract_spans_df(ingest_urls_df(df, fetch, **ingest_kwargs),
                             **kwargs)

@@ -119,3 +119,115 @@ def test_url_ingest_is_single_python_stage(spark):
     plan = ingest_urls_df(urls, fake_fetch, resolver=resolve_public) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
+
+
+# -- <img> harvesting on the page path (app/extractors.py:3016-3359) ---------
+
+def _img_fakes():
+    from extract_text_spark.bytecorpus import make_gif, make_jpeg, make_png
+
+    def fetch(url, ua):
+        name = url.rsplit("/", 1)[-1]
+        if "big.gif" in name:
+            content, ct = make_gif(150, 150), "image/gif"
+        elif "small.gif" in name:
+            content, ct = make_gif(100, 100), "image/gif"
+        elif "junk.png" in name:
+            content, ct = b"not an image at all", "image/png"
+        elif "noext-ok" in name:
+            content, ct = make_jpeg(180, 130), "image/jpeg"
+        elif "noext-bad" in name:
+            content, ct = make_gif(200, 200), "application/octet-stream"
+        elif "photo.png" in name:
+            content, ct = make_png(200, 150), "image/png"
+        else:
+            raise ValueError(f"unexpected image url {url}")
+        return {"content_type": ct, "final_url": url,
+                "headers": {"content-type": ct}, "content": content}
+
+    return fetch, (lambda h: ["93.184.216.34"])
+
+
+def test_harvest_base64_first_then_urls_with_gates():
+    import base64
+    from extract_text_spark import urlsource
+    from extract_text_spark.bytecorpus import make_png
+    fetch, resolver = _img_fakes()
+    b64 = base64.b64encode(make_png(200, 150)).decode()
+    b64_small = base64.b64encode(make_png(100, 100)).decode()
+    html = (
+        "<p>t</p>"
+        '<img src="/img/big.gif">'                    # url image, doc order 1
+        f'<img src="data:image/png;base64,{b64}">'    # base64 -> emitted FIRST
+        f'<img src="data:image/png;base64,{b64_small}">'   # < 22500 px: drop
+        '<img src="data:image/svg+xml;base64,AAAA">'  # mime not whitelisted
+        '<img src="data:image/png;base64,!!!">'       # invalid base64: drop
+        '<img src="/img/small.gif">'                  # 100x100: drop
+        '<img src="http://localhost/evil.gif">'       # SSRF: drop
+        '<img src="/img/junk.png">'                   # unidentifiable: drop
+        '<img src="/noext-ok">'                       # ext backfilled: jpg
+        '<img src="/noext-bad">'                      # unsupported ct: drop
+    )
+    spans = urlsource.harvest_images(html, "http://site.example/p.html",
+                                     fetch, resolver=resolver)
+    import json
+    refs = [json.loads(s["media_ref"]) for s in spans]
+    assert [r["filename"] for r in refs] == [
+        "base64_image.png", "big.gif", "noext-ok.jpg"]
+    assert refs[0]["path"] == "data:image/png;base64,[base64_data]"
+    assert refs[0]["size"] == len(make_png(200, 150))
+    assert refs[0]["width"] == 200 and refs[0]["height"] == 150
+    assert refs[1]["path"] == "http://site.example/img/big.gif"
+    assert refs[1]["size"] == 14 and refs[1]["type"] == "gif"
+    assert refs[2]["path"] == "http://site.example/noext-ok"
+    assert refs[2]["type"] == "jpg"
+    assert all(s["kind"] == "media" and s["text"] is None for s in spans)
+
+
+def test_harvest_document_order_cap_before_categorization():
+    from extract_text_spark import urlsource
+    fetch, resolver = _img_fakes()
+    # 25 URL imgs; the [:20] cap applies in document order BEFORE
+    # categorization (app/extractors.py:3085-3089)
+    html = "".join(f'<img src="/i{k}/big.gif">' for k in range(25))
+    spans = urlsource.harvest_images(html, "http://site.example/p.html",
+                                     fetch, resolver=resolver)
+    import json
+    assert [json.loads(s["media_ref"])["path"] for s in spans] == [
+        f"http://site.example/i{k}/big.gif" for k in range(20)]
+
+
+def test_harvest_valueless_src_loses_every_image():
+    # reference quirk: img.get("src") is None -> AttributeError inside
+    # _extract_images_from_html's try -> [] for the whole page
+    from extract_text_spark import urlsource
+    fetch, resolver = _img_fakes()
+    html = '<img src="/img/big.gif"><img src><img src="/img/big.gif">'
+    assert urlsource.harvest_images(
+        html, "http://site.example/p.html", fetch, resolver=resolver) == []
+
+
+def test_spans_from_url_page_then_images_order():
+    from extract_text_spark import urlsource
+    fetch_img, resolver = _img_fakes()
+
+    def fetch(url, ua):
+        if url.endswith(".html"):
+            html = ('<nav>chrome</nav><p>Page body</p>'
+                    '<img src="/img/big.gif">')
+            return {"content_type": "text/html", "final_url": url,
+                    "headers": {}, "content": html.encode()}
+        return fetch_img(url, ua)
+
+    status, spans = urlsource.spans_from_url(
+        "http://site.example/p.html", fetch, resolver=resolver)
+    assert status is None
+    assert [s["kind"] for s in spans] == ["html_page", "media"]
+    assert [s["offset"] for s in spans] == [0, 1]
+    # and the downstream kernel keeps the interleaving
+    from extract_text_spark.extractors import extract_document
+    st, out = extract_document("u", spans)
+    assert st == "ok"
+    assert [s["kind"] for s in out] == ["text", "media"]
+    assert out[0]["text"] == "Page body"
+    assert "big.gif" in out[1]["media_ref"]
