@@ -2038,6 +2038,102 @@ FROM documents ORDER BY url
 """
 
 
+def _msg_fixture_bytes() -> bytes:
+    """Deterministic MSG bytes engineered so the kernel's two whole-file
+    decode passes (app/extractors.py:1293-1384) each see ONLY their own
+    lines, making the expected text closed-form:
+
+    * pass 1 (utf-16le): uppercase-only Cyrillic (U+0410-042F) — its
+      ascii projection is digits/punctuation/controls with no letters, so
+      pass 2 drops it; the duplicated line exercises the pass-1 dedupe.
+    * pass 2 (ascii): letters alternated with spaces — the utf-16 pair
+      projection lands in U+20xx punctuation (non-alpha), so pass 1 drops
+      it; the single pad byte keeps the pair alignment on that plane.
+    """
+    p1 = ("ПЕРВАЯ СТРОКА ПИСЬМА ТУТ\nВТОРАЯ СТРОКА СООБЩЕНИЯ\n"
+          "ВТОРАЯ СТРОКА СООБЩЕНИЯ\n")
+    p2 = " l i n e   t w o   h e r e \n"
+    return p1.encode("utf-16-le") + b"\n" + p2.encode("ascii")
+
+
+def ext_mail_bytes(spark, sf_dir):
+    """EML/MSG kernels (E20/E21, app/extractors.py:1169-1384) through the
+    byte-ingestion path: doc_id %% 4 routes (0) simple EML with base64 CTE
+    body, (1) multipart EML - text/plain + text/html parts extracted in
+    walk order (html via the no-drop get_text), application/octet-stream
+    skipped, (2) RFC2047 encoded-word Subject decoding, (3) a real CFB
+    .msg through the two-pass byte heuristic (fixed bytes, literal
+    oracle). Base64 transfer encoding keeps bodies lossless; bare 8-bit
+    bodies ride the stdlib raw-unicode-escape quirk pinned in pytest."""
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        import base64
+        m = doc_id % 4
+        if m == 3:
+            return "m.msg", _msg_fixture_bytes()
+        if m == 0:
+            b64 = base64.b64encode(text.encode()).decode()
+            return "m.eml", (
+                "From: sender@corpus.example\n"
+                f"To: rcpt{doc_id}@corpus.example\n"
+                f"Subject: Doc {doc_id}\n"
+                "Date: Mon, 1 Jan 2024 00:00:00 +0000\n"
+                "Content-Type: text/plain; charset=utf-8\n"
+                "Content-Transfer-Encoding: base64\n\n" + b64).encode()
+        if m == 1:
+            bp = base64.b64encode(("Plain " + text).encode()).decode()
+            bh = base64.b64encode(
+                ("<p>HTML <b>" + source + "</b></p>").encode()).decode()
+            return "m.eml", (
+                "From: multi@corpus.example\n"
+                f"Subject: Multi {doc_id}\n"
+                "MIME-Version: 1.0\n"
+                'Content-Type: multipart/mixed; boundary="xbnd9f"\n\n'
+                "--xbnd9f\nContent-Type: text/plain; charset=utf-8\n"
+                "Content-Transfer-Encoding: base64\n\n" + bp + "\n"
+                "--xbnd9f\nContent-Type: text/html; charset=utf-8\n"
+                "Content-Transfer-Encoding: base64\n\n" + bh + "\n"
+                "--xbnd9f\nContent-Type: application/octet-stream\n\nBIN\n"
+                "--xbnd9f--\n").encode()
+        subj = base64.b64encode(("Тема " + source).encode()).decode()
+        return "m.eml", (
+            "From: enc@corpus.example\n"
+            f"Subject: =?utf-8?B?{subj}?=\n\n"
+            "encoded-word body line").encode()
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_MAIL_BYTES_SQL = """
+SELECT doc_id, 'ok' AS status,
+       CASE doc_id % 4
+         WHEN 0 THEN 'From: sender@corpus.example' || chr(10)
+                     || 'To: rcpt' || doc_id::VARCHAR || '@corpus.example'
+                     || chr(10) || 'Subject: Doc ' || doc_id::VARCHAR
+                     || chr(10)
+                     || 'Date: Mon, 1 Jan 2024 00:00:00 +0000' || chr(10)
+                     || '---' || chr(10) || text
+         WHEN 1 THEN 'From: multi@corpus.example' || chr(10)
+                     || 'Subject: Multi ' || doc_id::VARCHAR || chr(10)
+                     || '---' || chr(10) || 'Plain ' || text || chr(10)
+                     || 'HTML ' || source
+         WHEN 2 THEN 'From: enc@corpus.example' || chr(10)
+                     || 'Subject: Тема ' || source || chr(10)
+                     || '---' || chr(10) || 'encoded-word body line'
+         ELSE 'ПЕРВАЯ СТРОКА ПИСЬМА ТУТ' || chr(10)
+              || 'ВТОРАЯ СТРОКА СООБЩЕНИЯ' || chr(10)
+              || 'l i n e   t w o   h e r e'
+       END AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
 def ext_url_images(spark, sf_dir):
     """<img> harvesting on the URL page path (app/extractors.py:3016-3359
     + record order :2749-2765): every doc is an HTML page; doc_id %% 4
@@ -2337,6 +2433,7 @@ QUERIES = {
     "ext_office_bytes": ext_office_bytes,
     "ext_url_source": ext_url_source,
     "ext_url_images": ext_url_images,
+    "ext_mail_bytes": ext_mail_bytes,
     "ext_pdf_bytes": ext_pdf_bytes,
     "ext_validate_mime": ext_validate_mime,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -2388,6 +2485,7 @@ ORACLES = {
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
     "ext_url_source": EXT_URL_SOURCE_SQL,
     "ext_url_images": EXT_URL_IMAGES_SQL,
+    "ext_mail_bytes": EXT_MAIL_BYTES_SQL,
     "ext_pdf_bytes": EXT_PDF_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
     "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,

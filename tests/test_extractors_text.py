@@ -166,3 +166,19 @@ def test_invalid_xml_yaml_fail_closed():
         status, out = extract_document(
             "d", [{"kind": kind, "text": payload, "media_ref": None, "offset": 0}])
         assert status.startswith("error") and out == []
+
+
+def test_eml_bare_8bit_body_rides_stdlib_mangle():
+    """No Content-Transfer-Encoding: get_payload(decode=True) round-trips
+    the str payload through raw-unicode-escape, so non-Latin-1 chars come
+    back as literal escapes and Latin-1-range bytes misdecode as utf-8
+    replacement chars. The reference uses the same stdlib call
+    (app/extractors.py:1239-1250) — quirk pinned, and why fixtures that
+    need lossless bodies use base64 CTE."""
+    from extract_text_spark.extractors.email_msg import extract_eml
+    raw = ("From: a@x.com\n\nZürich — café").encode("utf-8")
+    out = extract_eml(raw)
+    assert out.startswith("From: a@x.com\n---\n")
+    body = out.split("---\n", 1)[1]
+    assert "\\u2014" in body          # literal escape, not the em dash
+    assert "�" in body           # mojibake for the Latin-1 range
