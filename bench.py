@@ -21,6 +21,22 @@ import time
 
 SIZE_MULT = 20  # ~5-50 KB/doc: realistic corpus documents
 
+# Same protocol as tools/scaling_run.py: start legs only on a quiet host
+# and record the loadavg each leg actually started at, so a regression is
+# attributable — engine change vs co-tenant noise.
+LOAD_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+LOAD_WAIT_CAP = int(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "300"))
+
+
+def _gate_load() -> float:
+    """Sleep until 1-min loadavg drops under the threshold (capped), then
+    return the loadavg the measurement actually started at."""
+    waited = 0
+    while os.getloadavg()[0] > LOAD_THRESHOLD and waited < LOAD_WAIT_CAP:
+        time.sleep(5)
+        waited += 5
+    return round(os.getloadavg()[0], 2)
+
 
 def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
                        cache_dir: str = "/root/repo/.bench_corpus",
@@ -63,10 +79,13 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # triple a single run (observed 6.9s-20s for identical work); the min
     # is the engine, the rest is the neighbours.
     dt, n_out = None, 0
+    legs: dict[str, list[list[float]]] = {"extract_corpus": []}
     for _ in range(3):
+        load = _gate_load()
         t0 = time.monotonic()
         n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
         run = time.monotonic() - t0
+        legs["extract_corpus"].append([round(run, 3), load])
         dt = run if dt is None else min(dt, run)
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
@@ -79,18 +98,22 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
         "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
         "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
-        "ext_url_source",
+        "ext_url_source", "ext_url_images", "ext_mail_bytes",
     ]
-    # Best-of-2 per query: this host is oversubscribed (CLAUDE.md), and a
-    # cold first run folds Python-worker forks + codegen into one query's
-    # number at random. min(cold, warm) is the steady-state figure a long
-    # production job actually sees.
+    # Best-of-3 per query, each leg load-gated and its start loadavg
+    # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold
+    # first run folds Python-worker forks + codegen into one query's
+    # number at random, and co-tenant load can triple identical work. The
+    # min is the engine; the legs show which runs the neighbours ate.
     for name in headliners:
         best = None
-        for _ in range(2):
+        legs[name] = []
+        for _ in range(3):
+            load = _gate_load()
             t0 = time.monotonic()
             QUERIES[name](spark, sf_dir).count()
             dt = time.monotonic() - t0
+            legs[name].append([round(dt, 3), load])
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
 
@@ -107,6 +130,8 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "corpus_docs_in": n_corpus,
         "corpus_docs_out": n_out,
         "cpus": cpus,
+        "load_gate": LOAD_THRESHOLD,
+        "legs": legs,
     }
 
 

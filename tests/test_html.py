@@ -185,3 +185,26 @@ def test_find_img_srcs_document_order_cap_and_contexts():
     assert find_img_srcs(doc) == [
         "a.png", "b.gif", "data:image/png;base64,AAA", None, "a&b.png"]
     assert find_img_srcs(doc, cap=2) == ["a.png", "b.gif"]
+
+
+def test_single_span_giant_doc_is_linear_not_quadratic():
+    """A 20 MB single-span HTML doc is ONE extraction task (skew chunking
+    splits across spans, and byte-splitting inside a span would change
+    semantics: whole-payload encoding detection, stateful rawtext
+    tokenization). The bound that makes this acceptable at scale is
+    kernel LINEARITY: ~3 s for 20 MB here, so even MAX_FILE_SIZE (100 MB)
+    is a ~16 s straggler — one task among thousands, not a stage killer.
+    Before the single-pass casefold fix this doc was O(n*tags): ~250k
+    script tags x 20 MB re-lowercases, i.e. effectively unbounded."""
+    import time
+    from extract_text_spark.extractors import extract_document
+    block = ("<div><p>Words in a paragraph with text. </p>"
+             "<script>var x=1;</script></div>")
+    html = "<html><body>" + block * (20_000_000 // len(block)) + "</body></html>"
+    span = [{"kind": "html_page", "text": html, "media_ref": None,
+             "offset": 0}]
+    t0 = time.monotonic()
+    status, out = extract_document("giant", span)
+    elapsed = time.monotonic() - t0
+    assert status == "ok" and out[0]["text"].startswith("Words in a paragraph")
+    assert elapsed < 60, f"20MB single-span doc took {elapsed:.1f}s"
