@@ -830,3 +830,98 @@ def make_odt(paragraphs: list[str]) -> bytes:
             f"<office:body>{body}</office:body></office:document-content>"
         ),
     })
+
+
+def make_rar5(entries: dict[str, bytes], with_dir: str | None = None) -> bytes:
+    """Real RAR5 container, STORE method (rarlab technote block layout:
+    vint-framed Main/File/End headers; compression-info method bits 0).
+    ``with_dir`` adds a directory entry (file flag 0x01) that the walk
+    must skip. Read back by extractors.arclite.rar5_members — and by the
+    real ``rarfile`` where installed (rarfile cannot WRITE archives, which
+    is why this writer exists)."""
+    import struct
+    import zlib
+    from .extractors.arclite import RAR5_SIG
+
+    def vint(v: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    def block(htype: int, fields: bytes, data: bytes = b"",
+              extra_flags: int = 0) -> bytes:
+        hflags = extra_flags | (0x02 if data else 0)
+        body = vint(htype) + vint(hflags)
+        if data:
+            body += vint(len(data))
+        body += fields
+        hdr = vint(len(body)) + body
+        return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+    out = bytearray(RAR5_SIG)
+    out += block(1, vint(0))                         # main: archive flags 0
+    if with_dir:
+        name = with_dir.encode("utf-8")
+        fields = (vint(0x01) + vint(0) + vint(0x10)  # dir flag, size, attrs
+                  + vint(0) + vint(1) + vint(len(name)) + name)
+        out += block(2, fields)
+    for fname, data in entries.items():
+        name = fname.encode("utf-8")
+        fields = (vint(0) + vint(len(data)) + vint(0)  # flags, unpacked, attrs
+                  + vint(0) + vint(1)                  # method=store, unix
+                  + vint(len(name)) + name)
+        out += block(2, fields, data)
+    out += block(5, vint(0))                         # end of archive
+    return bytes(out)
+
+
+def make_7z(entries: dict[str, bytes], coder: str = "copy") -> bytes:
+    """Real 7z container (7zFormat.txt): one single-coder folder per file,
+    uncompressed kHeader property tree. ``coder``: "copy" (0x00 pass-
+    through) or "lzma2" (raw LZMA2 streams via stdlib lzma, 1 MiB dict).
+    Read back by extractors.arclite.sevenz_members and by py7zr where
+    installed."""
+    import struct
+    import zlib
+    from .extractors.arclite import SEVENZ_SIG, write_num7 as num
+
+    packed: list[bytes] = []
+    coders: list[bytes] = []
+    for data in entries.values():
+        if coder == "lzma2":
+            import lzma
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+                {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}])
+            packed.append(c.compress(data) + c.flush())
+            # flags: id size 1 | has-props; prop 16 -> (2|0)<<(8+11) = 1 MiB
+            coders.append(b"\x21\x21" + num(1) + bytes([16]))
+        else:
+            packed.append(data)
+            coders.append(b"\x01\x00")               # id size 1, Copy
+    n = len(entries)
+
+    pack_info = (bytes([0x06]) + num(0) + num(n) + bytes([0x09])
+                 + b"".join(num(len(p)) for p in packed) + bytes([0x00]))
+    folders = b"".join(num(1) + c for c in coders)   # 1 coder per folder
+    unpack_info = (bytes([0x07, 0x0B]) + num(n) + b"\x00" + folders
+                   + bytes([0x0C])
+                   + b"".join(num(len(d)) for d in entries.values())
+                   + bytes([0x00]))
+    streams = bytes([0x04]) + pack_info + unpack_info + bytes([0x00])
+
+    names = b"".join(f.encode("utf-16-le") + b"\x00\x00" for f in entries)
+    files_info = (bytes([0x05]) + num(n)
+                  + bytes([0x11]) + num(1 + len(names)) + b"\x00" + names
+                  + bytes([0x00]))
+    header = bytes([0x01]) + streams + files_info + bytes([0x00])
+
+    body = b"".join(packed)
+    start = struct.pack("<QQI", len(body), len(header), zlib.crc32(header))
+    return (SEVENZ_SIG + b"\x00\x04"
+            + struct.pack("<I", zlib.crc32(start)) + start + body + header)

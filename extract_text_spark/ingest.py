@@ -584,7 +584,14 @@ def _tar_members(content: bytes, depth: int) -> list[dict]:
 
 def _rar_members(content: bytes, depth: int) -> list[dict]:
     if not rarfile:
-        raise ValueError("RAR support not available. Install rarfile library.")
+        # vendored fallback: stored-method RAR5 walk without the optional
+        # dep (extractors/arclite.py); the library path below is identical
+        # in walk semantics (app/extractors.py:1812-1885)
+        from .extractors.arclite import rar5_members
+        return _members_from_entries(
+            ((name, size, lambda d=data: d)
+             for name, data, size in rar5_members(content)),
+            "rar", depth)
     try:  # pragma: no cover - optional dependency
         rf = rarfile.RarFile(io.BytesIO(content))
     except rarfile.Error:
@@ -598,7 +605,13 @@ def _rar_members(content: bytes, depth: int) -> list[dict]:
 
 def _7z_members(content: bytes, depth: int) -> list[dict]:
     if not py7zr:
-        raise ValueError("7Z support not available. Install py7zr library.")
+        # vendored fallback: Copy/LZMA1/LZMA2/BZip2 single-coder 7z walk
+        # without the optional dep (extractors/arclite.py)
+        from .extractors.arclite import sevenz_members
+        return _members_from_entries(
+            ((name, len(data), lambda d=data: d)
+             for name, data in sevenz_members(content)),
+            "7z", depth)
     try:  # pragma: no cover - optional dependency
         sz = py7zr.SevenZipFile(io.BytesIO(content))
     except py7zr.Bad7zFile:

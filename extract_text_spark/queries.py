@@ -1900,6 +1900,46 @@ SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
 """
 
 
+def ext_rar7z_fanout(spark, sf_dir):
+    """Real RAR5/7z bytes (A4/A5) through the vendored from-scratch
+    readers (extractors/arclite.py; the reference walks these with
+    rarfile/py7zr, app/extractors.py:1812-1959 — absent here, so the
+    fallback executes): even docs are stored-method RAR5 with a skipped
+    directory entry, odd docs are 7z alternating Copy / raw-LZMA2
+    coders, all fanned out JVM-side like every archive."""
+    from .bytecorpus import make_7z, make_rar5
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        entries = {
+            "a.txt": text.encode("utf-8"),
+            "sub/b.md": ("# Doc Title\n\n" + text).encode("utf-8"),
+        }
+        if doc_id % 2:
+            coder = "lzma2" if (doc_id // 2) % 2 else "copy"
+            return "bundle.7z", make_7z(entries, coder=coder)
+        return "bundle.rar", make_rar5(entries, with_dir="sub")
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        "doc_id", "status",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_RAR7Z_FANOUT_SQL = """
+WITH kids AS (
+  SELECT concat(doc_id::VARCHAR, '/a.txt') AS doc_id, text AS extracted
+  FROM documents
+  UNION ALL
+  SELECT concat(doc_id::VARCHAR, '/sub/b.md'),
+         'Doc Title' || chr(10) || text FROM documents
+)
+SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
+"""
+
+
 def ext_office_bytes(spark, sf_dir):
     """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS/DOC/PPT bytes (E3/E4/E5/E7/E8/E19
     from actual containers, app/extractors.py:288-635, 1107-1167; ods and
@@ -2434,6 +2474,7 @@ QUERIES = {
     "ext_url_source": ext_url_source,
     "ext_url_images": ext_url_images,
     "ext_mail_bytes": ext_mail_bytes,
+    "ext_rar7z_fanout": ext_rar7z_fanout,
     "ext_pdf_bytes": ext_pdf_bytes,
     "ext_validate_mime": ext_validate_mime,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -2486,6 +2527,7 @@ ORACLES = {
     "ext_url_source": EXT_URL_SOURCE_SQL,
     "ext_url_images": EXT_URL_IMAGES_SQL,
     "ext_mail_bytes": EXT_MAIL_BYTES_SQL,
+    "ext_rar7z_fanout": EXT_RAR7Z_FANOUT_SQL,
     "ext_pdf_bytes": EXT_PDF_BYTES_SQL,
     "ext_validate_mime": EXT_VALIDATE_MIME_SQL,
     "ext_sanitize_filename": EXT_SANITIZE_FILENAME_SQL,

@@ -658,18 +658,19 @@ def test_7z_real_library_round_trip():
     assert json.loads(spans[0]["text"])["text"] == "real seven zip"
 
 
-def test_rar_7z_missing_library_error_parity():
-    """With the optional libs absent, byte parsing reproduces the
-    reference's optional-dependency errors (app/extractors.py:1813-1830)."""
+def test_rar_7z_vendored_fallback_error_surface():
+    """With the optional libs absent the vendored readers carry the walk;
+    out-of-subset containers fail closed with a clear per-file error (the
+    reference with libs installed would succeed — the subset bounds are
+    documented in extractors/arclite.py)."""
     import extract_text_spark.ingest as ing
     if ing.rarfile is None:
         status, _ = spans_from_bytes(b"Rar!\x1a\x07\x00x", "m.rar")
-        assert status == ("error: Error processing archive: RAR support "
-                          "not available. Install rarfile library.")
+        assert status == ("error: Error processing archive: RAR4 archives "
+                          "not supported by the vendored reader")
     if ing.py7zr is None:
         status, _ = spans_from_bytes(b"7z\xbc\xaf\x27\x1cx", "m.7z")
-        assert status == ("error: Error processing archive: 7Z support "
-                          "not available. Install py7zr library.")
+        assert status == "error: Error processing archive: Invalid 7Z file"
 
 
 def test_truncated_archive_is_per_file_error_not_crash():
@@ -748,3 +749,53 @@ def test_pdf_mixed_tj_operators_keep_stream_order():
     seg = (b"BT /F1 12 Tf 72 700 Td (A) Tj [(B)(b)] TJ (C) Tj ET")
     blocks = _content_blocks(seg, 792.0)
     assert blocks[0]["text"] == "A\nBb\nC"
+
+
+# -- vendored RAR5/7z readers (extractors/arclite.py) ------------------------
+
+def test_vendored_rar5_round_trip_and_dir_skip():
+    from extract_text_spark.bytecorpus import make_rar5
+    from extract_text_spark.extractors.arclite import rar5_members
+    r = make_rar5({"a.txt": b"rar member text", "sub/b.md": b"# T"},
+                  with_dir="sub")
+    assert rar5_members(r) == [("a.txt", b"rar member text", 15),
+                               ("sub/b.md", b"# T", 3)]
+
+
+def test_vendored_rar5_rejects_rar4_and_compressed():
+    import pytest
+    from extract_text_spark.extractors.arclite import rar5_members
+    with pytest.raises(ValueError, match="RAR4"):
+        rar5_members(b"Rar!\x1a\x07\x00restofrar4")
+    with pytest.raises(ValueError, match="Invalid RAR"):
+        rar5_members(b"XXnotrar")
+
+
+def test_vendored_7z_copy_and_lzma_coders():
+    from extract_text_spark.bytecorpus import make_7z
+    from extract_text_spark.extractors.arclite import sevenz_members
+    entries = {"a.txt": b"seven text", "big.bin": bytes(range(256)) * 64}
+    for coder in ("copy", "lzma2"):
+        assert sevenz_members(make_7z(entries, coder=coder)) == [
+            ("a.txt", b"seven text"), ("big.bin", bytes(range(256)) * 64)]
+
+
+def test_vendored_readers_drive_ingest_fanout():
+    """With rarfile/py7zr absent (this sandbox), the vendored readers
+    carry the A4/A5 walk: member model, nested recursion, error surface
+    (app/extractors.py:1812-1959)."""
+    import json
+    from extract_text_spark.bytecorpus import make_7z, make_rar5
+    r = make_rar5({"a.txt": b"rar text"})
+    st, spans = spans_from_bytes(r, "x.rar")
+    assert st is None and len(spans) == 1
+    member = json.loads(spans[0]["text"])
+    assert member["path"] == "a.txt"
+    # nested rar inside lzma2 7z
+    z = make_7z({"inner.rar": r, "n.txt": b"note"}, coder="lzma2")
+    st, spans = spans_from_bytes(z, "outer.7z")
+    assert st is None and len(spans) == 2
+    st, _ = spans_from_bytes(b"XXnotrar", "bad.rar")
+    assert st == "error: Error processing archive: Invalid RAR file"
+    st, _ = spans_from_bytes(b"XX", "bad.7z")
+    assert st == "error: Error processing archive: Invalid 7Z file"
