@@ -193,6 +193,24 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    ui = QUERIES["ext_url_images"](spark, SF)
+    add("ext_url_images — one URL kernel, fan-out + extraction shared "
+        "downstream", ui, [
+        ("exactly one parquet scan", one_scan),
+        ("Arrow-batched kernels only (no row-at-a-time Python)",
+         r"^(?!.*BatchEvalPython)"),
+        ("MapInPandas present", r"MapInPandas"),
+    ])
+
+    rz = QUERIES["ext_rar7z_fanout"](spark, SF)
+    add("ext_rar7z_fanout — vendored readers inside the single ingest "
+        "kernel, JVM-only fan-out", rz, [
+        ("exactly one parquet scan", one_scan),
+        ("Arrow-batched kernels only (no row-at-a-time Python)",
+         r"^(?!.*BatchEvalPython)"),
+        ("MapInPandas present", r"MapInPandas"),
+    ])
+
     samp = QUERIES["sample_stratified"](spark, SF)
     add("sample_stratified — membership filter before any exchange", samp, [
         ("filter sits directly on the scan (reject set never shuffles)",
