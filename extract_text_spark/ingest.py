@@ -765,7 +765,14 @@ def ingest_bytes_df(df: DataFrame, validate: bool = False) -> DataFrame:
 def extract_from_bytes(df: DataFrame, validate: bool = False,
                        **extract_kwargs) -> DataFrame:
     """Full byte-ingest pipeline: parse containers -> JVM fan-out ->
-    extraction kernel (pipeline.extract_spans_df)."""
+    extraction kernel (pipeline.extract_spans_df).
+
+    The ingest output is persisted (MEMORY_AND_DISK) before the
+    extraction pipeline's small/big path split: both paths consume it,
+    and without the materialization barrier every container would be
+    PARSED once per path — 2x the ingest-kernel cost for nothing."""
+    from pyspark import StorageLevel
     from .pipeline import extract_spans_df
-    return extract_spans_df(ingest_bytes_df(df, validate=validate),
-                            **extract_kwargs)
+    ing = ingest_bytes_df(df, validate=validate).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    return extract_spans_df(ing, **extract_kwargs)

@@ -34,7 +34,7 @@ import re
 from collections.abc import Iterator
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType, IntegerType, StringType, StructField, StructType,
 )
@@ -381,11 +381,21 @@ _URL_SCHEMA = StructType([
 def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
                    user_agent: str | None = None,
                    resolver=default_resolver,
-                   process_images: bool = True) -> DataFrame:
+                   process_images: bool = True,
+                   partitions: int | None = None) -> DataFrame:
     """URL table -> span-model documents (doc_id = url). One Arrow kernel
     per row does validation + injected fetch + routing; extraction runs
     in the SAME downstream kernel as every other source, exactly once.
-    Quarantine rows carry the endpoint's error strings in ``status``."""
+    Quarantine rows carry the endpoint's error strings in ``status``.
+
+    The url list is hash-repartitioned BEFORE the kernel (default
+    2x defaultParallelism): a URL table is tiny on disk but each row is
+    real fetch+parse work, so inheriting the file's input splits would
+    serialize the whole fetch tier onto a handful of tasks."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism * 2
+    src = df.select(url_col).repartition(partitions, F.col(url_col))
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
         for b in batches:
@@ -396,15 +406,23 @@ def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
                     process_images=process_images)
                 rows.append((url, status, spans))
             yield pd.DataFrame(rows, columns=["doc_id", "status", "spans"])
-    return df.select(url_col).mapInPandas(kernel, schema=_URL_SCHEMA)
+    return src.mapInPandas(kernel, schema=_URL_SCHEMA)
 
 
 def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
     """Full URL pipeline: validate+fetch+route -> JVM fan-out ->
-    extraction kernel, mirroring ingest.extract_from_bytes."""
+    extraction kernel, mirroring ingest.extract_from_bytes.
+
+    The ingest output is persisted (MEMORY_AND_DISK) before the
+    extraction pipeline's small/big path split: both paths consume it,
+    and without the materialization barrier each URL would be FETCHED
+    once per path — wrong for a side-effecting network tier, and 2x the
+    kernel cost."""
+    from pyspark import StorageLevel
     from .pipeline import extract_spans_df
     ingest_kwargs = {k: kwargs.pop(k) for k in
-                     ("url_col", "user_agent", "resolver", "process_images")
-                     if k in kwargs}
-    return extract_spans_df(ingest_urls_df(df, fetch, **ingest_kwargs),
-                            **kwargs)
+                     ("url_col", "user_agent", "resolver", "process_images",
+                      "partitions") if k in kwargs}
+    ing = ingest_urls_df(df, fetch, **ingest_kwargs).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    return extract_spans_df(ing, **kwargs)

@@ -193,10 +193,16 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    def scans_le(n: int):
+        # full extraction pipelines split the small/big size paths BEFORE
+        # the kernel (CLAUDE.md invariant), so each path scans once
+        return lambda t: t.split("\n\n(1)")[0].count("Scan parquet") <= n
+
     ui = QUERIES["ext_url_images"](spark, SF)
     add("ext_url_images — one URL kernel, fan-out + extraction shared "
         "downstream", ui, [
-        ("exactly one parquet scan", one_scan),
+        ("at most one scan per size path (small/big split pre-kernel)",
+         scans_le(2)),
         ("Arrow-batched kernels only (no row-at-a-time Python)",
          r"^(?!.*BatchEvalPython)"),
         ("MapInPandas present", r"MapInPandas"),
@@ -205,7 +211,8 @@ def main():
     rz = QUERIES["ext_rar7z_fanout"](spark, SF)
     add("ext_rar7z_fanout — vendored readers inside the single ingest "
         "kernel, JVM-only fan-out", rz, [
-        ("exactly one parquet scan", one_scan),
+        ("at most one scan per size path (small/big split pre-kernel)",
+         scans_le(2)),
         ("Arrow-batched kernels only (no row-at-a-time Python)",
          r"^(?!.*BatchEvalPython)"),
         ("MapInPandas present", r"MapInPandas"),
