@@ -229,7 +229,15 @@ def _process_base64_image(src: str) -> dict | None:
     """``_process_base64_image`` (app/extractors.py:3279-3359), decidable
     part: data-URI mime -> whitelisted extension, base64 decode, dims
     floor. The OCR text itself is the external Tesseract tier; the record
-    (filename/path/size/type) is what the engine owns."""
+    (filename/path/size/type) is what the engine owns. Any unexpected
+    exception drops THIS image only (per-image try, :3355-3359)."""
+    try:
+        return _process_base64_image_inner(src)
+    except Exception:
+        return None
+
+
+def _process_base64_image_inner(src: str) -> dict | None:
     import base64
     if not src.startswith("data:image/"):
         return None
@@ -264,7 +272,16 @@ def _process_url_image(src: str, base_url: str, fetch, user_agent,
     """``_process_single_image`` (app/extractors.py:3173-3277): relative ->
     absolute, per-image SSRF gate, fetch, dims floor, filename derivation
     (basename, extension backfilled from content-type via the images_ocr
-    whitelist or the image is dropped)."""
+    whitelist or the image is dropped). Any unexpected exception drops
+    THIS image only (the reference's per-image try, :3173-3277)."""
+    try:
+        return _process_url_image_inner(src, base_url, fetch, user_agent,
+                                        resolver)
+    except Exception:
+        return None
+
+
+def _process_url_image_inner(src, base_url, fetch, user_agent, resolver):
     import os.path
     from urllib.parse import urljoin
     if not src:
