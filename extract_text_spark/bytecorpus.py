@@ -404,7 +404,8 @@ def make_xls(sheets: dict[str, list[list]],
 
 def make_doc(paragraphs: list[str], extra_text: str = "",
              which_table: int = 1, encrypted: bool = False,
-             header: str | None = None, footer: str | None = None) -> bytes:
+             header: str | None = None, footer: str | None = None,
+             footnotes: list[str] | None = None) -> bytes:
     """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
     piece table. The text is split into a cp1252 ``fCompressed`` piece and
     a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
@@ -426,7 +427,12 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
                           "", (footer or "") and footer + "\r",
                           "", ""])
     hdd_text = "".join(hdd_stories)
-    full = text + hdd_text + extra_text
+    # footnote stories ([MS-DOC] 2.8.24): auto-number ref mark + text +
+    # paragraph mark each, then the guard paragraph
+    ftn_stories = ([f"\x02{fn}\r" for fn in footnotes] + ["\r"]
+                   if footnotes else [])
+    ftn_text = "".join(ftn_stories)
+    full = text + ftn_text + hdd_text + extra_text
     # split as close to the midpoint as cp1252-encodability allows
     split = 0
     for i in range(len(full) // 2, -1, -1):
@@ -451,7 +457,7 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
         return len(s.encode("utf-16-le")) // 2
 
     struct.pack_into("<i", wd, 0x4C, u16len(text))   # ccpText
-    struct.pack_into("<i", wd, 0x50, 0)              # ccpFtn
+    struct.pack_into("<i", wd, 0x50, u16len(ftn_text))   # ccpFtn
     struct.pack_into("<i", wd, 0x54, u16len(hdd_text))   # ccpHdd
     struct.pack_into("<H", wd, 0x98, 0x5D)           # cbRgFcLcb
 
@@ -487,6 +493,14 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
         plcfhdd = struct.pack(f"<{len(hdd_cps)}I", *hdd_cps)
         struct.pack_into("<II", wd, 0xF2, len(table), len(plcfhdd))
         table += plcfhdd
+    if ftn_stories:
+        ftn_cps, acc = [0], 0
+        for story in ftn_stories:
+            acc += u16len_(story)
+            ftn_cps.append(acc)
+        plcffnd = struct.pack(f"<{len(ftn_cps)}I", *ftn_cps)
+        struct.pack_into("<II", wd, 0xB2, len(table), len(plcffnd))
+        table += plcffnd
     return make_ole({"WordDocument": bytes(wd),
                      "1Table" if which_table else "0Table": table})
 

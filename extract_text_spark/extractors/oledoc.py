@@ -52,10 +52,12 @@ _CCP_TEXT_OFF = 0x4C
 _CCP_FTN_OFF = 0x50
 _CCP_HDD_OFF = 0x54
 # base(32)+csw(2)+fibRgW(28)+cslw(2)+fibRgLw(88)+cbRgFcLcb(2) = 0x9A, then
-# fcClx/lcbClx is the 34th (fc,lcb) pair: 0x9A + 33*8 = 0x1A2, and
-# fcPlcfhdd/lcbPlcfhdd the 12th: 0x9A + 11*8 = 0xF2 ([MS-DOC] 2.5.5).
+# fcClx/lcbClx is the 34th (fc,lcb) pair: 0x9A + 33*8 = 0x1A2,
+# fcPlcfhdd/lcbPlcfhdd the 12th: 0x9A + 11*8 = 0xF2, and
+# fcPlcffndTxt/lcb the 4th: 0x9A + 3*8 = 0xB2 ([MS-DOC] 2.5.5).
 _FC_CLX_OFF = 0x1A2
 _FC_PLCFHDD_OFF = 0xF2
+_FC_PLCFFNDTXT_OFF = 0xB2
 
 # field instruction text: begin(0x13) .. separator(0x14); the result
 # (0x14..end 0x15) is what a conversion renders.
@@ -67,6 +69,7 @@ def _clean_fragment(text: str) -> str:
     text = _FIELD_CODE.sub("", text)
     return (text.replace("\x15", "").replace("\x13", "")
                 .replace("\x14", "")
+                .replace("\x02", "")            # auto-number note ref mark
                 .replace("\x0b", "\n")          # line break == <w:br/>
                 .replace("\x1e", "-")           # non-breaking hyphen
                 .replace("\x1f", ""))           # optional hyphen
@@ -92,14 +95,16 @@ def doc_text_from_bytes(content: bytes) -> str:
     return _doc_subdocs(content)[0]
 
 
-def _doc_subdocs(content: bytes) -> tuple[str, list[str]]:
-    """DOC bytes -> (main text, Hdd header/footer stories), control chars
-    intact.
+def _doc_subdocs(content: bytes) -> tuple[str, list[str], list[str]]:
+    """DOC bytes -> (main text, Hdd header/footer stories, footnote
+    stories), control chars intact.
 
-    Stories come from PlcfHdd over the cp range past ccpText+ccpFtn
-    ([MS-DOC] 2.8.25): the first six are note separators, then six per
-    section — even header, odd header, even footer, odd footer, first-page
-    header, first-page footer.
+    Header/footer stories come from PlcfHdd over the cp range past
+    ccpText+ccpFtn ([MS-DOC] 2.8.25): the first six are note separators,
+    then six per section — even header, odd header, even footer, odd
+    footer, first-page header, first-page footer. Footnote stories come
+    from PlcffndTxt over [ccpText, ccpText+ccpFtn) ([MS-DOC] 2.8.24);
+    the trailing guard interval cleans to empty and drops downstream.
     """
     cfb = _Cfb(content)
     wd = cfb.stream("WordDocument")
@@ -154,12 +159,23 @@ def _doc_subdocs(content: bytes) -> tuple[str, list[str]]:
     # plane chars count 2.
     total_units = len(full.encode("utf-16-le")) // 2
     if not 0 <= ccp_text <= total_units:
-        return full, []
+        return full, [], []
     main = _cp_slice(full, 0, ccp_text)
 
     stories: list[str] = []
+    footnotes: list[str] = []
     (ccp_ftn,) = struct.unpack_from("<i", wd, _CCP_FTN_OFF)
     (ccp_hdd,) = struct.unpack_from("<i", wd, _CCP_HDD_OFF)
+    if ccp_ftn > 0 and len(wd) >= _FC_PLCFFNDTXT_OFF + 8:
+        fc_fnd, lcb_fnd = struct.unpack_from("<II", wd, _FC_PLCFFNDTXT_OFF)
+        if (lcb_fnd >= 8 and ccp_text + ccp_ftn <= total_units
+                and fc_fnd + lcb_fnd <= len(table)):
+            n_cps = lcb_fnd // 4
+            cps_f = struct.unpack_from(f"<{n_cps}I", table, fc_fnd)
+            for i in range(n_cps - 1):
+                footnotes.append(_cp_slice(
+                    full, ccp_text + cps_f[i],
+                    ccp_text + min(cps_f[i + 1], ccp_ftn)))
     if ccp_hdd > 0 and len(wd) >= _FC_PLCFHDD_OFF + 8:
         fc_hdd, lcb_hdd = struct.unpack_from("<II", wd, _FC_PLCFHDD_OFF)
         hdd_base = ccp_text + max(ccp_ftn, 0)
@@ -172,7 +188,7 @@ def _doc_subdocs(content: bytes) -> tuple[str, list[str]]:
                 stories.append(_cp_slice(full, hdd_base + cps_h[i],
                                          hdd_base + min(cps_h[i + 1],
                                                         ccp_hdd)))
-    return main, stories
+    return main, stories, footnotes
 
 
 def doc_payload_from_bytes(content: bytes) -> str:
@@ -180,7 +196,7 @@ def doc_payload_from_bytes(content: bytes) -> str:
     mirroring what LibreOffice conversion + the reference's python-docx
     read (app/extractors.py:392-473 -> :288-390) yields for body text."""
     import json
-    text, stories = _doc_subdocs(content)
+    text, stories, ftn_stories = _doc_subdocs(content)
     # Field instructions strip over the FULL text before paragraph
     # splitting: an 0x13..0x14 range may span a paragraph mark, and the
     # conversion renders only field results — the instruction text and any
@@ -190,13 +206,14 @@ def doc_payload_from_bytes(content: bytes) -> str:
     if parts and parts[-1] == "":               # final paragraph mark
         parts.pop()
 
-    def story_paras(idx: int) -> list[str]:
-        if idx >= len(stories):
-            return []
-        ps = _PARA_MARKS.split(_FIELD_CODE.sub("", stories[idx]))
+    def split_story(raw: str) -> list[str]:
+        ps = _PARA_MARKS.split(_FIELD_CODE.sub("", raw))
         if ps and ps[-1] == "":
             ps.pop()
         return [_clean_fragment(p) for p in ps]
+
+    def story_paras(idx: int) -> list[str]:
+        return split_story(stories[idx]) if idx < len(stories) else []
 
     # PlcfHdd stories 0-5 are note separators; per section the layout is
     # [evenH, oddH, evenF, oddF, firstH, firstF] — the odd (default)
@@ -208,9 +225,13 @@ def doc_payload_from_bytes(content: bytes) -> str:
         base = 6 + 6 * s
         sections.append({"header": story_paras(base + 1),
                          "footer": story_paras(base + 3)})
+    footnotes: list[str] = []
+    for raw in ftn_stories:
+        footnotes.extend(p for p in split_story(raw) if p.strip())
     return json.dumps({
         "paragraphs": [_clean_fragment(p) for p in parts],
-        "tables": [], "sections": sections, "footnotes": [], "comments": [],
+        "tables": [], "sections": sections, "footnotes": footnotes,
+        "comments": [],
     })
 
 

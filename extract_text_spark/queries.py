@@ -1961,7 +1961,8 @@ def ext_office_bytes(spark, sf_dir):
                                      extra_text="must-not-leak",
                                      which_table=(doc_id // 8) % 2,
                                      header="Hd " + source,
-                                     footer="Ft " + str(doc_id))
+                                     footer="Ft " + str(doc_id),
+                                     footnotes=["Fn " + source])
         if m == 7:
             return "f.ppt", make_ppt(
                 [{"shapes": [text], "notes": ["n2 " + source],
@@ -2004,6 +2005,8 @@ SELECT doc_id, 'ok' AS status, 1 AS n_spans,
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hd '
                      || source || chr(10) || chr(10) || '[Footer]'
                      || chr(10) || 'Ft ' || doc_id::VARCHAR
+                     || chr(10) || chr(10) || '[Footnotes]'
+                     || chr(10) || 'Fn ' || source
          WHEN 7 THEN '[Slide 1]' || chr(10) || text || chr(10)
                      || 'Tb ' || source || chr(10)
                      || '[Speaker Notes]' || chr(10) || 'n2 ' || source

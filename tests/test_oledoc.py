@@ -204,3 +204,19 @@ def test_ppt_escher_textboxes_append_after_placeholders():
         {"shapes": ["Title B"], "notes": []},
     ]), "a.pptx")
     assert st_ppt is None and st_pptx is None and sp_ppt == sp_pptx
+
+
+def test_doc_footnotes_extracted_with_docx_parity():
+    """ccpFtn range via PlcffndTxt ([MS-DOC] 2.8.24): footnote stories
+    (auto-number ref marks stripped, guard story dropped) surface as the
+    payload footnotes — the [Footnotes] block a converted docx yields."""
+    doc = make_doc(["body"], footnotes=["First note text", "Second note"],
+                   extra_text="must-not-leak")
+    got = json.loads(doc_payload_from_bytes(doc))
+    assert got["footnotes"] == ["First note text", "Second note"]
+    assert "must-not-leak" not in doc_text_from_bytes(doc)
+    st_doc, sp_doc = spans_from_bytes(
+        make_doc(["b1"], footnotes=["note x"]), "a.doc")
+    st_docx, sp_docx = spans_from_bytes(
+        make_docx(["b1"], footnote="note x"), "a.docx")
+    assert st_doc is None and st_docx is None and sp_doc == sp_docx

@@ -150,7 +150,7 @@ def test_ingest_total_on_byte_soup(data):
 _para_chars = st.text(
     alphabet=st.characters(
         codec="utf-8",
-        exclude_characters="\r\x07\x0b\x0c\x13\x14\x15\x1e\x1f\x00\n",
+        exclude_characters="\r\x02\x07\x0b\x0c\x13\x14\x15\x1e\x1f\x00\n",
         exclude_categories=("Cs",),
     ),
     max_size=60,
