@@ -405,7 +405,8 @@ def make_xls(sheets: dict[str, list[list]],
 def make_doc(paragraphs: list[str], extra_text: str = "",
              which_table: int = 1, encrypted: bool = False,
              header: str | None = None, footer: str | None = None,
-             footnotes: list[str] | None = None) -> bytes:
+             footnotes: list[str] | None = None,
+             comments: list[str] | None = None) -> bytes:
     """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
     piece table. The text is split into a cp1252 ``fCompressed`` piece and
     a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
@@ -432,7 +433,11 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
     ftn_stories = ([f"\x02{fn}\r" for fn in footnotes] + ["\r"]
                    if footnotes else [])
     ftn_text = "".join(ftn_stories)
-    full = text + ftn_text + hdd_text + extra_text
+    # annotation (comment) stories: ref mark + text + paragraph mark + guard
+    atn_stories = ([f"\x05{c}\r" for c in comments] + ["\r"]
+                   if comments else [])
+    atn_text = "".join(atn_stories)
+    full = text + ftn_text + hdd_text + atn_text + extra_text
     # split as close to the midpoint as cp1252-encodability allows
     split = 0
     for i in range(len(full) // 2, -1, -1):
@@ -459,6 +464,8 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
     struct.pack_into("<i", wd, 0x4C, u16len(text))   # ccpText
     struct.pack_into("<i", wd, 0x50, u16len(ftn_text))   # ccpFtn
     struct.pack_into("<i", wd, 0x54, u16len(hdd_text))   # ccpHdd
+    struct.pack_into("<i", wd, 0x58, 0)                  # ccpMcr
+    struct.pack_into("<i", wd, 0x5C, u16len(atn_text))   # ccpAtn
     struct.pack_into("<H", wd, 0x98, 0x5D)           # cbRgFcLcb
 
     pieces: list[tuple[int, int]] = []               # (CP count, fc raw)
@@ -501,6 +508,14 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
         plcffnd = struct.pack(f"<{len(ftn_cps)}I", *ftn_cps)
         struct.pack_into("<II", wd, 0xB2, len(table), len(plcffnd))
         table += plcffnd
+    if atn_stories:
+        atn_cps, acc = [0], 0
+        for story in atn_stories:
+            acc += u16len_(story)
+            atn_cps.append(acc)
+        plcfand = struct.pack(f"<{len(atn_cps)}I", *atn_cps)
+        struct.pack_into("<II", wd, 0xC2, len(table), len(plcfand))
+        table += plcfand
     return make_ole({"WordDocument": bytes(wd),
                      "1Table" if which_table else "0Table": table})
 

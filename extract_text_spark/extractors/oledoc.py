@@ -58,6 +58,12 @@ _CCP_HDD_OFF = 0x54
 _FC_CLX_OFF = 0x1A2
 _FC_PLCFHDD_OFF = 0xF2
 _FC_PLCFFNDTXT_OFF = 0xB2
+# fcPlcfandTxt/lcb is the 6th (fc,lcb) pair: 0x9A + 5*8 = 0xC2, and the
+# annotation (comment) cp range sits after ccpText+ccpFtn+ccpHdd+ccpMcr
+# ([MS-DOC] 2.5.7 ccpAtn at fibRgLw97 offset 0x5C).
+_FC_PLCFANDTXT_OFF = 0xC2
+_CCP_MCR_OFF = 0x58
+_CCP_ATN_OFF = 0x5C
 
 # field instruction text: begin(0x13) .. separator(0x14); the result
 # (0x14..end 0x15) is what a conversion renders.
@@ -70,6 +76,7 @@ def _clean_fragment(text: str) -> str:
     return (text.replace("\x15", "").replace("\x13", "")
                 .replace("\x14", "")
                 .replace("\x02", "")            # auto-number note ref mark
+                .replace("\x05", "")            # annotation ref mark
                 .replace("\x0b", "\n")          # line break == <w:br/>
                 .replace("\x1e", "-")           # non-breaking hyphen
                 .replace("\x1f", ""))           # optional hyphen
@@ -95,16 +102,20 @@ def doc_text_from_bytes(content: bytes) -> str:
     return _doc_subdocs(content)[0]
 
 
-def _doc_subdocs(content: bytes) -> tuple[str, list[str], list[str]]:
+def _doc_subdocs(
+    content: bytes,
+) -> tuple[str, list[str], list[str], list[str]]:
     """DOC bytes -> (main text, Hdd header/footer stories, footnote
-    stories), control chars intact.
+    stories, annotation stories), control chars intact.
 
     Header/footer stories come from PlcfHdd over the cp range past
     ccpText+ccpFtn ([MS-DOC] 2.8.25): the first six are note separators,
     then six per section — even header, odd header, even footer, odd
     footer, first-page header, first-page footer. Footnote stories come
-    from PlcffndTxt over [ccpText, ccpText+ccpFtn) ([MS-DOC] 2.8.24);
-    the trailing guard interval cleans to empty and drops downstream.
+    from PlcffndTxt over [ccpText, ccpText+ccpFtn) ([MS-DOC] 2.8.24),
+    annotation (comment) stories from PlcfandTxt over the ccpAtn range
+    past ccpText+ccpFtn+ccpHdd+ccpMcr ([MS-DOC] 2.8.15); trailing guard
+    intervals clean to empty and drop downstream.
     """
     cfb = _Cfb(content)
     wd = cfb.stream("WordDocument")
@@ -159,7 +170,7 @@ def _doc_subdocs(content: bytes) -> tuple[str, list[str], list[str]]:
     # plane chars count 2.
     total_units = len(full.encode("utf-16-le")) // 2
     if not 0 <= ccp_text <= total_units:
-        return full, [], []
+        return full, [], [], []
     main = _cp_slice(full, 0, ccp_text)
 
     stories: list[str] = []
@@ -188,7 +199,23 @@ def _doc_subdocs(content: bytes) -> tuple[str, list[str], list[str]]:
                 stories.append(_cp_slice(full, hdd_base + cps_h[i],
                                          hdd_base + min(cps_h[i + 1],
                                                         ccp_hdd)))
-    return main, stories, footnotes
+
+    comments: list[str] = []
+    (ccp_mcr,) = struct.unpack_from("<i", wd, _CCP_MCR_OFF)
+    (ccp_atn,) = struct.unpack_from("<i", wd, _CCP_ATN_OFF)
+    if ccp_atn > 0 and len(wd) >= _FC_PLCFANDTXT_OFF + 8:
+        fc_and, lcb_and = struct.unpack_from("<II", wd, _FC_PLCFANDTXT_OFF)
+        atn_base = (ccp_text + max(ccp_ftn, 0) + max(ccp_hdd, 0)
+                    + max(ccp_mcr, 0))
+        if (lcb_and >= 8 and atn_base + ccp_atn <= total_units
+                and fc_and + lcb_and <= len(table)):
+            n_cps = lcb_and // 4
+            cps_a = struct.unpack_from(f"<{n_cps}I", table, fc_and)
+            for i in range(n_cps - 1):
+                comments.append(_cp_slice(full, atn_base + cps_a[i],
+                                          atn_base + min(cps_a[i + 1],
+                                                         ccp_atn)))
+    return main, stories, footnotes, comments
 
 
 def doc_payload_from_bytes(content: bytes) -> str:
@@ -196,7 +223,7 @@ def doc_payload_from_bytes(content: bytes) -> str:
     mirroring what LibreOffice conversion + the reference's python-docx
     read (app/extractors.py:392-473 -> :288-390) yields for body text."""
     import json
-    text, stories, ftn_stories = _doc_subdocs(content)
+    text, stories, ftn_stories, atn_stories = _doc_subdocs(content)
     # Field instructions strip over the FULL text before paragraph
     # splitting: an 0x13..0x14 range may span a paragraph mark, and the
     # conversion renders only field results — the instruction text and any
@@ -228,10 +255,13 @@ def doc_payload_from_bytes(content: bytes) -> str:
     footnotes: list[str] = []
     for raw in ftn_stories:
         footnotes.extend(p for p in split_story(raw) if p.strip())
+    comments: list[str] = []
+    for raw in atn_stories:
+        comments.extend(p for p in split_story(raw) if p.strip())
     return json.dumps({
         "paragraphs": [_clean_fragment(p) for p in parts],
         "tables": [], "sections": sections, "footnotes": footnotes,
-        "comments": [],
+        "comments": comments,
     })
 
 

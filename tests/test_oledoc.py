@@ -220,3 +220,17 @@ def test_doc_footnotes_extracted_with_docx_parity():
     st_docx, sp_docx = spans_from_bytes(
         make_docx(["b1"], footnote="note x"), "a.docx")
     assert st_doc is None and st_docx is None and sp_doc == sp_docx
+
+
+def test_doc_comments_extracted_with_docx_parity():
+    """ccpAtn range via PlcfandTxt ([MS-DOC] 2.8.15): annotation stories
+    (ref marks stripped, guard dropped) surface as payload comments —
+    the [Comments] block a converted docx yields."""
+    doc = make_doc(["body"], comments=["reviewer note", "second comment"])
+    got = json.loads(doc_payload_from_bytes(doc))
+    assert got["comments"] == ["reviewer note", "second comment"]
+    st_doc, sp_doc = spans_from_bytes(
+        make_doc(["b"], comments=["c x"]), "a.doc")
+    st_docx, sp_docx = spans_from_bytes(
+        make_docx(["b"], comment="c x"), "a.docx")
+    assert st_doc is None and st_docx is None and sp_doc == sp_docx
