@@ -18,12 +18,14 @@ Modeled scope (documented, not hidden):
   (0x07) and page breaks (0x0C) split paragraphs; line breaks (0x0B)
   become "\\n" exactly like <w:br/> in ooxml._w_para_text; field
   instructions (0x13..0x14) are dropped and field results (0x14..0x15)
-  kept — what LibreOffice's conversion renders.  Section headers/footers
-  ARE modeled: the ``ccpHdd`` cp range is split into stories by PlcfHdd
-  ([MS-DOC] 2.8.25) and each section's odd (default) header/footer feeds
-  the payload's sections — the ``[Header]``/``[Footer]`` blocks the
-  converted docx path emits.  Footnote text and binary table structure
-  remain out of the modeled range, so those payload fields stay empty.
+  kept — what LibreOffice's conversion renders.  Every subdocument text
+  range is modeled: section headers/footers from PlcfHdd over ``ccpHdd``
+  ([MS-DOC] 2.8.25, odd = default story per section), footnotes from
+  PlcffndTxt over ``ccpFtn`` (2.8.24), comments from PlcfandTxt over
+  ``ccpAtn`` (2.8.15) — the ``[Header]``/``[Footer]``/``[Footnotes]``/
+  ``[Comments]`` blocks the converted docx path emits.  Only binary
+  table structure stays out of the modeled range, so the payload's
+  tables list is empty.
 * PPT — the [MS-PPT] record stream: DocumentContainer ->
   SlideListWithText (instance 0 = slides, 2 = notes), text grouped per
   SlidePersistAtom, one shape per TextCharsAtom (UTF-16LE) /
