@@ -326,12 +326,22 @@ def make_pdf_modern(pages: list[list[str]]) -> bytes:
     return bytes(out)
 
 
+class XlsFormula:
+    """make_xls cell marker: emit a FORMULA record whose cached result is
+    ``cached`` (float, str, or bool) — string results ride the following
+    STRING record, exactly as Excel lays them out ([MS-XLS] 2.5.133)."""
+
+    def __init__(self, cached):
+        self.cached = cached
+
+
 def make_xls(sheets: dict[str, list[list]],
              in_ministream: bool = False) -> bytes:
     """Legacy XLS: real OLE2/CFB container + BIFF8 Workbook stream.
 
     Strings go through a genuine SST (LABELSST cells), numbers are NUMBER
-    records, bools BOOLERR, None skipped. ``in_ministream=True`` keeps the
+    records, bools BOOLERR, ``XlsFormula`` values FORMULA records with
+    cached results, None skipped. ``in_ministream=True`` keeps the
     Workbook under the 4096-byte CFB cutoff so it lands in the miniFAT/
     ministream path (how small real files are laid out); otherwise the
     stream is padded past the cutoff into the regular FAT.
@@ -369,7 +379,24 @@ def make_xls(sheets: dict[str, list[list]],
             for c, v in enumerate(row):
                 if v is None:
                     continue
-                if isinstance(v, bool):
+                if isinstance(v, XlsFormula):
+                    cached = v.cached
+                    base = struct.pack("<HHH", r, c, 0)
+                    tail = struct.pack("<HIH", 0, 0, 0)  # grbit, chn, cce
+                    if isinstance(cached, bool):
+                        num = bytes([1, 0, int(cached), 0, 0, 0,
+                                     0xFF, 0xFF])
+                        out += rec(0x0006, base + num + tail)
+                    elif isinstance(cached, (int, float)):
+                        out += rec(0x0006, base
+                                   + struct.pack("<d", float(cached)) + tail)
+                    else:
+                        num = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+                        out += rec(0x0006, base + num + tail)
+                        enc = str(cached).encode("latin-1", errors="replace")
+                        out += rec(0x0207, struct.pack(
+                            "<HB", len(str(cached)), 0) + enc)
+                elif isinstance(v, bool):
                     out += rec(0x0205, struct.pack("<HHHBB", r, c, 0,
                                                    int(v), 0))
                 elif isinstance(v, (int, float)):
@@ -567,19 +594,24 @@ def make_ppt(slides: list[dict]) -> bytes:
               rec(0x000F, 0x0FF0, slw0)                   # instance 0
               + rec(0x000F | (2 << 4), 0x0FF0, slw2))     # instance 2
 
-    def slide_container(i: int, s: dict) -> bytes:
+    def drawing_container(i: int, texts: list[str], rtype: int) -> bytes:
         # placeholder shape: ClientTextbox -> OutlineTextRefAtom only
         sp_list = rec(0x000F, 0xF004,
                       rec(0x000F, 0xF00D,
                           rec(0, 0x0F9E, struct.pack("<i", i))))
-        for j, t in enumerate(s.get("textboxes", [])):
+        for j, t in enumerate(texts):
             sp_list += rec(0x000F, 0xF004,
                            rec(0x000F, 0xF00D, text_atoms([t], i + j)))
         dg = rec(0x000F, 0xF002, rec(0x000F, 0xF003, sp_list))
-        return rec(0x000F, 0x03EE, rec(0x000F, 0x040C, dg))
+        return rec(0x000F, rtype, rec(0x000F, 0x040C, dg))
 
-    slide_recs = b"".join(slide_container(i, s)
-                          for i, s in enumerate(slides))
+    slide_recs = b"".join(
+        drawing_container(i, s.get("textboxes", []), 0x03EE)
+        for i, s in enumerate(slides))
+    if any(s.get("notes_textboxes") for s in slides):
+        slide_recs += b"".join(
+            drawing_container(i, s.get("notes_textboxes", []), 0x03F0)
+            for i, s in enumerate(slides))
     current_user = struct.pack("<I", 20) + b"\x00" * 20
     return make_ole({"Current User": current_user,
                      "PowerPoint Document": doc + slide_recs})

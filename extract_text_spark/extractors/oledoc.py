@@ -271,6 +271,7 @@ def doc_payload_from_bytes(content: bytes) -> str:
 
 _RT_DOCUMENT = 0x03E8
 _RT_SLIDE = 0x03EE
+_RT_NOTES = 0x03F0
 _RT_PPDRAWING = 0x040C
 _RT_SLIDE_LIST_WITH_TEXT = 0x0FF0
 _RT_SLIDE_PERSIST_ATOM = 0x03F3
@@ -315,6 +316,7 @@ def ppt_payload_from_bytes(content: bytes) -> str:
     slides: list[list[str]] = []
     notes: list[list[str]] = []
     slide_textboxes: list[list[str]] = []       # per Slide container, in order
+    notes_textboxes: list[list[str]] = []       # per Notes container, in order
 
     def _decode_chars(b0: int, b1: int) -> str:
         return _ppt_shape_text(
@@ -374,13 +376,14 @@ def ppt_payload_from_bytes(content: bytes) -> str:
                     _walk_slw(b0, b1, slides)
                 elif inst == 2:
                     _walk_slw(b0, b1, notes)
-            elif rt == _RT_SLIDE:
-                # Nth Slide container <-> Nth SlidePersistAtom bucket (the
-                # modeled persist order); its PPDrawing may carry
+            elif rt in (_RT_SLIDE, _RT_NOTES):
+                # Nth Slide/Notes container <-> Nth SlidePersistAtom bucket
+                # (the modeled persist order); its PPDrawing may carry
                 # non-placeholder Escher textboxes the outline never sees.
                 tbs: list[str] = []
                 _escher_textboxes(b0, b1, tbs, 0)
-                slide_textboxes.append(tbs)
+                (slide_textboxes if rt == _RT_SLIDE
+                 else notes_textboxes).append(tbs)
             elif (vi & 0xF) == 0xF and depth < 8:
                 _walk(b0, b1, depth + 1)
 
@@ -390,6 +393,11 @@ def ppt_payload_from_bytes(content: bytes) -> str:
             slides.append([])
         if tbs:
             slides[i].extend(tbs)
+    for i, tbs in enumerate(notes_textboxes):
+        while len(notes) <= i and tbs:
+            notes.append([])
+        if tbs:
+            notes[i].extend(tbs)
     if not slides:
         raise ValueError("no slide text records in PowerPoint Document")
     return json.dumps({

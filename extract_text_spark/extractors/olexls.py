@@ -290,9 +290,27 @@ def xls_payload_from_bytes(content: bytes) -> str:
     sheets = []
     for sheet_off, name in bounds:
         cells: dict[tuple[int, int], object] = {}
+        pending_formula: tuple[int, int] | None = None
         for pos, opcode, data in _records(wb[sheet_off:]):
             if opcode == 0x000A:                   # EOF: end of substream
                 break
+            if opcode == 0x0006:                   # FORMULA (cached result)
+                row, col = struct.unpack_from("<HH", data, 0)
+                if data[12:14] == b"\xff\xff":     # non-numeric result
+                    rtype = data[6]
+                    if rtype == 0:                 # string: next STRING rec
+                        pending_formula = (row, col)
+                    elif rtype == 1:               # boolean
+                        cells[(row, col)] = bool(data[8])
+                    elif rtype == 3:               # empty string
+                        cells[(row, col)] = ""
+                    # rtype 2 (error) stays unset, like xlrd -> NaN
+                else:
+                    (num,) = struct.unpack_from("<d", data, 6)
+                    cells[(row, col)] = _num(num)
+            elif opcode == 0x0207 and pending_formula is not None:  # STRING
+                cells[pending_formula] = _inline_string(data, 0)
+                pending_formula = None
             if opcode == 0x00FD:                   # LABELSST
                 row, col = struct.unpack_from("<HH", data, 0)
                 (isst,) = struct.unpack_from("<I", data, 6)

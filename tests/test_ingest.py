@@ -799,3 +799,18 @@ def test_vendored_readers_drive_ingest_fanout():
     assert st == "error: Error processing archive: Invalid RAR file"
     st, _ = spans_from_bytes(b"XX", "bad.7z")
     assert st == "error: Error processing archive: Invalid 7Z file"
+
+
+def test_xls_formula_cached_results():
+    """FORMULA records carry the cached result inline (number) or via the
+    following STRING record / Bes byte ([MS-XLS] 2.5.133) — what
+    pd.read_excel surfaces for formula cells; error results stay empty
+    like xlrd's NaN."""
+    import json
+    from extract_text_spark.bytecorpus import XlsFormula, make_xls
+    from extract_text_spark.extractors.olexls import xls_payload_from_bytes
+    xls = make_xls({"S": [["n", "s", "b", "lit"],
+                          [XlsFormula(6.5), XlsFormula("cached str"),
+                           XlsFormula(True), "plain"]]})
+    got = json.loads(xls_payload_from_bytes(xls))
+    assert got["sheets"][0]["rows"] == [[6.5, "cached str", True, "plain"]]

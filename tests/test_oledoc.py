@@ -234,3 +234,17 @@ def test_doc_comments_extracted_with_docx_parity():
     st_docx, sp_docx = spans_from_bytes(
         make_docx(["b"], comment="c x"), "a.docx")
     assert st_doc is None and st_docx is None and sp_doc == sp_docx
+
+
+def test_ppt_notes_container_textboxes():
+    """Notes containers' drawing-layer textboxes append to that slide's
+    speaker notes, with placeholder OutlineTextRefAtoms still skipped."""
+    slides = [
+        {"shapes": ["T1"], "notes": ["n1"], "textboxes": ["box A"],
+         "notes_textboxes": ["note box"]},
+        {"shapes": ["T2"], "notes": []},
+    ]
+    got = json.loads(ppt_payload_from_bytes(make_ppt(slides)))
+    assert got["slides"][0]["shapes"] == ["T1", "box A"]
+    assert got["slides"][0]["notes"] == ["n1", "note box"]
+    assert got["slides"][1] == {"shapes": ["T2"], "notes": []}
