@@ -763,6 +763,7 @@ def ingest_bytes_df(df: DataFrame, validate: bool = False) -> DataFrame:
 
 
 def extract_from_bytes(df: DataFrame, validate: bool = False,
+                       materialize: bool = True,
                        **extract_kwargs) -> DataFrame:
     """Full byte-ingest pipeline: parse containers -> JVM fan-out ->
     extraction kernel (pipeline.extract_spans_df).
@@ -770,9 +771,13 @@ def extract_from_bytes(df: DataFrame, validate: bool = False,
     The ingest output is persisted (MEMORY_AND_DISK) before the
     extraction pipeline's small/big path split: both paths consume it,
     and without the materialization barrier every container would be
-    PARSED once per path — 2x the ingest-kernel cost for nothing."""
-    from pyspark import StorageLevel
+    PARSED once per path — 2x the ingest-kernel cost for nothing.
+    ``materialize=False`` skips the persist — long-running streaming
+    sinks call this per micro-batch, where an unbounded pile of cached
+    batches is worse than a bounded per-batch double parse."""
     from .pipeline import extract_spans_df
-    ing = ingest_bytes_df(df, validate=validate).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    ing = ingest_bytes_df(df, validate=validate)
+    if materialize:
+        from pyspark import StorageLevel
+        ing = ing.persist(StorageLevel.MEMORY_AND_DISK)
     return extract_spans_df(ing, **extract_kwargs)

@@ -143,7 +143,8 @@ def stream_extract_files(
         writer = named.writeStream.foreachBatch(_skew_safe_sink(
             output_path,
             lambda b: extract_from_bytes(b, validate=validate,
-                                         skew_split=True, **kwargs),
+                                         skew_split=True,
+                                         materialize=False, **kwargs),
         )).option("checkpointLocation", checkpoint_path)
         if available_now:
             writer = writer.trigger(availableNow=True)
