@@ -1846,7 +1846,13 @@ _BYTES_SCHEMA = StructType([
 
 def _bytes_table(d: DataFrame, builder) -> DataFrame:
     """documents -> (doc_id, filename, content binary) via an Arrow kernel
-    running ``builder(doc_id, text, source) -> (filename, bytes)``."""
+    running ``builder(doc_id, text, source) -> (filename, bytes)``.
+
+    Repartitioned to the session's parallelism first: the documents
+    parquet is one input split at test scale, and without the spread the
+    builder + downstream ingest/extraction kernels would all run on one
+    task (the same tiny-listing/heavy-rows shape as the URL fetch tier).
+    """
     def kernel(batches: Iterator) -> Iterator:
         import pandas as pd
         for b in batches:
@@ -1856,8 +1862,9 @@ def _bytes_table(d: DataFrame, builder) -> DataFrame:
                                                 b["source"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "filename", "content"])
-    return d.select("doc_id", "text", "source").mapInPandas(
-        kernel, schema=_BYTES_SCHEMA)
+    n = d.sparkSession.sparkContext.defaultParallelism * 2
+    return d.select("doc_id", "text", "source").repartition(
+        n, F.col("doc_id")).mapInPandas(kernel, schema=_BYTES_SCHEMA)
 
 
 def ext_zip_fanout(spark, sf_dir):
