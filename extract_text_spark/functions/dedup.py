@@ -537,3 +537,59 @@ def contamination_flags(df: DataFrame, bench_pred: Column, n: int = 3,
                  "id",
                  F.coalesce("hits", F.lit(0)).cast("long").alias("n_hits"),
                  (F.coalesce("hits", F.lit(0)) > 0).alias("contaminated")))
+
+
+_TRACKING_PARAMS = ("utm_", "gclid=", "fbclid=", "msclkid=")
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def canonical_url_col(url: str | Column = "url") -> Column:
+    """URL canonicalization for web-corpus dedup, pure Catalyst
+    (``parse_url`` is JVM-side):
+
+    * scheme and host lowercased
+    * default port dropped (``:80`` http / ``:443`` https), others kept
+    * fragment dropped
+    * tracking params stripped (``utm_*``/gclid/fbclid/msclkid), other
+      query params kept in original order; an emptied query drops ``?``
+    * trailing path slashes trimmed (so ``/a/`` == ``/a`` and a bare
+      host == host + ``/``)
+
+    The same page fetched through campaign links, fragment anchors and
+    mixed-case hosts collapses to one key — the standard first pass
+    before content-level dedup in a crawl pipeline.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = F.when(scheme == "http", F.lit("80")) \
+                    .when(scheme == "https", F.lit("443")) \
+                    .otherwise(F.lit(""))
+    port_part = F.when((port == "") | (port == default_port), F.lit("")) \
+                 .otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", "")
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(p.startswith("utm_") | p.startswith("gclid=")
+                    | p.startswith("fbclid=") | p.startswith("msclkid=")
+                    | (p == "")))
+    query_part = F.when(F.size(kept) > 0,
+                        F.concat(F.lit("?"), F.array_join(kept, "&"))) \
+                  .otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the canonical URL: one shuffle on the canonical key
+    with map-side partial aggregates (min-id keep + copy count) — the
+    same 100 TB shape as exact content dedup."""
+    canon = df.withColumn("canonical_url", canonical_url_col(url_col))
+    return canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )

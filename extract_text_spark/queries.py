@@ -683,6 +683,55 @@ FROM t ORDER BY doc_id
 # Deduplication (documents)
 # ---------------------------------------------------------------------------
 
+def dedup_url(spark, sf_dir):
+    """URL canonicalization dedup (crawl first pass): doc_id %% 6 builds
+    the same page through mixed-case host + default port (0), trailing
+    slash (1), tracking params (2), fragment + utm (3), a distinct
+    non-default-port page (4) and a params-kept page (5). Branches 0+1
+    and 2+3 collapse pairwise per k = doc_id // 6; the oracle constructs
+    the canonical forms closed-form — it never re-runs the canonicalizer."""
+    from .functions.dedup import url_dedup
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") / 6).cast("long").cast("string")
+    urls = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(d.doc_id % 6 == 0, F.concat(
+            F.lit("HTTP://Corpus.EXAMPLE:80/p/doc"), k))
+         .when(d.doc_id % 6 == 1, F.concat(
+            F.lit("http://corpus.example/p/doc"), k, F.lit("/")))
+         .when(d.doc_id % 6 == 2, F.concat(
+            F.lit("https://Corpus.example:443/a?utm_source=feed&id="), k))
+         .when(d.doc_id % 6 == 3, F.concat(
+            F.lit("https://corpus.example/a?id="), k,
+            F.lit("&utm_campaign=x#frag")))
+         .when(d.doc_id % 6 == 4, F.concat(
+            F.lit("https://corpus.example:8443/b/doc"), k))
+         .otherwise(F.concat(
+            F.lit("http://other.example/b?x="), k, F.lit("&y=2")))
+         .alias("url"))
+    return url_dedup(urls).orderBy("canonical_url")
+
+
+DEDUP_URL_SQL = """
+WITH canon AS (
+  SELECT doc_id,
+         CASE doc_id % 6
+           WHEN 0 THEN 'http://corpus.example/p/doc' || (doc_id // 6)::VARCHAR
+           WHEN 1 THEN 'http://corpus.example/p/doc' || (doc_id // 6)::VARCHAR
+           WHEN 2 THEN 'https://corpus.example/a?id=' || (doc_id // 6)::VARCHAR
+           WHEN 3 THEN 'https://corpus.example/a?id=' || (doc_id // 6)::VARCHAR
+           WHEN 4 THEN 'https://corpus.example:8443/b/doc'
+                       || (doc_id // 6)::VARCHAR
+           ELSE 'http://other.example/b?x=' || (doc_id // 6)::VARCHAR
+                || '&y=2'
+         END AS canonical_url
+  FROM documents
+)
+SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+"""
+
+
 def dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(d).orderBy("fp")
@@ -2457,6 +2506,7 @@ QUERIES = {
     "pack_batches": pack_batches,
     "decontaminate": decontaminate,
     "dedup_exact": dedup_exact,
+    "dedup_url": dedup_url,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -2510,6 +2560,7 @@ ORACLES = {
     "pack_batches": PACK_BATCHES_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_url": DEDUP_URL_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,

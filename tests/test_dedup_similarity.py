@@ -404,3 +404,26 @@ def test_simhash_pairs_banding(spark, docs):
             for r in dedup.simhash_pairs(docs, max_hamming=3,
                                          bits=64).collect()}
     assert wide[("a1", "a2")] == 0
+
+
+def test_url_canonicalization_collapses_variants(spark):
+    from extract_text_spark.functions.dedup import url_dedup
+    df = spark.createDataFrame([
+        (1, "HTTP://Example.COM:80/path/doc7"),
+        (2, "http://example.com/path/doc7/"),
+        (3, "https://Example.com:443/a?utm_source=x&id=5"),
+        (4, "https://example.com/a?id=5&utm_campaign=y#frag"),
+        (5, "https://example.com:8443/b"),      # non-default port kept
+        (6, "http://other.example/b?x=1&y=2"),  # real params kept in order
+        (7, "http://example.com"),
+        (8, "http://example.com/"),
+    ], "doc_id long, url string")
+    got = {r.canonical_url: (r.keep_id, r.n_copies)
+           for r in url_dedup(df).collect()}
+    assert got == {
+        "http://example.com/path/doc7": (1, 2),
+        "https://example.com/a?id=5": (3, 2),
+        "https://example.com:8443/b": (5, 1),
+        "http://other.example/b?x=1&y=2": (6, 1),
+        "http://example.com": (7, 2),
+    }
