@@ -287,6 +287,27 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ta_vocab(spark, sf_dir):
+    """Corpus-LEVEL token frequency (vocab building / Zipf QA) — the only
+    cross-document text statistic in the ta_* family: explode the
+    space-split tokens once, map-side-combined count per token, global
+    top-100 by the total order (count desc, token asc) so the cut line is
+    deterministic in both engines. At 100 TB the topK is
+    TakeOrderedAndProject over the combined partials — never a global
+    sort of the vocabulary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.desc("n"), "tok").limit(100)
+
+
+TA_VOCAB_SQL = """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+"""
+
+
 _LANG_PHRASES = {
     "en": "the cat and the dog is in it for you that",
     "de": "der hund und die katze ist nicht mit ein ich zu",
@@ -2495,6 +2516,7 @@ QUERIES = {
     "events_rollup": events_rollup,
     "part_topk_per_brand": part_topk_per_brand,
     "ta_tokens": ta_tokens,
+    "ta_vocab": ta_vocab,
     "ta_quality": ta_quality,
     "ta_langid": ta_langid,
     "ta_langid_multi": ta_langid_multi,
@@ -2549,6 +2571,7 @@ ORACLES = {
     "events_rollup": EVENTS_ROLLUP_SQL,
     "part_topk_per_brand": PART_TOPK_SQL,
     "ta_tokens": TA_TOKENS_SQL,
+    "ta_vocab": TA_VOCAB_SQL,
     "ta_quality": TA_QUALITY_SQL,
     "ta_langid": TA_LANGID_SQL,
     "ta_langid_multi": _langid_multi_sql(),

@@ -218,6 +218,24 @@ def main():
         ("MapInPandas present", r"MapInPandas"),
     ])
 
+    tv = QUERIES["ta_vocab"](spark, SF)
+    add("ta_vocab — corpus top-k without a global sort", tv, [
+        ("map-side partial count before the token shuffle",
+         r"partial_count|HashAggregate"),
+        ("top-k via TakeOrderedAndProject (no global sort)",
+         r"TakeOrderedAndProject"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
+    du = QUERIES["dedup_url"](spark, SF)
+    add("dedup_url — canonical-key exact dedup", du, [
+        ("map-side partial min/count before the canonical-key shuffle",
+         r"partial_min|HashAggregate"),
+        ("canonicalization is pure codegen (no Python anywhere)",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     samp = QUERIES["sample_stratified"](spark, SF)
     add("sample_stratified — membership filter before any exchange", samp, [
         ("filter sits directly on the scan (reject set never shuffles)",
