@@ -231,3 +231,24 @@ def test_spans_from_url_page_then_images_order():
     assert [s["kind"] for s in out] == ["text", "media"]
     assert out[0]["text"] == "Page body"
     assert "big.gif" in out[1]["media_ref"]
+
+
+def test_each_url_fetched_exactly_once_through_full_pipeline(spark):
+    """The extraction pipeline's small/big path split consumes the ingest
+    output twice; without the materialization barrier every URL would be
+    FETCHED once per path. Pin fetch-count == url-count via accumulator."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting_fetch(url, ua):
+        acc.add(1)
+        return {"content_type": "text/plain", "final_url": url,
+                "headers": {"content-type": "text/plain"},
+                "content": b"payload body"}
+
+    urls = spark.createDataFrame(
+        [(f"http://site.example/d{i}.txt",) for i in range(40)],
+        "url string")
+    out = extract_from_urls(urls, counting_fetch,
+                            resolver=lambda h: ["93.184.216.34"])
+    assert out.count() == 40
+    assert acc.value == 40, f"fetched {acc.value} times for 40 urls"
