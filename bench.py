@@ -99,6 +99,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
         "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
         "ext_url_source", "ext_url_images", "ext_mail_bytes",
+        "dedup_url", "ta_vocab",
     ]
     # Best-of-3 per query, each leg load-gated and its start loadavg
     # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold
