@@ -433,7 +433,8 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
              which_table: int = 1, encrypted: bool = False,
              header: str | None = None, footer: str | None = None,
              footnotes: list[str] | None = None,
-             comments: list[str] | None = None) -> bytes:
+             comments: list[str] | None = None,
+             table: list[list[str]] | None = None) -> bytes:
     """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
     piece table. The text is split into a cp1252 ``fCompressed`` piece and
     a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
@@ -444,6 +445,13 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
     precedes the Pcdt to exercise Clx skipping."""
     import struct
     text = ("\r".join(paragraphs) + "\r") if paragraphs else "\r"
+    # table text model ([MS-DOC] 2.4.3): each cell ends with a cell mark
+    # (0x07), each row with a row (TTP) mark — also 0x07, distinguished
+    # only by the paragraph properties written below
+    table_rows = table                               # stream var shadows below
+    if table_rows:
+        text += "".join(
+            "".join(c + "\x07" for c in row) + "\x07" for row in table_rows)
 
     def u16len_(s: str) -> int:
         return len(s.encode("utf-16-le")) // 2
@@ -543,6 +551,70 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
         plcfand = struct.pack(f"<{len(atn_cps)}I", *atn_cps)
         struct.pack_into("<II", wd, 0xC2, len(table), len(plcfand))
         table += plcfand
+
+    if table_rows:
+        # Real paragraph bin table: one FKP page whose runs cover every
+        # main-text paragraph; table cell marks carry sprmPFInTable, row
+        # marks sprmPFInTable + sprmPFTtp ([MS-DOC] 2.6.2, 2.9.175).
+        def cp_to_fc(cp: int) -> int:
+            for (cp0, cp1), (_cnt, fc_raw) in zip(
+                    zip(cps, cps[1:]), pieces):
+                if cp0 <= cp <= cp1:
+                    if fc_raw & 0x40000000:
+                        return (fc_raw & 0x3FFFFFFF) // 2 + (cp - cp0)
+                    return fc_raw + 2 * (cp - cp0)
+            raise ValueError(f"cp {cp} outside piece table")
+
+        base = ("\r".join(paragraphs) + "\r") if paragraphs else "\r"
+        base_units = u16len(base)
+        mark_types: list[str] = []               # per table-region mark
+        for row in table_rows:
+            for c in row:
+                assert not set(c) & set("\x07\x0c"), \
+                    "cell text may not contain cell/page marks"
+                # interior \r marks = multi-paragraph cell (fInTable, not
+                # a cell boundary; the parser keys on the mark character)
+                mark_types.extend(["cell"] * c.count("\r"))
+                mark_types.append("cell")
+            mark_types.append("row")
+
+        marks: list[tuple[int, str]] = []        # (cp, papx kind)
+        units = ti = 0
+        for ch in text:
+            if ch in "\r\x07\x0c":
+                if units >= base_units:
+                    marks.append((units, mark_types[ti]))
+                    ti += 1
+                else:
+                    marks.append((units, "plain"))
+            units += 2 if ord(ch) > 0xFFFF else 1
+
+        crun = len(marks) + 1                    # + final catch-all run
+        if 4 * (crun + 1) + 13 * crun > 489:
+            raise ValueError("too many paragraphs for one FKP (fixture cap)")
+        rgfc = ([cp_to_fc(0)] + [cp_to_fc(cp + 1) for cp, _ in marks]
+                + [cp_to_fc(cps[-1])])
+        page = bytearray(512)
+        struct.pack_into(f"<{crun + 1}I", page, 0, *rgfc)
+        CELL_OFF, ROW_OFF = 490, 500
+        page[CELL_OFF:CELL_OFF + 6] = bytes(
+            [3, 0, 0, 0x16, 0x24, 1])            # cb=3; istd; sprmPFInTable
+        page[ROW_OFF:ROW_OFF + 10] = bytes(
+            [0, 4, 0, 0, 0x16, 0x24, 1, 0x17, 0x24, 1])   # cb=0/cb'=4; +Ttp
+        bx_base = 4 * (crun + 1)
+        for i, (_cp, kind) in enumerate(marks):
+            bx = (CELL_OFF // 2 if kind == "cell"
+                  else ROW_OFF // 2 if kind == "row" else 0)
+            page[bx_base + 13 * i] = bx
+        page[511] = crun
+        if len(wd) % 512:
+            wd += b"\x00" * (512 - len(wd) % 512)
+        pn = len(wd) // 512
+        wd += page
+        plcbte = struct.pack("<III", rgfc[0], rgfc[-1], pn)
+        struct.pack_into("<II", wd, 0x102, len(table), len(plcbte))
+        table += plcbte
+
     return make_ole({"WordDocument": bytes(wd),
                      "1Table" if which_table else "0Table": table})
 

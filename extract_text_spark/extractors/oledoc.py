@@ -23,9 +23,11 @@ Modeled scope (documented, not hidden):
   ([MS-DOC] 2.8.25, odd = default story per section), footnotes from
   PlcffndTxt over ``ccpFtn`` (2.8.24), comments from PlcfandTxt over
   ``ccpAtn`` (2.8.15) — the ``[Header]``/``[Footer]``/``[Footnotes]``/
-  ``[Comments]`` blocks the converted docx path emits.  Only binary
-  table structure stays out of the modeled range, so the payload's
-  tables list is empty.
+  ``[Comments]`` blocks the converted docx path emits.  Binary table
+  structure is modeled too: PlcfbtePapx -> FKP paragraph properties
+  classify 0x07 marks into cell vs row (sprmPFInTable/sprmPFTtp), so
+  tables extract as docx-parity rows; files without a paragraph bin
+  table keep the flat paragraph model.
 * PPT — the [MS-PPT] record stream: DocumentContainer ->
   SlideListWithText (instance 0 = slides, 2 = notes), text grouped per
   SlidePersistAtom, one shape per TextCharsAtom (UTF-16LE) /
@@ -60,6 +62,11 @@ _CCP_HDD_OFF = 0x54
 _FC_CLX_OFF = 0x1A2
 _FC_PLCFHDD_OFF = 0xF2
 _FC_PLCFFNDTXT_OFF = 0xB2
+# fcPlcfbtePapx/lcb is the 14th (fc,lcb) pair: 0x9A + 13*8 = 0x102
+# ([MS-DOC] 2.5.5) — paragraph-property bin table for the table model.
+_FC_PLCFBTEPAPX_OFF = 0x102
+_SPRM_PF_IN_TABLE = 0x2416
+_SPRM_PF_TTP = 0x2417
 # fcPlcfandTxt/lcb is the 6th (fc,lcb) pair: 0x9A + 5*8 = 0xC2, and the
 # annotation (comment) cp range sits after ccpText+ccpFtn+ccpHdd+ccpMcr
 # ([MS-DOC] 2.5.7 ccpAtn at fibRgLw97 offset 0x5C).
@@ -99,6 +106,88 @@ def _cp_slice(full: str, start_units: int, end_units: int) -> str:
     return "".join(out)
 
 
+def _grpprl_table_flags(grp: bytes) -> tuple[bool, bool]:
+    """Walk a GrpPrlAndIstd for sprmPFInTable / sprmPFTtp ([MS-DOC]
+    2.6.2); operand sizes derive from the sprm's spra bits."""
+    fin = fttp = False
+    pos = 2                                     # istd
+    while pos + 2 <= len(grp):
+        (opcode,) = struct.unpack_from("<H", grp, pos)
+        pos += 2
+        if opcode == _SPRM_PF_IN_TABLE and pos < len(grp):
+            fin = bool(grp[pos])
+        elif opcode == _SPRM_PF_TTP and pos < len(grp):
+            fttp = bool(grp[pos])
+        spra = opcode >> 13
+        if spra in (0, 1):
+            pos += 1
+        elif spra in (2, 4, 5):
+            pos += 2
+        elif spra == 3:
+            pos += 4
+        elif spra == 7:
+            pos += 3
+        else:                                   # spra 6: size byte + payload
+            pos += 1 + (grp[pos] if pos < len(grp) else 0)
+    return fin, fttp
+
+
+def _make_flags_for_cp(wd: bytes, table: bytes, piece_map):
+    """PlcfbtePapx/FKP lookup: CP of a paragraph mark -> (fInTable, fTtp).
+
+    Returns None when the file carries no paragraph bin table (our
+    pre-table fixtures, badly truncated files) — callers fall back to the
+    flat paragraph model.
+    """
+    if len(wd) < _FC_PLCFBTEPAPX_OFF + 8:
+        return None
+    fc_plc, lcb_plc = struct.unpack_from("<II", wd, _FC_PLCFBTEPAPX_OFF)
+    if lcb_plc < 12 or fc_plc + lcb_plc > len(table):
+        return None
+    n = (lcb_plc - 4) // 8                      # aFC: n+1 u32, aPnBte: n u32
+    if n <= 0:
+        return None
+    afc = struct.unpack_from(f"<{n + 1}I", table, fc_plc)
+    apn = struct.unpack_from(f"<{n}I", table, fc_plc + 4 * (n + 1))
+
+    def cp_to_fc(cp: int) -> int | None:
+        for cp0, cp1, fc, width in piece_map:
+            if cp0 <= cp < cp1:
+                return fc + width * (cp - cp0)
+        return None
+
+    def flags_for_cp(cp: int) -> tuple[bool, bool]:
+        fc = cp_to_fc(cp)
+        if fc is None:
+            return (False, False)
+        for i in range(n):
+            if afc[i] <= fc < afc[i + 1]:
+                pn = apn[i] & 0x3FFFFF
+                page = wd[pn * 512:(pn + 1) * 512]
+                if len(page) < 512:
+                    return (False, False)
+                crun = page[511]
+                if 4 * (crun + 1) + 13 * crun > 511:
+                    return (False, False)
+                rgfc = struct.unpack_from(f"<{crun + 1}I", page, 0)
+                for j in range(crun):
+                    if rgfc[j] <= fc < rgfc[j + 1]:
+                        bx = page[4 * (crun + 1) + 13 * j]
+                        if bx == 0:             # default PAPX: no props
+                            return (False, False)
+                        off = bx * 2
+                        cb = page[off]
+                        if cb == 0:
+                            grp = page[off + 2:off + 2 + 2 * page[off + 1]]
+                        else:
+                            grp = page[off + 1:off + 1 + 2 * cb - 1]
+                        return _grpprl_table_flags(grp)
+                return (False, False)
+        return (False, False)
+
+    return flags_for_cp
+
+
 def doc_text_from_bytes(content: bytes) -> str:
     """Raw main-document text (control chars intact) from DOC bytes."""
     return _doc_subdocs(content)[0]
@@ -106,9 +195,10 @@ def doc_text_from_bytes(content: bytes) -> str:
 
 def _doc_subdocs(
     content: bytes,
-) -> tuple[str, list[str], list[str], list[str]]:
+) -> tuple[str, list[str], list[str], list[str], object]:
     """DOC bytes -> (main text, Hdd header/footer stories, footnote
-    stories, annotation stories), control chars intact.
+    stories, annotation stories, paragraph-flags lookup or None),
+    control chars intact.
 
     Header/footer stories come from PlcfHdd over the cp range past
     ccpText+ccpFtn ([MS-DOC] 2.8.25): the first six are note separators,
@@ -155,6 +245,7 @@ def _doc_subdocs(
     cps = struct.unpack_from(f"<{n + 1}I", plc, 0)
 
     pieces = []
+    piece_map = []                  # (cp_start, cp_end, byte_fc, bytes/unit)
     for i in range(n):
         count = cps[i + 1] - cps[i]
         (fc_raw,) = struct.unpack_from("<I", plc, 4 * (n + 1) + 8 * i + 2)
@@ -162,9 +253,11 @@ def _doc_subdocs(
         if fc_raw & _FC_COMPRESSED:
             raw = wd[fc // 2:fc // 2 + count]
             pieces.append(raw.decode("cp1252", errors="replace"))
+            piece_map.append((cps[i], cps[i + 1], fc // 2, 1))
         else:
             raw = wd[fc:fc + 2 * count]
             pieces.append(raw.decode("utf-16-le", errors="replace"))
+            piece_map.append((cps[i], cps[i + 1], fc, 2))
     full = "".join(pieces)
     # The piece table covers every text range (main, footnotes, headers,
     # annotations...); ccpText bounds the main document — measured in
@@ -172,8 +265,9 @@ def _doc_subdocs(
     # plane chars count 2.
     total_units = len(full.encode("utf-16-le")) // 2
     if not 0 <= ccp_text <= total_units:
-        return full, [], [], []
+        return full, [], [], [], None
     main = _cp_slice(full, 0, ccp_text)
+    flags_for_cp = _make_flags_for_cp(wd, table, piece_map)
 
     stories: list[str] = []
     footnotes: list[str] = []
@@ -217,7 +311,84 @@ def _doc_subdocs(
                 comments.append(_cp_slice(full, atn_base + cps_a[i],
                                           atn_base + min(cps_a[i + 1],
                                                          ccp_atn)))
-    return main, stories, footnotes, comments
+    return main, stories, footnotes, comments, flags_for_cp
+
+
+def _segment_main(
+    main: str, flags_for_cp,
+) -> tuple[list[str], list[list[list[str]]]]:
+    """Main text -> (paragraph texts, tables).
+
+    With a paragraph bin table (PlcfbtePapx), marks flagged sprmPFInTable
+    group into cells (``\\x07`` ends a cell, an interior ``\\r`` makes a
+    multi-paragraph cell) and sprmPFTtp marks end rows — the real
+    [MS-DOC] table model, matching what the conversion renders as docx
+    tables. Without PAPX (or with no table flags anywhere) every mark is
+    a flat paragraph break and field instructions strip across marks
+    (the spanning-instruction rule)."""
+    flags = None
+    if flags_for_cp is not None:
+        segs = re.split("([\r\x07\x0c])", main)
+        items: list[tuple[str, str]] = []
+        cp = 0
+        flags = []
+        for i in range(0, len(segs) - 1, 2):
+            t, mark = segs[i], segs[i + 1]
+            cp += len(t.encode("utf-16-le")) // 2
+            items.append((t, mark))
+            flags.append(flags_for_cp(cp))
+            cp += 1
+        tail = segs[-1]
+        if not any(f[0] or f[1] for f in flags):
+            flags = None                        # no tables: flat model
+
+    if flags is None:
+        text = _FIELD_CODE.sub("", main)
+        parts = _PARA_MARKS.split(text)
+        if parts and parts[-1] == "":           # final paragraph mark
+            parts.pop()
+        return parts, []
+
+    paras: list[str] = []
+    tables: list[list[list[str]]] = []
+    tbl: list[list[str]] = []
+    row: list[str] = []
+    cell_parts: list[str] = []
+
+    def flush_table() -> None:
+        nonlocal tbl, row, cell_parts
+        if cell_parts:                          # unterminated cell
+            row.append(_clean_fragment("\n".join(cell_parts)))
+            cell_parts = []
+        if row:
+            tbl.append(row)
+            row = []
+        if tbl:
+            tables.append(tbl)
+            tbl = []
+
+    for (t, mark), (fin, fttp) in zip(items, flags):
+        if fttp:                                # row-end mark
+            if t:
+                cell_parts.append(t)
+            if cell_parts:
+                row.append(_clean_fragment("\n".join(cell_parts)))
+                cell_parts = []
+            if row:
+                tbl.append(row)
+                row = []
+        elif fin:
+            cell_parts.append(t)
+            if mark == "\x07":                  # cell mark
+                row.append(_clean_fragment("\n".join(cell_parts)))
+                cell_parts = []
+        else:
+            flush_table()
+            paras.append(t)
+    flush_table()
+    if tail:
+        paras.append(tail)
+    return paras, tables
 
 
 def doc_payload_from_bytes(content: bytes) -> str:
@@ -225,15 +396,9 @@ def doc_payload_from_bytes(content: bytes) -> str:
     mirroring what LibreOffice conversion + the reference's python-docx
     read (app/extractors.py:392-473 -> :288-390) yields for body text."""
     import json
-    text, stories, ftn_stories, atn_stories = _doc_subdocs(content)
-    # Field instructions strip over the FULL text before paragraph
-    # splitting: an 0x13..0x14 range may span a paragraph mark, and the
-    # conversion renders only field results — the instruction text and any
-    # marks inside it disappear together.
-    text = _FIELD_CODE.sub("", text)
-    parts = _PARA_MARKS.split(text)
-    if parts and parts[-1] == "":               # final paragraph mark
-        parts.pop()
+    text, stories, ftn_stories, atn_stories, flags_for_cp = \
+        _doc_subdocs(content)
+    parts, tables = _segment_main(text, flags_for_cp)
 
     def split_story(raw: str) -> list[str]:
         ps = _PARA_MARKS.split(_FIELD_CODE.sub("", raw))
@@ -262,7 +427,7 @@ def doc_payload_from_bytes(content: bytes) -> str:
         comments.extend(p for p in split_story(raw) if p.strip())
     return json.dumps({
         "paragraphs": [_clean_fragment(p) for p in parts],
-        "tables": [], "sections": sections, "footnotes": footnotes,
+        "tables": tables, "sections": sections, "footnotes": footnotes,
         "comments": comments,
     })
 

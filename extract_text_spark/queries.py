@@ -2039,7 +2039,9 @@ def ext_office_bytes(spark, sf_dir):
                                      which_table=(doc_id // 8) % 2,
                                      header="Hd " + source,
                                      footer="Ft " + str(doc_id),
-                                     footnotes=["Fn " + source])
+                                     footnotes=["Fn " + source],
+                                     table=[["Ta", source],
+                                            ["Tb", str(doc_id)]])
         if m == 7:
             return "f.ppt", make_ppt(
                 [{"shapes": [text], "notes": ["n2 " + source],
@@ -2079,6 +2081,8 @@ SELECT doc_id, 'ok' AS status, 1 AS n_spans,
                      || '[Speaker Notes]' || chr(10) || 'n ' || source
          WHEN 3 THEN text
          WHEN 6 THEN text || chr(10) || chr(10) || 'Legacy ' || source
+                     || chr(10) || chr(10) || 'Ta' || chr(9) || source
+                     || chr(10) || 'Tb' || chr(9) || doc_id::VARCHAR
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hd '
                      || source || chr(10) || chr(10) || '[Footer]'
                      || chr(10) || 'Ft ' || doc_id::VARCHAR

@@ -248,3 +248,28 @@ def test_ppt_notes_container_textboxes():
     assert got["slides"][0]["shapes"] == ["T1", "box A"]
     assert got["slides"][0]["notes"] == ["n1", "note box"]
     assert got["slides"][1] == {"shapes": ["T2"], "notes": []}
+
+
+def test_doc_binary_tables_via_papx():
+    """Real [MS-DOC] table model: PlcfbtePapx -> FKP -> sprmPFInTable /
+    sprmPFTtp classify the 0x07 marks into cell vs row boundaries, so
+    tables extract as docx-parity rows instead of flattened paragraphs;
+    interior \\r marks make multi-paragraph cells. Docs without a
+    paragraph bin table keep the flat model."""
+    doc = make_doc(["Intro para", "Second"],
+                   table=[["a", "b"], ["c", "d"]], header="Hd")
+    got = json.loads(doc_payload_from_bytes(doc))
+    assert got["tables"] == [[["a", "b"], ["c", "d"]]]
+    assert got["paragraphs"] == ["Intro para", "Second"]
+    st_doc, sp_doc = spans_from_bytes(
+        make_doc(["Intro"], table=[["a", "b"], ["c", "d"]]), "t.doc")
+    st_docx, sp_docx = spans_from_bytes(
+        make_docx(["Intro"], table=[["a", "b"], ["c", "d"]]), "t.docx")
+    assert st_doc is None and st_docx is None and sp_doc == sp_docx
+    # multi-paragraph cell
+    multi = json.loads(doc_payload_from_bytes(
+        make_doc(["P"], table=[["line1\rline2", "b"]])))
+    assert multi["tables"] == [[["line1\nline2", "b"]]]
+    # no PAPX -> flat paragraphs (pinned pre-table model)
+    flat = json.loads(doc_payload_from_bytes(make_doc(["cellA\x07cellB"])))
+    assert flat["paragraphs"] == ["cellA", "cellB"] and flat["tables"] == []
