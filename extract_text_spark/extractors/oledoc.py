@@ -31,8 +31,10 @@ Modeled scope (documented, not hidden):
 * PPT — the [MS-PPT] record stream: DocumentContainer ->
   SlideListWithText (instance 0 = slides, 2 = notes), text grouped per
   SlidePersistAtom, one shape per TextCharsAtom (UTF-16LE) /
-  TextBytesAtom (low-byte) run.  This is the outline/placeholder text
-  model; Escher drawing-layer textboxes are outside the modeled range.
+  TextBytesAtom (low-byte) run — plus the drawing layer: Slide/Notes
+  containers' PPDrawing OfficeArtClientTextbox runs append to that
+  slide's shapes/notes, with placeholder textboxes (OutlineTextRefAtom)
+  skipped so outline text never double-counts.
 
 Encrypted files fail closed like the reference's conversion path does
 (``fEncrypted`` FIB bit / no parsable piece table -> ValueError).
