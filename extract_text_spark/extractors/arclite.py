@@ -158,15 +158,21 @@ def _read_bits(data: bytes, pos: int, n: int) -> tuple[list[bool], int]:
     return bits, pos + nbytes
 
 
-def _skip_crcs(data: bytes, pos: int, n: int) -> int:
+def _read_crc_defined(data: bytes, pos: int, n: int) -> tuple[list[bool], int]:
+    """Digest vector header: allAreDefined byte or a defined bitfield,
+    then one u32 per defined digest (skipped — CRCs are not verified)."""
     all_defined = data[pos]
     pos += 1
     if all_defined:
-        defined = n
+        defined = [True] * n
     else:
-        bits, pos = _read_bits(data, pos, n)
-        defined = sum(bits)
-    return pos + 4 * defined
+        defined, pos = _read_bits(data, pos, n)
+    return defined, pos + 4 * sum(defined)
+
+
+def _skip_crcs(data: bytes, pos: int, n: int) -> int:
+    _defined, pos = _read_crc_defined(data, pos, n)
+    return pos
 
 
 def _parse_folder(d: bytes, pos: int) -> tuple[dict, int]:
@@ -256,7 +262,9 @@ def _parse_streams_info(d: bytes, pos: int) -> tuple[dict, int]:
                 if t2 == _K_END:
                     break
                 if t2 == _K_CRC:
-                    pos = _skip_crcs(d, pos, nf)
+                    crc_defined, pos = _read_crc_defined(d, pos, nf)
+                    for f, cd in zip(folders, crc_defined):
+                        f["crc_defined"] = cd
                 else:
                     raise ValueError("Invalid 7Z file")
         elif t == _K_SUBSTREAMS:
@@ -283,7 +291,12 @@ def _parse_streams_info(d: bytes, pos: int) -> tuple[dict, int]:
                             acc += s
                         sub_sizes.append(f["unpack_size"] - acc)
                 elif t2 == _K_CRC:
-                    n_digests = sum(num_unpack)
+                    # digests are stored only for substreams whose CRC is
+                    # not already known from UnpackInfo (single-substream
+                    # folders with a defined folder CRC)
+                    n_digests = sum(
+                        0 if (k == 1 and f.get("crc_defined")) else k
+                        for k, f in zip(num_unpack, folders))
                     pos = _skip_crcs(d, pos, n_digests)
                 else:
                     raise ValueError("Invalid 7Z file")
@@ -326,7 +339,11 @@ def _decode_coder(cid: bytes, props: bytes, packed: bytes,
         return dec.decompress(packed, max_length=unpack_size)
     if cid == b"\x04\x02\x02":                      # BZip2
         import bz2
-        return bz2.decompress(packed)[:unpack_size]
+        # bounded incremental decode: a hostile stream must not inflate
+        # past the declared size before the cap can apply
+        dec = bz2.BZ2Decompressor()
+        out = dec.decompress(packed, max_length=unpack_size)
+        return out[:unpack_size]
     raise ValueError(
         f"7z coder {cid.hex()} not supported by the vendored reader "
         "(install py7zr)")
@@ -378,12 +395,17 @@ def _parse_files_info(d: bytes, pos: int) -> tuple[list[str], list[bool], int]:
     return names, empty_stream, pos
 
 
-def sevenz_members(content: bytes) -> list[tuple[str, bytes]]:
+def sevenz_members(content: bytes,
+                   max_total: int | None = None) -> list[tuple[str, bytes]]:
     """7z bytes -> [(name, data)] in archive order.
 
     Empty-stream entries (directories / empty files) yield no member,
     matching the library walk's ``is_directory`` filter plus the
-    reference's skip of zero-byte payloads downstream.
+    reference's skip of zero-byte payloads downstream. ``max_total`` caps
+    the DECLARED unpack sizes BEFORE any decompression — the zip-bomb
+    guard must fire on header metadata, never after materializing a
+    hostile archive (the zip/tar paths check declared sizes the same
+    way).
     """
     if not content.startswith(SEVENZ_SIG) or len(content) < 32:
         raise ValueError("Invalid 7Z file")
@@ -392,9 +414,18 @@ def sevenz_members(content: bytes) -> list[tuple[str, bytes]]:
     hdr = content[base + nh_off:base + nh_off + nh_size]
     if len(hdr) != nh_size or not hdr:
         raise ValueError("Invalid 7Z file")
+
+    def check_declared(info: dict) -> None:
+        if max_total is not None and sum(
+                f["unpack_size"] for f in info["folders"]) > max_total:
+            raise ValueError(
+                "Extracted files size exceeds maximum allowed size "
+                "(zip bomb protection)")
+
     t, pos = _num7(hdr, 0)
     if t == _K_ENCODED_HEADER:
         info, pos = _parse_streams_info(hdr, pos)
+        check_declared(info)
         decoded = _decode_folders(content, info, base)
         hdr = b"".join(decoded)
         t, pos = _num7(hdr, 0)
@@ -415,6 +446,7 @@ def sevenz_members(content: bytes) -> list[tuple[str, bytes]]:
         else:
             raise ValueError("Invalid 7Z file")
 
+    check_declared(info)
     decoded = _decode_folders(content, info, base)
     num_unpack = info["num_unpack"] or [1] * len(decoded)
     sub_sizes = info["sub_sizes"]

@@ -129,6 +129,18 @@ def _grpprl_table_flags(grp: bytes) -> tuple[bool, bool]:
             pos += 4
         elif spra == 7:
             pos += 3
+        elif opcode in (0xD608, 0xD606):
+            # sprmTDefTable(10): [MS-DOC] 2.6.3 exception — a 2-byte cb
+            # counting the remaining operand bytes plus one
+            if pos + 2 > len(grp):
+                break
+            (cb,) = struct.unpack_from("<H", grp, pos)
+            pos += 2 + max(cb - 1, 0)
+        elif opcode == 0xC615 and pos < len(grp) and grp[pos] == 255:
+            # sprmPChgTabs with cb == 255: operand size derives from its
+            # internal deletion/addition arrays — out of modeled scope,
+            # stop the walk rather than desync into garbage opcodes
+            break
         else:                                   # spra 6: size byte + payload
             pos += 1 + (grp[pos] if pos < len(grp) else 0)
     return fin, fttp
@@ -331,18 +343,57 @@ def _segment_main(
     flags = None
     if flags_for_cp is not None:
         segs = re.split("([\r\x07\x0c])", main)
-        items: list[tuple[str, str]] = []
+        raw_items: list[tuple[str, str]] = []
         cp = 0
-        flags = []
+        raw_flags = []
         for i in range(0, len(segs) - 1, 2):
             t, mark = segs[i], segs[i + 1]
             cp += len(t.encode("utf-16-le")) // 2
-            items.append((t, mark))
-            flags.append(flags_for_cp(cp))
+            raw_items.append((t, mark))
+            raw_flags.append(flags_for_cp(cp))
             cp += 1
         tail = segs[-1]
-        if not any(f[0] or f[1] for f in flags):
+        if not any(f[0] or f[1] for f in raw_flags):
             flags = None                        # no tables: flat model
+        else:
+            # Field instructions strip ACROSS segments before assembly: a
+            # 0x13..0x14 range may span a paragraph mark, and the marks
+            # inside the instruction disappear with it (same rule as the
+            # flat model's full-text regex pass).
+            items, flags = [], []
+            carry = ""
+            in_instr = False
+            for (t, mark), fl in zip(raw_items, raw_flags):
+                kept = []
+                for ch in t:
+                    if in_instr:
+                        if ch in "\x14\x15":
+                            in_instr = False
+                            if ch == "\x15":    # no separator: keep the
+                                kept.append(ch)  # end mark for _clean
+                    elif ch == "\x13":
+                        in_instr = True
+                    else:
+                        kept.append(ch)
+                if in_instr:                    # mark inside instruction:
+                    carry += "".join(kept)      # merge into next segment
+                    continue
+                items.append((carry + "".join(kept), mark))
+                flags.append(fl)
+                carry = ""
+            if in_instr or carry:
+                tail_kept = []
+                for ch in tail:
+                    if in_instr:
+                        if ch in "\x14\x15":
+                            in_instr = False
+                            if ch == "\x15":
+                                tail_kept.append(ch)
+                    elif ch == "\x13":
+                        in_instr = True
+                    else:
+                        tail_kept.append(ch)
+                tail = carry + "".join(tail_kept)
 
     if flags is None:
         text = _FIELD_CODE.sub("", main)

@@ -311,6 +311,12 @@ def xls_payload_from_bytes(content: bytes) -> str:
             elif opcode == 0x0207 and pending_formula is not None:  # STRING
                 cells[pending_formula] = _inline_string(data, 0)
                 pending_formula = None
+            elif opcode not in (0x04BC, 0x0221, 0x0236):
+                # only SHRFMLA/ARRAY/TABLE may sit between a string-result
+                # FORMULA and its STRING ([MS-XLS] 2.4.87); anything else
+                # clears the pending cell so a later unrelated STRING can
+                # never land at stale coordinates
+                pending_formula = None
             if opcode == 0x00FD:                   # LABELSST
                 row, col = struct.unpack_from("<HH", data, 0)
                 (isst,) = struct.unpack_from("<I", data, 6)

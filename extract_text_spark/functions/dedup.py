@@ -547,6 +547,9 @@ def canonical_url_col(url: str | Column = "url") -> Column:
     """URL canonicalization for web-corpus dedup, pure Catalyst
     (``parse_url`` is JVM-side):
 
+    * try_parse_url throughout: under ANSI mode plain parse_url THROWS
+      on any malformed URL (one junk row would kill the whole job);
+      unparseable URLs fall back to the raw string as their own key
     * scheme and host lowercased
     * default port dropped (``:80`` http / ``:443`` https), others kept
     * fragment dropped
@@ -560,27 +563,34 @@ def canonical_url_col(url: str | Column = "url") -> Column:
     before content-level dedup in a crawl pipeline.
     """
     u = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
-    host = F.lower(F.parse_url(u, F.lit("HOST")))
-    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    scheme = F.lower(F.try_parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    authority = F.try_parse_url(u, F.lit("AUTHORITY"))
     port = F.regexp_extract(authority, r":(\d+)$", 1)
-    default_port = F.when(scheme == "http", F.lit("80")) \
-                    .when(scheme == "https", F.lit("443")) \
-                    .otherwise(F.lit(""))
+    default_port = F.lit("")
+    for sch, dp in _DEFAULT_PORTS.items():
+        default_port = F.when(scheme == sch, F.lit(dp)).otherwise(default_port)
     port_part = F.when((port == "") | (port == default_port), F.lit("")) \
                  .otherwise(F.concat(F.lit(":"), port))
     path = F.regexp_replace(
-        F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", "")
-    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
-    kept = F.filter(
-        F.split(query, "&"),
-        lambda p: ~(p.startswith("utm_") | p.startswith("gclid=")
-                    | p.startswith("fbclid=") | p.startswith("msclkid=")
-                    | (p == "")))
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")), r"/+$", "")
+    query = F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit(""))
+
+    def _is_tracking(p):
+        cond = (p == "")
+        for prefix in _TRACKING_PARAMS:
+            cond = cond | p.startswith(prefix)
+        return cond
+
+    kept = F.filter(F.split(query, "&"), lambda p: ~_is_tracking(p))
     query_part = F.when(F.size(kept) > 0,
                         F.concat(F.lit("?"), F.array_join(kept, "&"))) \
                   .otherwise(F.lit(""))
-    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    canon = F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+    # Unparseable URLs (parse_url -> NULL) must NOT collapse into one
+    # NULL-key dedup cluster of unrelated docs — they fall back to the
+    # raw string as their own key.
+    return F.when(scheme.isNull() | host.isNull(), u).otherwise(canon)
 
 
 def url_dedup(df: DataFrame, url_col: str = "url",

@@ -606,11 +606,13 @@ def _rar_members(content: bytes, depth: int) -> list[dict]:
 def _7z_members(content: bytes, depth: int) -> list[dict]:
     if not py7zr:
         # vendored fallback: Copy/LZMA1/LZMA2/BZip2 single-coder 7z walk
-        # without the optional dep (extractors/arclite.py)
+        # without the optional dep (extractors/arclite.py); the declared-
+        # size cap fires on header metadata before any decompression
         from .extractors.arclite import sevenz_members
         return _members_from_entries(
             ((name, len(data), lambda d=data: d)
-             for name, data in sevenz_members(content)),
+             for name, data in sevenz_members(
+                 content, max_total=MAX_EXTRACTED_SIZE)),
             "7z", depth)
     try:  # pragma: no cover - optional dependency
         sz = py7zr.SevenZipFile(io.BytesIO(content))

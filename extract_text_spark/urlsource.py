@@ -220,8 +220,12 @@ def _image_dims(content: bytes) -> tuple[int, int] | None:
 
 def _media_span(filename: str, path: str, size: int, img_type: str,
                 width: int, height: int) -> dict:
-    ref = (f'{{"filename":"{filename}","path":"{path}","size":{size},'
-           f'"type":"{img_type}","width":{width},"height":{height}}}')
+    import json
+    # real JSON encoding (quotes/backslashes in filenames or URLs must
+    # escape); compact separators keep the closed-form oracle literals
+    ref = json.dumps({"filename": filename, "path": path, "size": size,
+                      "type": img_type, "width": width, "height": height},
+                     separators=(",", ":"))
     return {"kind": "media", "text": None, "media_ref": ref, "offset": 0}
 
 
@@ -434,7 +438,9 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
     extraction pipeline's small/big path split: both paths consume it,
     and without the materialization barrier each URL would be FETCHED
     once per path — wrong for a side-effecting network tier, and 2x the
-    kernel cost."""
+    kernel cost. The cache is not released here (the result is lazy);
+    drivers that loop over many extractions should clear caches between
+    jobs the way bench.py does."""
     from pyspark import StorageLevel
     from .pipeline import extract_spans_df
     ingest_kwargs = {k: kwargs.pop(k) for k in

@@ -427,3 +427,15 @@ def test_url_canonicalization_collapses_variants(spark):
         "http://other.example/b?x=1&y=2": (6, 1),
         "http://example.com": (7, 2),
     }
+
+
+def test_malformed_urls_never_collapse_into_one_cluster(spark):
+    from extract_text_spark.functions.dedup import url_dedup
+    df = spark.createDataFrame([
+        (1, "example.com/x"),                   # no scheme
+        (2, "not a url at all"),
+        (3, "http://ok.example/a"),
+    ], "doc_id long, url string")
+    got = {r.canonical_url: r.n_copies for r in url_dedup(df).collect()}
+    assert got == {"example.com/x": 1, "not a url at all": 1,
+                   "http://ok.example/a": 1}

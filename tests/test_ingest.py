@@ -814,3 +814,16 @@ def test_xls_formula_cached_results():
                            XlsFormula(True), "plain"]]})
     got = json.loads(xls_payload_from_bytes(xls))
     assert got["sheets"][0]["rows"] == [[6.5, "cached str", True, "plain"]]
+
+
+def test_vendored_7z_declared_size_cap_fires_before_decode():
+    """The zip-bomb guard must fire on HEADER metadata, never after
+    materializing a hostile archive (parity with the zip/tar declared-
+    size guards)."""
+    import pytest
+    from extract_text_spark.bytecorpus import make_7z
+    from extract_text_spark.extractors.arclite import sevenz_members
+    z = make_7z({"big.txt": b"A" * 100_000}, coder="lzma2")
+    with pytest.raises(ValueError, match="zip bomb protection"):
+        sevenz_members(z, max_total=1024)
+    assert sevenz_members(z, max_total=10**9)[0][1] == b"A" * 100_000

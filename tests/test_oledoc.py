@@ -273,3 +273,14 @@ def test_doc_binary_tables_via_papx():
     # no PAPX -> flat paragraphs (pinned pre-table model)
     flat = json.loads(doc_payload_from_bytes(make_doc(["cellA\x07cellB"])))
     assert flat["paragraphs"] == ["cellA", "cellB"] and flat["tables"] == []
+
+
+def test_doc_table_model_field_spanning_mark_parity():
+    """A field instruction spanning a paragraph mark must render only the
+    field result in the TABLE model too (the cross-segment strip), not
+    leak instruction text or split the paragraph."""
+    raw = "see \x13PAGEREF\rdeep _x\x14page 9\x15 done"
+    got = json.loads(doc_payload_from_bytes(
+        make_doc([raw], table=[["Ta", "Tb"]])))
+    assert got["paragraphs"] == ["see page 9 done"]
+    assert got["tables"] == [[["Ta", "Tb"]]]

@@ -252,3 +252,21 @@ def test_each_url_fetched_exactly_once_through_full_pipeline(spark):
                             resolver=lambda h: ["93.184.216.34"])
     assert out.count() == 40
     assert acc.value == 40, f"fetched {acc.value} times for 40 urls"
+
+
+def test_media_ref_is_valid_json_with_hostile_names():
+    import json
+    from extract_text_spark.bytecorpus import make_gif
+    from extract_text_spark import urlsource
+
+    def fetch(url, ua):
+        return {"content_type": "image/gif", "final_url": url,
+                "headers": {"content-type": "image/gif"},
+                "content": make_gif(150, 150)}
+
+    html = '<img src=\'/a"b\\c.gif\'>'
+    spans = urlsource.harvest_images(
+        html, "http://site.example/p.html", fetch,
+        resolver=lambda h: ["93.184.216.34"])
+    ref = json.loads(spans[0]["media_ref"])     # must parse
+    assert ref["filename"] == 'a"b\\c.gif'
