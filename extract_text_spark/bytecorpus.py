@@ -434,7 +434,8 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
              header: str | None = None, footer: str | None = None,
              footnotes: list[str] | None = None,
              comments: list[str] | None = None,
-             table: list[list[str]] | None = None) -> bytes:
+             table: list[list[str]] | None = None,
+             tail: str = "") -> bytes:
     """Legacy DOC: real OLE2 container with a [MS-DOC] FIB + Clx/PlcPcd
     piece table. The text is split into a cp1252 ``fCompressed`` piece and
     a UTF-16 piece to exercise both encodings; ``extra_text`` occupies the
@@ -452,6 +453,9 @@ def make_doc(paragraphs: list[str], extra_text: str = "",
     if table_rows:
         text += "".join(
             "".join(c + "\x07" for c in row) + "\x07" for row in table_rows)
+    # ``tail``: main text past the final paragraph/cell mark (malformed
+    # docs — Word always mark-terminates; exercises the tail strip path)
+    text += tail
 
     def u16len_(s: str) -> int:
         return len(s.encode("utf-16-le")) // 2

@@ -223,17 +223,21 @@ def _tag_attrs(tag_src: str) -> dict[str, str | None]:
     return attrs
 
 
-def find_img_srcs(html: str, cap: int | None = None) -> list[str | None]:
+def find_img_srcs(html: str, cap: int | None = None) -> list[str]:
     """Document-order ``src`` values of ``<img>`` elements that carry a
     ``src`` attribute — BeautifulSoup ``find_all("img", src=True)`` parity
     (app/extractors.py:3085-3089: attribute *presence* matches, even empty).
     Imgs inside comments or script/style raw text are not element nodes and
     are skipped. ``cap`` is the reference's ``[:max_images]`` document-order
     cap applied before categorization (:3088-3089). A valueless ``src``
-    yields ``None`` (html.parser's value for bare attributes) — the caller
-    pins the reference's resulting all-images-lost quirk.
+    yields ``""`` — the reference parses with the lxml builder
+    (``BeautifulSoup(html_content, "lxml")``, :3086; lxml pinned in
+    requirements.txt), where a bare attribute's value is the empty string —
+    so it is categorized as a URL image and dropped by the ``if not
+    img_src`` guard in ``_process_single_image`` (:3181), losing only that
+    one image.
     """
-    out: list[str | None] = []
+    out: list[str] = []
     i, n = 0, len(html)
     low = None
     while i < n and (cap is None or len(out) < cap):
@@ -260,7 +264,9 @@ def find_img_srcs(html: str, cap: int | None = None) -> list[str | None]:
         if not is_end and name == "img":
             attrs = _tag_attrs(html[lt:j])
             if "src" in attrs:
-                out.append(attrs["src"])
+                # lxml builder: a bare attribute's value is "" (not
+                # html.parser's None) — see docstring.
+                out.append(attrs["src"] or "")
         elif not is_end and name in _RAWTEXT:
             if low is None:
                 low = html.translate(_ASCII_LOWER)

@@ -381,19 +381,22 @@ def _segment_main(
                 items.append((carry + "".join(kept), mark))
                 flags.append(fl)
                 carry = ""
-            if in_instr or carry:
-                tail_kept = []
-                for ch in tail:
-                    if in_instr:
-                        if ch in "\x14\x15":
-                            in_instr = False
-                            if ch == "\x15":
-                                tail_kept.append(ch)
-                    elif ch == "\x13":
-                        in_instr = True
-                    else:
-                        tail_kept.append(ch)
-                tail = carry + "".join(tail_kept)
+            # The tail (text after the final paragraph mark) always runs
+            # through the same instruction-stripping loop — an 0x13..0x14
+            # range starting and ending entirely inside the tail must
+            # strip exactly as the flat model's full-text regex pass does.
+            tail_kept = []
+            for ch in tail:
+                if in_instr:
+                    if ch in "\x14\x15":
+                        in_instr = False
+                        if ch == "\x15":
+                            tail_kept.append(ch)
+                elif ch == "\x13":
+                    in_instr = True
+                else:
+                    tail_kept.append(ch)
+            tail = carry + "".join(tail_kept)
 
     if flags is None:
         text = _FIELD_CODE.sub("", main)

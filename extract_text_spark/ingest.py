@@ -776,10 +776,28 @@ def extract_from_bytes(df: DataFrame, validate: bool = False,
     PARSED once per path — 2x the ingest-kernel cost for nothing.
     ``materialize=False`` skips the persist — long-running streaming
     sinks call this per micro-batch, where an unbounded pile of cached
-    batches is worse than a bounded per-batch double parse."""
+    batches is worse than a bounded per-batch double parse.
+
+    The persisted handle rides on the result as ``result.ingest_cache`` —
+    drivers looping many extractions in one session call
+    ``release_ingest_cache(result)`` after their action to free that
+    job's cached raw bytes without nuking the whole catalog cache."""
     from .pipeline import extract_spans_df
     ing = ingest_bytes_df(df, validate=validate)
     if materialize:
         from pyspark import StorageLevel
         ing = ing.persist(StorageLevel.MEMORY_AND_DISK)
-    return extract_spans_df(ing, **extract_kwargs)
+    out = extract_spans_df(ing, **extract_kwargs)
+    if materialize:
+        out.ingest_cache = ing
+    return out
+
+
+def release_ingest_cache(result: DataFrame) -> None:
+    """Unpersist the cached ingest output riding on an
+    ``extract_from_bytes`` / ``extract_from_urls`` result (no-op for
+    results without one). Call after the consuming action; the result
+    stays valid — a re-run just re-parses."""
+    ing = getattr(result, "ingest_cache", None)
+    if ing is not None:
+        ing.unpersist()

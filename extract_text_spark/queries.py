@@ -2262,7 +2262,8 @@ def ext_url_images(spark, sf_dir):
     """<img> harvesting on the URL page path (app/extractors.py:3016-3359
     + record order :2749-2765): every doc is an HTML page; doc_id %% 4
     exercises (0) base64-before-URL emission order, (1) the 20-image
-    document-order cap, (2) the per-image drop gates — pixel floor, SSRF,
+    document-order cap, (2) the per-image drop gates — pixel floor,
+    valueless src (lxml parses it as "", dropped alone — :3086,:3181), SSRF,
     unidentifiable bytes, extensionless src whose content-type is outside
     the images_ocr whitelist — plus content-type extension backfill, and
     (3) data-URI mime whitelisting + query-string filename derivation.
@@ -2292,6 +2293,7 @@ def ext_url_images(spark, sf_dir):
             elif m == 2:
                 b64s = base64.b64encode(make_png(100, 100)).decode()
                 body += (f'<img src="data:image/png;base64,{b64s}">'
+                         '<img src>'
                          '<img src="http://localhost/evil.gif">'
                          '<img src="/junk.png">'
                          '<img src="/noct">'

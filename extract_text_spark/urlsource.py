@@ -324,14 +324,14 @@ def harvest_images(html: str, base_url: str, fetch, user_agent=None,
     first ``max_images`` <img src> tags in document order, categorized
     into base64-data-URI vs URL images, processed base64-first then URL
     (:3046-3052) — each surviving image becomes one media span after the
-    page record. A valueless ``src`` raises inside the reference's
-    try-block, losing EVERY image on the page (quirk pinned: [] here)."""
+    page record. A valueless ``src`` parses as ``""`` under the reference's
+    lxml builder (:3086), is categorized as a URL image, and is dropped by
+    ``_process_single_image``'s ``if not img_src`` guard (:3181) — only
+    that one image is lost; the rest of the page's images survive."""
     from .extractors.html import find_img_srcs
     srcs = find_img_srcs(html, cap=max_images)
     base64_srcs, url_srcs = [], []
     for src in srcs:
-        if src is None:                 # .startswith on None -> exception
-            return []                   # -> the whole harvest returns []
         if src.startswith("data:image/") and enable_base64:
             base64_srcs.append(src)
         else:
@@ -439,8 +439,9 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
     and without the materialization barrier each URL would be FETCHED
     once per path — wrong for a side-effecting network tier, and 2x the
     kernel cost. The cache is not released here (the result is lazy);
-    drivers that loop over many extractions should clear caches between
-    jobs the way bench.py does."""
+    the persisted handle rides on the result as ``result.ingest_cache``
+    so looping drivers can call ``ingest.release_ingest_cache(result)``
+    after their action instead of clearing the whole catalog cache."""
     from pyspark import StorageLevel
     from .pipeline import extract_spans_df
     ingest_kwargs = {k: kwargs.pop(k) for k in
@@ -448,4 +449,6 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
                       "partitions") if k in kwargs}
     ing = ingest_urls_df(df, fetch, **ingest_kwargs).persist(
         StorageLevel.MEMORY_AND_DISK)
-    return extract_spans_df(ing, **kwargs)
+    out = extract_spans_df(ing, **kwargs)
+    out.ingest_cache = ing
+    return out

@@ -179,11 +179,11 @@ def test_find_img_srcs_document_order_cap_and_contexts():
         '<!-- <img src="in-comment"> -->'           # comments are not elements
         "<script>var h = '<img src=\"in-script\">';</script>"
         '<img src="data:image/png;base64,AAA"/>'
-        "<img src>"                                 # valueless src -> None
+        "<img src>"                                 # valueless src -> "" (lxml)
         '<img src="a&amp;b.png"></body>'            # entity-unescaped value
     )
     assert find_img_srcs(doc) == [
-        "a.png", "b.gif", "data:image/png;base64,AAA", None, "a&b.png"]
+        "a.png", "b.gif", "data:image/png;base64,AAA", "", "a&b.png"]
     assert find_img_srcs(doc, cap=2) == ["a.png", "b.gif"]
 
 

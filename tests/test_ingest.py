@@ -452,6 +452,24 @@ def test_extract_from_bytes_end_to_end(spark):
     assert "d1/__MACOSX/._x" not in out
 
 
+def test_extract_from_bytes_cache_handle_release(spark):
+    """The persisted ingest output rides on the result as .ingest_cache;
+    release_ingest_cache unpersists just that job's cache (looping
+    drivers must not need spark.catalog.clearCache())."""
+    from extract_text_spark.ingest import release_ingest_cache
+    rows = [("d1", "plain.txt", b"some text")]
+    out = extract_from_bytes(_bytes_df(spark, rows))
+    assert out.ingest_cache.storageLevel.useMemory
+    out.count()
+    release_ingest_cache(out)
+    assert not out.ingest_cache.storageLevel.useMemory
+    release_ingest_cache(out.limit(1))  # no handle -> no-op, no raise
+    # materialize=False -> no handle at all
+    assert not hasattr(
+        extract_from_bytes(_bytes_df(spark, rows), materialize=False),
+        "ingest_cache")
+
+
 def test_ingest_validate_quarantines(spark):
     rows = [
         ("ok", "a.txt", b"fine text"),

@@ -284,3 +284,17 @@ def test_doc_table_model_field_spanning_mark_parity():
         make_doc([raw], table=[["Ta", "Tb"]])))
     assert got["paragraphs"] == ["see page 9 done"]
     assert got["tables"] == [[["Ta", "Tb"]]]
+
+
+def test_doc_table_model_tail_instruction_strips():
+    """An 0x13..0x14 field instruction that starts AND ends inside the
+    tail (main text past the final mark — malformed, Word always
+    mark-terminates) must strip in the table model exactly as the flat
+    model's _FIELD_CODE regex strips it."""
+    tail = "end \x13PAGEREF _x\x14page 3\x15 fin"
+    got = json.loads(doc_payload_from_bytes(
+        make_doc(["Intro"], table=[["Ta", "Tb"]], tail=tail)))
+    assert got["paragraphs"] == ["Intro", "end page 3 fin"]
+    assert got["tables"] == [[["Ta", "Tb"]]]
+    flat = json.loads(doc_payload_from_bytes(make_doc(["Intro"], tail=tail)))
+    assert flat["paragraphs"] == ["Intro", "end page 3 fin"]

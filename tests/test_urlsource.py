@@ -197,14 +197,18 @@ def test_harvest_document_order_cap_before_categorization():
         f"http://site.example/i{k}/big.gif" for k in range(20)]
 
 
-def test_harvest_valueless_src_loses_every_image():
-    # reference quirk: img.get("src") is None -> AttributeError inside
-    # _extract_images_from_html's try -> [] for the whole page
+def test_harvest_valueless_src_drops_only_that_image():
+    # lxml builder (app/extractors.py:3086): bare src parses as "", is
+    # routed to url_images, and _process_single_image's `if not img_src`
+    # guard (:3181) drops only that image — the rest of the page survives.
+    import json
     from extract_text_spark import urlsource
     fetch, resolver = _img_fakes()
-    html = '<img src="/img/big.gif"><img src><img src="/img/big.gif">'
-    assert urlsource.harvest_images(
-        html, "http://site.example/p.html", fetch, resolver=resolver) == []
+    html = '<img src="/img/big.gif"><img src><img src="/img/photo.png">'
+    spans = urlsource.harvest_images(
+        html, "http://site.example/p.html", fetch, resolver=resolver)
+    assert [json.loads(s["media_ref"])["path"] for s in spans] == [
+        "http://site.example/img/big.gif", "http://site.example/img/photo.png"]
 
 
 def test_spans_from_url_page_then_images_order():
