@@ -10,6 +10,7 @@ the bytes themselves are reproducible (extraction ignores them either way).
 from __future__ import annotations
 
 import io
+import struct
 import tarfile
 import zipfile
 
@@ -29,6 +30,25 @@ def make_zip(entries: dict[str, bytes | str]) -> bytes:
             info.compress_type = zipfile.ZIP_DEFLATED
             zf.writestr(info, data)
     return buf.getvalue()
+
+
+def forge_zip_declared_size(zip_bytes: bytes, name: str,
+                            declared: int) -> bytes:
+    """Patch the central-directory uncompressed-size field of ``name`` to
+    ``declared`` — a metadata-lying "bomb" whose declared sizes the A2
+    guard must reject BEFORE any member read (app/extractors.py:1665-1676
+    sums ZipInfo.file_size first), so the actual data stays tiny."""
+    b = bytearray(zip_bytes)
+    i = 0
+    while True:
+        i = b.find(b"PK\x01\x02", i)
+        if i < 0:
+            raise ValueError(f"no central record for {name}")
+        (nlen,) = struct.unpack_from("<H", b, i + 28)
+        if bytes(b[i + 46:i + 46 + nlen]).decode() == name:
+            struct.pack_into("<I", b, i + 24, declared)
+            return bytes(b)
+        i += 4
 
 
 def make_tar(entries: dict[str, bytes], mode: str = "w:gz") -> bytes:

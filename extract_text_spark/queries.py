@@ -1623,16 +1623,18 @@ FROM documents ORDER BY doc_id
 
 
 def extract_multi_format(spark, sf_dir):
-    """Five kernels (E9/E11/E13/E14/E15) through the REAL distributed
-    pipeline under the DuckDB gate: each doc's payload kind is chosen by
-    doc_id %% 5 and wraps the known text so the expected extraction is
-    closed-form (word-soup text has no markup/quotes/double spaces)."""
+    """Eight kernels (E9/E11/E13/E14/E15 + E6 csv/E16 yaml/E17 rtf)
+    through the REAL distributed pipeline under the DuckDB gate: each
+    doc's payload kind is chosen by doc_id %% 8 and wraps the known text
+    so the expected extraction is closed-form (word-soup text has no
+    markup/quotes/commas/double spaces)."""
     from .pipeline import SPAN_TYPE, extract_spans_df
     d = _t(spark, sf_dir, "documents")
-    m = F.pmod("doc_id", F.lit(5))
+    m = F.pmod("doc_id", F.lit(8))
     kind = (F.when(m == 0, "plain").when(m == 1, "html")
             .when(m == 2, "markdown").when(m == 3, "json")
-            .otherwise("xml"))
+            .when(m == 4, "xml").when(m == 5, "csv")
+            .when(m == 6, "yaml").otherwise("rtf"))
     payload = (
         F.when(m == 0, F.col("text"))
         .when(m == 1, F.concat(
@@ -1640,8 +1642,14 @@ def extract_multi_format(spark, sf_dir):
             F.col("text"), F.lit("</p>\n</body></html>")))
         .when(m == 2, F.concat(F.lit("# Doc Title\n\n"), F.col("text")))
         .when(m == 3, F.to_json(F.struct(F.col("text").alias("body"))))
-        .otherwise(F.concat(F.lit("<root><body>"), F.col("text"),
-                            F.lit("</body></root>")))
+        .when(m == 4, F.concat(F.lit("<root><body>"), F.col("text"),
+                               F.lit("</body></root>")))
+        .when(m == 5, F.concat(F.lit("c1,c2\n"), F.col("text"),
+                               F.lit(",42\n")))
+        .when(m == 6, F.concat(F.lit("title: Doc\nbody: "), F.col("text"),
+                               F.lit("\nnum: 7\n")))
+        .otherwise(F.concat(F.lit("{\\rtf1\\ansi {\\b Intro} "),
+                            F.col("text"), F.lit(" \\par}")))
     )
     spans = F.array(F.struct(
         kind.alias("kind"), payload.alias("text"),
@@ -1660,12 +1668,15 @@ def extract_multi_format(spark, sf_dir):
 
 EXTRACT_MULTI_SQL = """
 SELECT doc_id, 'ok' AS status, 1 AS n_spans,
-       CASE doc_id % 5
+       CASE doc_id % 8
          WHEN 0 THEN text
          WHEN 1 THEN text
          WHEN 2 THEN 'Doc Title' || chr(10) || text
          WHEN 3 THEN 'body: ' || text
-         ELSE 'root.body: ' || text
+         WHEN 4 THEN 'root.body: ' || text
+         WHEN 5 THEN 'c1,c2' || chr(10) || text || ',42' || chr(10)
+         WHEN 6 THEN 'title: Doc' || chr(10) || 'body: ' || text
+         ELSE 'Intro ' || text
        END AS extracted
 FROM documents ORDER BY doc_id
 """
@@ -1696,6 +1707,76 @@ def ext_html_strip(spark, sf_dir):
 
 EXT_HTML_STRIP_SQL = """
 SELECT doc_id, text AS extracted FROM documents ORDER BY doc_id
+"""
+
+
+_MC_GOOD = ("The report shows that the data pipeline is running well and "
+            "the team is happy with the results of this quarter as a whole "
+            "overall. Case ")                     # + doc_id + " closes."
+
+
+def ext_main_content(spark, sf_dir):
+    """The north star's named centerpiece (BASELINE.json: "text-density +
+    link-density DOM heuristics") through the REAL distributed pipeline:
+    span kind ``html_main`` routes to html.extract_main_content. Every
+    page carries nav/footer chrome, a link-farm div holding the doc's own
+    text (link density 1.0 -> always dropped, so the oracle never depends
+    on the word-soup text), and a dense GOOD paragraph whose stopword
+    density is constant across doc_ids; doc_id %% 4 exercises (0) heading
+    promoted next to good content, (1) short block sandwiched between two
+    good paragraphs, (2) short shouty chrome dropped on both sides of the
+    article, (3) a link-heavy heading NOT promoted (ld > 0.2 gate)."""
+    from .pipeline import SPAN_TYPE, extract_spans_df
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    did = F.col("doc_id").cast("string")
+    g = F.concat(F.lit(_MC_GOOD), did, F.lit(" closes."))
+    body = (
+        F.when(m == 0, F.concat(F.lit("<h2>Section "), did, F.lit("</h2><p>"),
+                                g, F.lit("</p>")))
+        .when(m == 1, F.concat(F.lit("<p>"), g,
+                               F.lit("</p><p>Key takeaway here</p><p>"),
+                               g, F.lit("</p>")))
+        .when(m == 2, F.concat(F.lit("<div>SUBSCRIBE NOW</div><p>"), g,
+                               F.lit("</p><div>Cookie settings</div>")))
+        .otherwise(F.concat(F.lit("<p>"), g,
+                            F.lit('</p><h2><a href="/x">All stories</a></h2>')))
+    )
+    payload = F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> '
+              '<a href="/a">About</a></nav>'),
+        body,
+        F.lit('<div><a href="/r">'), F.substring("text", 1, 60),
+        F.lit("</a></div><footer>Copyright 2024 Site</footer></body></html>"))
+    spans = F.array(F.struct(
+        F.lit("html_main").alias("kind"), payload.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    ))
+    docs = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        spans.cast(f"array<{SPAN_TYPE.simpleString()}>").alias("spans"),
+    )
+    out = extract_spans_df(docs)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "status",
+        F.element_at("spans", 1).getField("text").alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_MAIN_CONTENT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         '{_MC_GOOD}' || doc_id::VARCHAR || ' closes.' AS good
+  FROM documents
+)
+SELECT doc_id, 'ok' AS status,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Section ' || doc_id::VARCHAR || chr(10) || good
+         WHEN 1 THEN good || chr(10) || 'Key takeaway here' || chr(10) || good
+         ELSE good
+       END AS extracted
+FROM g ORDER BY doc_id
 """
 
 
@@ -1963,6 +2044,64 @@ def ext_zip_fanout(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def ext_archive_guards(spark, sf_dir):
+    """Archive guard rails (A2/A3/A6) under the hash gate, from REAL
+    bytes: doc_id %% 4 routes (0) a 3-level nested zip — recursive member
+    processing with path = archive/member chains (A6,
+    app/extractors.py:1961-1994), (1) a metadata-lying bomb whose central
+    directory declares 200 MB for a 4-byte member — the declared-size sum
+    guard fires before any read (A2, :1665-1676), (2) a bare gzip named
+    .gz — the tarfile r:* "Invalid TAR file" rejection quirk (A3,
+    :1739-1758), (3) a 4-level nested zip — the depth-capped archive
+    surfaces as an empty-member child doc, status 'empty', and the
+    too-deep member never appears (nesting cap 3, :1979-1984)."""
+    from .bytecorpus import forge_zip_declared_size, make_zip
+    from .ingest import extract_from_bytes
+    d = _t(spark, sf_dir, "documents")
+
+    def builder(doc_id, text, source):
+        import gzip as _gzip
+        m = doc_id % 4
+        if m == 0:
+            return "root.zip", make_zip({"l1.zip": make_zip({
+                "l2.zip": make_zip({"deep.txt": text.encode("utf-8")})})})
+        if m == 1:
+            return "b.zip", forge_zip_declared_size(
+                make_zip({"huge.bin": b"tiny"}), "huge.bin",
+                200 * 1024 * 1024)
+        if m == 2:
+            return "x.gz", _gzip.compress(b"plain payload")
+        return "r4.zip", make_zip({"l1.zip": make_zip({
+            "l2.zip": make_zip({"l3.zip": make_zip({
+                "too.txt": b"below the cap"})})})})
+
+    out = extract_from_bytes(_bytes_table(d, builder))
+    return out.select(
+        "doc_id", "status",
+        F.try_element_at("spans", F.lit(1)).getField("text")
+         .alias("extracted"),
+    ).orderBy("doc_id")
+
+
+EXT_ARCHIVE_GUARDS_SQL = """
+SELECT CASE doc_id % 4
+         WHEN 0 THEN doc_id::VARCHAR || '/l1.zip/l2.zip/deep.txt'
+         WHEN 3 THEN doc_id::VARCHAR || '/l1.zip/l2.zip/l3.zip'
+         ELSE doc_id::VARCHAR
+       END AS doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'ok'
+         WHEN 1 THEN 'error: Error processing archive: Extracted files '
+                     || 'size exceeds maximum allowed size '
+                     || '(zip bomb protection)'
+         WHEN 2 THEN 'error: Error processing archive: Invalid TAR file'
+         ELSE 'empty'
+       END AS status,
+       CASE doc_id % 4 WHEN 0 THEN text ELSE NULL END AS extracted
+FROM documents ORDER BY doc_id
+"""
+
+
 EXT_ZIP_FANOUT_SQL = """
 WITH kids AS (
   SELECT concat(doc_id::VARCHAR, '/a.txt') AS doc_id, text AS extracted
@@ -2018,21 +2157,24 @@ SELECT doc_id, 'ok' AS status, extracted FROM kids ORDER BY doc_id
 
 
 def ext_office_bytes(spark, sf_dir):
-    """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS/DOC/PPT bytes (E3/E4/E5/E7/E8/E19
-    from actual containers, app/extractors.py:288-635, 1107-1167; ods and
-    legacy OLE xls through the Excel path at :475-492; legacy doc/ppt via
-    the from-scratch [MS-DOC]/[MS-PPT] parsers where the reference shells
-    to LibreOffice at :392-473/:554-635): format chosen by doc_id %% 8,
-    each wrapping the known text so extraction is closed-form. Legacy xls
+    """Real DOCX/XLSX/PPTX/EPUB/ODS/XLS/DOC/PPT/ODT bytes (E3/E4/E5/E7/
+    E8/E18/E19 from actual containers, app/extractors.py:288-635,
+    1107-1167; ods and legacy OLE xls through the Excel path at :475-492;
+    legacy doc/ppt via the from-scratch [MS-DOC]/[MS-PPT] parsers where
+    the reference shells to LibreOffice at :392-473/:554-635; odt
+    paragraph walk at :637-680): format chosen by doc_id %% 9, each
+    wrapping the known text so extraction is closed-form. Legacy xls
     alternates the regular-FAT and ministream CFB layouts by doc_id
     parity; legacy doc carries text past ccpText that must NOT leak."""
     from .bytecorpus import make_doc, make_docx, make_epub, make_ods, \
-        make_ppt, make_pptx, make_xls, make_xlsx
+        make_odt, make_ppt, make_pptx, make_xls, make_xlsx
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
-        m = doc_id % 8
+        m = doc_id % 9
+        if m == 8:
+            return "f.odt", make_odt([text, "Odt " + source])
         if m == 6:
             return "f.doc", make_doc([text, "Legacy " + source],
                                      extra_text="must-not-leak",
@@ -2072,7 +2214,8 @@ def ext_office_bytes(spark, sf_dir):
 
 EXT_OFFICE_BYTES_SQL = r"""
 SELECT doc_id, 'ok' AS status, 1 AS n_spans,
-       CASE doc_id % 8
+       CASE doc_id % 9
+         WHEN 8 THEN text || chr(10) || 'Odt ' || source
          WHEN 0 THEN text || chr(10) || chr(10) || 'a' || chr(9) || 'b'
                      || chr(10) || chr(10) || '[Header]' || chr(10) || 'Hdr'
          WHEN 1 THEN '[Sheet: S1]' || chr(10) || chr(10) || 'w,id' || chr(10)
@@ -2182,21 +2325,36 @@ def _msg_fixture_bytes() -> bytes:
 
 def ext_mail_bytes(spark, sf_dir):
     """EML/MSG kernels (E20/E21, app/extractors.py:1169-1384) through the
-    byte-ingestion path: doc_id %% 4 routes (0) simple EML with base64 CTE
+    byte-ingestion path: doc_id %% 7 routes (0) simple EML with base64 CTE
     body, (1) multipart EML - text/plain + text/html parts extracted in
     walk order (html via the no-drop get_text), application/octet-stream
     skipped, (2) RFC2047 encoded-word Subject decoding, (3) a real CFB
     .msg through the two-pass byte heuristic (fixed bytes, literal
-    oracle). Base64 transfer encoding keeps bodies lossless; bare 8-bit
+    oracle), (4) the charset-fallback chain — whole-message bytes are
+    cp1251, utf-8 strict fails, cp1251 wins (:1198-1205), (5) an EML with
+    no recognized headers and empty body -> just "---" (the reference's
+    "Could not extract readable text from EML file" literal at :1191 is
+    DEAD code — "---" is appended unconditionally at :1184; pinned), (6)
+    a .msg whose utf-16 pass yields only digit lines and whose ascii pass
+    finds no letters -> the MSG fallback literal (:1307, reachable).
+    Base64 transfer encoding keeps bodies lossless; bare 8-bit
     bodies ride the stdlib raw-unicode-escape quirk pinned in pytest."""
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
 
     def builder(doc_id, text, source):
         import base64
-        m = doc_id % 4
+        m = doc_id % 7
         if m == 3:
             return "m.msg", _msg_fixture_bytes()
+        if m == 4:
+            return "m.eml", ("From: chain@corpus.example\n"
+                             f"Subject: Тема письма {doc_id}\n\n"
+                             "plain ascii body line").encode("cp1251")
+        if m == 5:
+            return "m.eml", b"X-Other: z\n\n"
+        if m == 6:
+            return "m.msg", "0123456789 0123456789".encode("utf-16-le")
         if m == 0:
             b64 = base64.b64encode(text.encode()).decode()
             return "m.eml", (
@@ -2236,7 +2394,7 @@ def ext_mail_bytes(spark, sf_dir):
 
 EXT_MAIL_BYTES_SQL = """
 SELECT doc_id, 'ok' AS status,
-       CASE doc_id % 4
+       CASE doc_id % 7
          WHEN 0 THEN 'From: sender@corpus.example' || chr(10)
                      || 'To: rcpt' || doc_id::VARCHAR || '@corpus.example'
                      || chr(10) || 'Subject: Doc ' || doc_id::VARCHAR
@@ -2250,6 +2408,12 @@ SELECT doc_id, 'ok' AS status,
          WHEN 2 THEN 'From: enc@corpus.example' || chr(10)
                      || 'Subject: Тема ' || source || chr(10)
                      || '---' || chr(10) || 'encoded-word body line'
+         WHEN 4 THEN 'From: chain@corpus.example' || chr(10)
+                     || 'Subject: Тема письма ' || doc_id::VARCHAR
+                     || chr(10) || '---' || chr(10)
+                     || 'plain ascii body line'
+         WHEN 5 THEN '---'
+         WHEN 6 THEN 'Could not extract readable text from MSG file'
          ELSE 'ПЕРВАЯ СТРОКА ПИСЬМА ТУТ' || chr(10)
               || 'ВТОРАЯ СТРОКА СООБЩЕНИЯ' || chr(10)
               || 'l i n e   t w o   h e r e'
@@ -2547,6 +2711,8 @@ QUERIES = {
     "sim_kmeans_assign": sim_kmeans_assign,
     "sim_ann_kmeans": sim_ann_kmeans,
     "ext_extension_infer": ext_extension_infer,
+    "ext_validate_mime": ext_validate_mime,
+    "ext_sanitize_filename": ext_sanitize_filename,
     "ext_sanitize_paths": ext_sanitize_paths,
     "ext_system_file_filter": ext_system_file_filter,
     "ext_source_header": ext_source_header,
@@ -2554,18 +2720,18 @@ QUERIES = {
     "extract_flagship": extract_flagship,
     "extract_multi_format": extract_multi_format,
     "ext_html_strip": ext_html_strip,
+    "ext_main_content": ext_main_content,
     "mm_media_features": mm_media_features,
     "mm_decode_headers": mm_decode_headers,
     "mm_ocr_gates": mm_ocr_gates,
     "ext_zip_fanout": ext_zip_fanout,
+    "ext_archive_guards": ext_archive_guards,
     "ext_office_bytes": ext_office_bytes,
     "ext_url_source": ext_url_source,
     "ext_url_images": ext_url_images,
     "ext_mail_bytes": ext_mail_bytes,
     "ext_rar7z_fanout": ext_rar7z_fanout,
     "ext_pdf_bytes": ext_pdf_bytes,
-    "ext_validate_mime": ext_validate_mime,
-    "ext_sanitize_filename": ext_sanitize_filename,
 }
 
 ORACLES = {
@@ -2609,10 +2775,12 @@ ORACLES = {
     "extract_flagship": EXTRACT_FLAGSHIP_SQL,
     "extract_multi_format": EXTRACT_MULTI_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
+    "ext_main_content": EXT_MAIN_CONTENT_SQL,
     "mm_media_features": MM_MEDIA_SQL,
     "mm_decode_headers": MM_DECODE_SQL,
     "mm_ocr_gates": MM_OCR_GATES_SQL,
     "ext_zip_fanout": EXT_ZIP_FANOUT_SQL,
+    "ext_archive_guards": EXT_ARCHIVE_GUARDS_SQL,
     "ext_office_bytes": EXT_OFFICE_BYTES_SQL,
     "ext_url_source": EXT_URL_SOURCE_SQL,
     "ext_url_images": EXT_URL_IMAGES_SQL,
