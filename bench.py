@@ -38,6 +38,33 @@ def _gate_load() -> float:
     return round(os.getloadavg()[0], 2)
 
 
+def _timed_leg(fn) -> list[float]:
+    """One measured leg: [seconds, loadavg at start, loadavg at end].
+
+    The r4 post-mortem: legs that *started* under the load gate still
+    swung 4x because co-tenant load arrived mid-run — recording the end
+    loadavg makes such legs self-identifying and rejectable."""
+    load0 = _gate_load()
+    t0 = time.monotonic()
+    fn()
+    dt = time.monotonic() - t0
+    return [round(dt, 3), load0, round(os.getloadavg()[0], 2)]
+
+
+def _median_clean(legs: list[list[float]]) -> float:
+    """Median over legs whose END loadavg stayed within the gate (the
+    documented rejection rule: a leg is load-polluted iff its end loadavg
+    exceeds LOAD_THRESHOLD + 1.0 — one full extra runnable core of
+    co-tenant work arriving mid-leg). Falls back to the median of all
+    legs if fewer than half survive, so the number always exists."""
+    clean = [s for s, _l0, l1 in legs if l1 <= LOAD_THRESHOLD + 1.0]
+    pool = clean if len(clean) * 2 >= len(legs) else [s for s, *_ in legs]
+    pool = sorted(pool)
+    n = len(pool)
+    mid = n // 2
+    return pool[mid] if n % 2 else (pool[mid - 1] + pool[mid]) / 2
+
+
 def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
                        cache_dir: str = "/root/repo/.bench_corpus",
                        size_mult: int = SIZE_MULT) -> str:
@@ -50,46 +77,60 @@ def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
     return path
 
 
+HEADLINE_CPUS = int(os.environ.get("SPARK_GRAFT_HEADLINE_CPUS", "8"))
+HEADLINE_LEGS = int(os.environ.get("SPARK_GRAFT_HEADLINE_LEGS", "5"))
+
+
 def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     from extract_text_spark.pipeline import extract_spans_df
     from extract_text_spark.queries import QUERIES
     from extract_text_spark.session import get_spark
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus * 2, 32))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    n_docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_corpus = n_corpus_docs or max(4000, 4 * n_docs_tbl)
-
-    corpus_path = ensure_span_corpus(spark, n_corpus)
     timings: dict[str, float] = {}
+    legs: dict[str, list[list[float]]] = {}
 
-    # 1. Flagship: full extraction over the interleaved span corpus.
+    # 1. Flagship: full extraction over the interleaved span corpus — in
+    # its OWN JVM pinned to the host's documented knee (HEADLINE_CPUS=8:
+    # a pure-JVM probe gains only ~2.4x from 8->32 threads here while
+    # variance explodes; 32 threads measures host contention, not the
+    # engine — BENCH/BASELINE.md host note). Median of HEADLINE_LEGS
+    # load-gated legs with loadavg recorded at leg start AND end; legs
+    # whose end loadavg shows mid-run co-tenant pollution are rejected by
+    # the documented rule in _median_clean. This is the r5 protocol fix
+    # for the unattributable r4 best-of-3@32-cores swing (9.3s-37.6s on
+    # identical work, every leg gated at start).
+    hspark = get_spark(app_name="bench-headline",
+                       master=f"local[{HEADLINE_CPUS}]",
+                       shuffle_partitions=max(HEADLINE_CPUS * 2, 32))
+    n_docs_tbl = hspark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_corpus = n_corpus_docs or max(4000, 4 * n_docs_tbl)
+    corpus_path = ensure_span_corpus(hspark, n_corpus)
+
     # Warmup excluded from the measurement: Python workers fork + import
     # pandas/engine once per core; a production job amortizes this over
     # hours, so counting it into docs/sec would only measure JVM spin-up.
-    docs_df = spark.read.parquet(corpus_path)
-    extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
+    docs_df = hspark.read.parquet(corpus_path)
+    n_out = extract_spans_df(docs_df, salt_partitions=HEADLINE_CPUS * 4) \
+        .count()
     import pyspark.sql.functions as F
     bytes_in = docs_df.select(
         F.aggregate("spans", F.lit(0).cast("long"),
                     lambda a, s: a + F.coalesce(F.length(s.text), F.lit(0)))
         .alias("b")).agg(F.sum("b")).collect()[0][0]
-    # Best-of-3 for the headline number: co-tenant load on this host can
-    # triple a single run (observed 6.9s-20s for identical work); the min
-    # is the engine, the rest is the neighbours.
-    dt, n_out = None, 0
-    legs: dict[str, list[list[float]]] = {"extract_corpus": []}
-    for _ in range(3):
-        load = _gate_load()
-        t0 = time.monotonic()
-        n_out = extract_spans_df(docs_df, salt_partitions=cpus * 4).count()
-        run = time.monotonic() - t0
-        legs["extract_corpus"].append([round(run, 3), load])
-        dt = run if dt is None else min(dt, run)
+    legs["extract_corpus"] = [
+        _timed_leg(lambda: extract_spans_df(
+            docs_df, salt_partitions=HEADLINE_CPUS * 4).count())
+        for _ in range(HEADLINE_LEGS)
+    ]
+    dt = _median_clean(legs["extract_corpus"])
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
     mb_per_sec = round(bytes_in / 1e6 / dt, 1)
+    hspark.stop()
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(cpus * 2, 32))
 
     # 2. Registry headliners on the sf tables.
     headliners = [
@@ -99,7 +140,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
         "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
         "ext_url_source", "ext_url_images", "ext_mail_bytes",
-        "dedup_url", "ta_vocab",
+        "dedup_url", "ta_vocab", "ext_main_content",
     ]
     # Best-of-3 per query, each leg load-gated and its start loadavg
     # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold
@@ -107,16 +148,11 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # number at random, and co-tenant load can triple identical work. The
     # min is the engine; the legs show which runs the neighbours ate.
     for name in headliners:
-        best = None
-        legs[name] = []
-        for _ in range(3):
-            load = _gate_load()
-            t0 = time.monotonic()
-            QUERIES[name](spark, sf_dir).count()
-            dt = time.monotonic() - t0
-            legs[name].append([round(dt, 3), load])
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        legs[name] = [
+            _timed_leg(lambda n=name: QUERIES[n](spark, sf_dir).count())
+            for _ in range(3)
+        ]
+        timings[name] = round(min(s for s, *_ in legs[name]), 3)
         # each query's timing is self-contained: intra-query persists
         # (shingle/ingest tables) are reused across its legs via plan-
         # matched cache lookup, then dropped so later queries never pay
@@ -136,6 +172,11 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "corpus_docs_in": n_corpus,
         "corpus_docs_out": n_out,
         "cpus": cpus,
+        "headline_cpus": HEADLINE_CPUS,
+        "headline_protocol": (
+            f"median of {HEADLINE_LEGS} load-gated legs at "
+            f"local[{HEADLINE_CPUS}] (host knee), leg = [sec, load_start, "
+            f"load_end], legs with load_end > gate+1.0 rejected"),
         "load_gate": LOAD_THRESHOLD,
         "legs": legs,
     }

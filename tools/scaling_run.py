@@ -29,7 +29,7 @@ LOAD_THRESHOLD = float(os.getenv("SCALE_LOAD_THRESHOLD", "2.0"))
 LOAD_WAIT_CAP_S = int(os.getenv("SCALE_LOAD_WAIT_CAP_S", "240"))
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from extract_text_spark.session import get_spark
 from extract_text_spark.pipeline import extract_spans_df
@@ -44,13 +44,17 @@ docs = spark.read.parquet(path)
 # forked + imported pandas/engine (steady-state throughput is what scales
 # to a long-running cluster job; fork storms are one-time per executor).
 extract_spans_df(docs, salt_partitions=cpus * 4).count()
-best = None
+legs = []
 for _ in range(2):
+    l0 = os.getloadavg()[0]
     t0 = time.monotonic()
     n = extract_spans_df(docs, salt_partitions=cpus * 4).count()
     dt = time.monotonic() - t0
-    best = dt if best is None or dt < best else best
-print("RESULT " + json.dumps({{"cpus": cpus, "seconds": best, "docs": n}}))
+    legs.append([round(dt, 3), round(l0, 2), round(os.getloadavg()[0], 2)])
+best = min(legs)
+print("RESULT " + json.dumps({{"cpus": cpus, "seconds": best[0],
+                               "load_end": best[2], "legs": legs,
+                               "docs": n}}))
 spark.stop()
 """
 
@@ -97,20 +101,38 @@ def main():
               f"T_{n_big}={big['seconds']:.2f}s (load {big['loadavg']}) "
               f"eff={eff:.3f}", flush=True)
 
-    effs = sorted(t["eff"] for t in trials)
+    # Outlier rejection (round-5 hardening — r4's 0.444 pair was visibly
+    # load-polluted in its own loadavg column yet still widened the band):
+    # a pair is rejected iff either leg's END loadavg exceeded
+    # LOAD_THRESHOLD + 1.0 — one full extra runnable core of co-tenant
+    # work arriving mid-leg. Median over survivors; if fewer than half
+    # survive, fall back to all pairs (the number must always exist).
+    cut = LOAD_THRESHOLD + 1.0
+    kept = [t for t in trials
+            if t["small"]["load_end"] <= cut and t["big"]["load_end"] <= cut]
+    dropped = [i + 1 for i, t in enumerate(trials) if t not in kept]
+    if len(kept) * 2 < len(trials):
+        kept, dropped = trials, []
+    effs = sorted(t["eff"] for t in kept)
     med_eff = statistics.median(effs)
     # median trial (by efficiency) supplies the headline wall numbers
-    med_trial = min(trials, key=lambda t: abs(t["eff"] - med_eff))
+    med_trial = min(kept, key=lambda t: abs(t["eff"] - med_eff))
     small, big = med_trial["small"], med_trial["big"]
     tps_small = small["docs"] / small["seconds"]
     tps_big = big["docs"] / big["seconds"]
 
     trial_rows = "\n".join(
-        f"| {i + 1} | {t['small']['seconds']:.2f} | {t['small']['loadavg']} "
-        f"| {t['big']['seconds']:.2f} | {t['big']['loadavg']} "
-        f"| {t['eff']:.3f} |"
+        f"| {i + 1} | {t['small']['seconds']:.2f} | {t['small']['loadavg']}"
+        f"/{t['small']['load_end']} "
+        f"| {t['big']['seconds']:.2f} | {t['big']['loadavg']}"
+        f"/{t['big']['load_end']} "
+        f"| {t['eff']:.3f} |{' REJECTED (load)' if (i + 1) in dropped else ''}"
         for i, t in enumerate(trials)
     )
+    rejection_note = (
+        f"Pairs {dropped} rejected by the end-loadavg rule before the "
+        f"median." if dropped else
+        "No pairs rejected by the end-loadavg rule.")
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — extraction throughput + scaling evidence
@@ -122,13 +144,15 @@ substitution for N and 4N executors; see BASELINE.md).
 
 **Protocol:** median of {pairs} paired trials; each leg is best-of-2
 inside a fresh JVM after one warmup pass, starts only when 1-min loadavg
-< {LOAD_THRESHOLD} (sleep-wait, capped), and records the loadavg it
-started at. The sandbox host is oversubscribed, so a single pair can be
-polluted by invisible co-tenants — the median over pairs is the
-reproducible statistic, and the per-leg loadavg column shows whether any
-outlier leg was load, not engine.
+< {LOAD_THRESHOLD} (sleep-wait, capped), and records the loadavg at leg
+start AND end (start/end in the load column). The sandbox host is
+oversubscribed, so a single pair can be polluted by invisible co-tenants
+mid-run; a pair is REJECTED before the median iff either leg's end
+loadavg exceeds {LOAD_THRESHOLD} + 1.0 (one full extra runnable core of
+co-tenant work arriving mid-leg), falling back to all pairs if fewer
+than half survive. {rejection_note}
 
-| pair | T_{n_small} (s) | load | T_{n_big} (s) | load | efficiency |
+| pair | T_{n_small} (s) | load s/e | T_{n_big} (s) | load s/e | efficiency |
 |---|---|---|---|---|---|
 {trial_rows}
 
@@ -139,8 +163,10 @@ Headline (median pair):
 | {n_small} (N) | {small['seconds']:.2f} | {tps_small:.1f} |
 | {n_big} (4N) | {big['seconds']:.2f} | {tps_big:.1f} |
 
-**Scaling efficiency (median of {pairs})** = (T_N / T_4N) / {ratio:.0f}
-= **{med_eff:.3f}** (target >= 0.8; band {effs[0]:.3f}-{effs[-1]:.3f})
+**Scaling efficiency (median of {len(kept)}/{pairs} surviving pairs)**
+= (T_N / T_4N) / {ratio:.0f}
+= **{med_eff:.3f}** (target >= 0.8; surviving band
+{effs[0]:.3f}-{effs[-1]:.3f})
 
 Reference baseline context: the reference publishes no docs/sec figures
 (BASELINE.md); its envelope is a 4-thread pool with <5 s per simple file.
@@ -148,6 +174,29 @@ This engine's single-node throughput above corresponds to
 {tps_big:.0f} docs/sec at {n_big} cores on the mixed-format corpus
 (with 1-in-~1200 docs being 400-page "whale" PDFs that exercise the
 span-chunk skew splitter for real).
+
+## Bench protocol history (cross-round comparability)
+
+Per-round `BENCH_r{{N}}.json` numbers are only comparable when the
+protocol matched. The breaks, in order:
+
+- **r3 -> r4:** bench.py started calling `spark.catalog.clearCache()`
+  after each query's legs and load-gating every leg. More honest — but
+  r3's later dedup queries rode earlier queries' persisted shingle
+  tables, so r3-vs-r4 drifts on `dedup_simhash` (0.26->0.78) and
+  `sim_cosine_topk` (1.32->1.98) are protocol, not regressions.
+- **r4 -> r5:** the r4 headline (`extract_corpus` best-of-3 at
+  local[32]) swung 9.3-37.6 s across legs that all STARTED under the
+  load gate — the 1-min loadavg at leg start cannot see co-tenant load
+  arriving mid-run, and 32 threads sits far past this host's ~8-thread
+  knee where wall-clock measures contention (host note below). From r5,
+  bench.py pins the headline to its own JVM at local[8]
+  (`SPARK_GRAFT_HEADLINE_CPUS`), median of 5 legs, each leg recording
+  loadavg at start AND end, with the same end-loadavg rejection rule as
+  the scaling pairs above. `docs_per_sec` is therefore stated at 8
+  cores from r5 on — compare r5+ headlines to the 8-core scaling row,
+  not to r3/r4's 32-core best-of-3. Registry queries keep best-of-3 at
+  `$SPARK_GRAFT_CPUS` (unchanged from r4).
 
 ## Host-topology note (why N=2 -> 4N=8)
 
