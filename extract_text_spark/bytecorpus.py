@@ -1039,9 +1039,12 @@ def make_rar5(entries: dict[str, bytes], with_dir: str | None = None) -> bytes:
 
 
 def make_7z(entries: dict[str, bytes], coder: str = "copy") -> bytes:
-    """Real 7z container (7zFormat.txt): one single-coder folder per file,
-    uncompressed kHeader property tree. ``coder``: "copy" (0x00 pass-
-    through) or "lzma2" (raw LZMA2 streams via stdlib lzma, 1 MiB dict).
+    """Real 7z container (7zFormat.txt): one folder per file, uncompressed
+    kHeader property tree. ``coder``: "copy" (0x00 pass-through), "lzma2"
+    (raw LZMA2 via stdlib lzma, 1 MiB dict), or the two-coder filter
+    chains real 7-Zip emits — "delta-lzma2" (Delta dist 4 then LZMA2) and
+    "bcj-lzma1" (BCJ x86 then LZMA1): the folder carries two coders with
+    a bind pair feeding the compressor's output into the filter's input.
     Read back by extractors.arclite.sevenz_members and by py7zr where
     installed."""
     import struct
@@ -1049,7 +1052,8 @@ def make_7z(entries: dict[str, bytes], coder: str = "copy") -> bytes:
     from .extractors.arclite import SEVENZ_SIG, write_num7 as num
 
     packed: list[bytes] = []
-    coders: list[bytes] = []
+    folder_blobs: list[bytes] = []
+    out_size_blobs: list[bytes] = []
     for data in entries.values():
         if coder == "lzma2":
             import lzma
@@ -1057,18 +1061,50 @@ def make_7z(entries: dict[str, bytes], coder: str = "copy") -> bytes:
                 {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}])
             packed.append(c.compress(data) + c.flush())
             # flags: id size 1 | has-props; prop 16 -> (2|0)<<(8+11) = 1 MiB
-            coders.append(b"\x21\x21" + num(1) + bytes([16]))
+            folder_blobs.append(num(1) + b"\x21\x21" + num(1) + bytes([16]))
+            out_size_blobs.append(num(len(data)))
+        elif coder == "delta-lzma2":
+            import lzma
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+                {"id": lzma.FILTER_DELTA, "dist": 4},
+                {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}])
+            packed.append(c.compress(data) + c.flush())
+            # coder0 = LZMA2 (consumes the packed stream), coder1 = Delta
+            # (props: dist-1); bind pair (in 1 <- out 0): the filter
+            # decodes the compressor's output. Folder output = coder1.
+            folder_blobs.append(
+                num(2)
+                + b"\x21\x21" + num(1) + bytes([16])        # LZMA2
+                + b"\x21\x03" + num(1) + bytes([3])         # Delta dist 4
+                + num(1) + num(0))                          # bind pair
+            out_size_blobs.append(num(len(data)) + num(len(data)))
+        elif coder == "bcj-lzma1":
+            import lzma
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+                {"id": lzma.FILTER_X86},
+                {"id": lzma.FILTER_LZMA1, "dict_size": 1 << 20,
+                 "lc": 3, "lp": 0, "pb": 2}])
+            packed.append(c.compress(data) + c.flush())
+            # lclppb byte = (pb*5+lp)*9+lc = 93; dict LE32
+            lzma1_props = bytes([93]) + struct.pack("<I", 1 << 20)
+            folder_blobs.append(
+                num(2)
+                + b"\x23\x03\x01\x01" + num(5) + lzma1_props  # LZMA1
+                + b"\x04\x03\x03\x01\x03"                     # BCJ x86
+                + num(1) + num(0))                            # bind pair
+            out_size_blobs.append(num(len(data)) + num(len(data)))
         else:
             packed.append(data)
-            coders.append(b"\x01\x00")               # id size 1, Copy
+            folder_blobs.append(num(1) + b"\x01\x00")    # id size 1, Copy
+            out_size_blobs.append(num(len(data)))
     n = len(entries)
 
     pack_info = (bytes([0x06]) + num(0) + num(n) + bytes([0x09])
                  + b"".join(num(len(p)) for p in packed) + bytes([0x00]))
-    folders = b"".join(num(1) + c for c in coders)   # 1 coder per folder
-    unpack_info = (bytes([0x07, 0x0B]) + num(n) + b"\x00" + folders
+    unpack_info = (bytes([0x07, 0x0B]) + num(n) + b"\x00"
+                   + b"".join(folder_blobs)
                    + bytes([0x0C])
-                   + b"".join(num(len(d)) for d in entries.values())
+                   + b"".join(out_size_blobs)
                    + bytes([0x00]))
     streams = bytes([0x04]) + pack_info + unpack_info + bytes([0x00])
 

@@ -194,21 +194,52 @@ def _parse_folder(d: bytes, pos: int) -> tuple[dict, int]:
             psize, pos = _num7(d, pos)
             props = d[pos:pos + psize]
             pos += psize
-        coders.append({"id": cid, "props": props})
+        coders.append({"id": cid, "props": props,
+                       "nin": nin, "nout": nout})
         n_in += nin
         n_out += nout
-    for _ in range(n_out - 1):                      # bind pairs
-        _a, pos = _num7(d, pos)
-        _b, pos = _num7(d, pos)
+    bind_pairs = []
+    for _ in range(n_out - 1):                      # (InIndex, OutIndex)
+        a, pos = _num7(d, pos)
+        b, pos = _num7(d, pos)
+        bind_pairs.append((a, b))
     n_packed = n_in - (n_out - 1)
     if n_packed > 1:
         for _ in range(n_packed):
             _x, pos = _num7(d, pos)
-    if nc != 1:
+    return {"coders": coders, "bind_pairs": bind_pairs,
+            "n_out": n_out, "n_packed": n_packed}, pos
+
+
+def _resolve_chain(f: dict) -> list[int]:
+    """Linear decode chain (coder indices, packed side -> output side).
+
+    With 1-in/1-out coders, in-stream index i and out-stream index i both
+    belong to coder i; a bind pair (i, j) feeds coder j's output into
+    coder i's input. The packed stream enters the coder whose in-stream
+    is unbound; the folder's output leaves the coder whose out-stream is
+    unbound. Multi-stream coders (BCJ2's 4-way split) are not linear and
+    stay unsupported."""
+    coders = f["coders"]
+    if any(c["nin"] != 1 or c["nout"] != 1 for c in coders):
         raise ValueError(
-            "7z multi-coder folders (filter chains) not supported by the "
-            "vendored reader (install py7zr)")
-    return {"coder": coders[0], "n_out": n_out, "n_packed": n_packed}, pos
+            "7z multi-stream coders (BCJ2) not supported by the vendored "
+            "reader (install py7zr)")
+    bound_in = {i for i, _o in f["bind_pairs"]}
+    bound_out = {o for _i, o in f["bind_pairs"]}
+    starts = [i for i in range(len(coders)) if i not in bound_in]
+    finals = [o for o in range(len(coders)) if o not in bound_out]
+    if len(starts) != 1 or len(finals) != 1:
+        raise ValueError("Invalid 7Z file")
+    out_to_in = {o: i for i, o in f["bind_pairs"]}
+    chain = [starts[0]]
+    while chain[-1] in out_to_in:
+        chain.append(out_to_in[chain[-1]])
+        if len(chain) > len(coders):
+            raise ValueError("Invalid 7Z file")
+    if chain[-1] != finals[0] or len(chain) != len(coders):
+        raise ValueError("Invalid 7Z file")
+    return chain
 
 
 def _parse_streams_info(d: bytes, pos: int) -> tuple[dict, int]:
@@ -255,7 +286,10 @@ def _parse_streams_info(d: bytes, pos: int) -> tuple[dict, int]:
                 for _ in range(f["n_out"]):
                     s, pos = _num7(d, pos)
                     sizes.append(s)
-                f["unpack_size"] = sizes[-1]
+                f["out_sizes"] = sizes
+                # the folder's size is its FINAL coder's out-stream size
+                # (== sizes[-1] only for single-coder folders)
+                f["unpack_size"] = sizes[_resolve_chain(f)[-1]]
             info["folders"] = folders
             while True:
                 t2, pos = _num7(d, pos)
@@ -349,6 +383,52 @@ def _decode_coder(cid: bytes, props: bytes, packed: bytes,
         "(install py7zr)")
 
 
+def _lzma_filter_spec(coder: dict) -> dict:
+    """7z coder -> stdlib ``lzma`` raw-filter spec, for folders whose
+    whole chain is LZMA-family (LZMA1/LZMA2 compressors, Delta / BCJ x86
+    branch filters — the chains real 7-Zip emits for executables and
+    binary tables). Chains the stdlib cannot express raise the same
+    install-py7zr error as unknown coders."""
+    import lzma
+    cid, props = coder["id"], coder["props"]
+    if cid == b"\x21":
+        return {"id": lzma.FILTER_LZMA2,
+                "dict_size": _lzma2_dict_size(props[0] if props else 24)}
+    if cid == b"\x03\x01\x01":
+        if len(props) < 5:
+            raise ValueError("Invalid 7Z file")
+        d0 = props[0]
+        lc, rest = d0 % 9, d0 // 9
+        lp, pb = rest % 5, rest // 5
+        (dict_size,) = struct.unpack_from("<I", props, 1)
+        return {"id": lzma.FILTER_LZMA1, "dict_size": max(dict_size, 4096),
+                "lc": lc, "lp": lp, "pb": pb}
+    if cid == b"\x03":                              # Delta (props: dist-1)
+        return {"id": lzma.FILTER_DELTA,
+                "dist": (props[0] + 1) if props else 1}
+    if cid == b"\x03\x03\x01\x03":                  # BCJ x86
+        return {"id": lzma.FILTER_X86}
+    raise ValueError(
+        f"7z coder chain with {cid.hex()} not supported by the vendored "
+        "reader (install py7zr)")
+
+
+def _decode_folder(f: dict, packed: bytes) -> bytes:
+    chain = _resolve_chain(f)
+    coders = [f["coders"][i] for i in chain]
+    if len(coders) == 1:
+        return _decode_coder(coders[0]["id"], coders[0]["props"], packed,
+                             f["unpack_size"])
+    # Linear multi-coder chain: one stdlib raw decompressor over the
+    # composed filter list. Python's lzma wants COMPRESSION order
+    # (plain-side filter first, compressor last), i.e. the reverse of the
+    # packed->output decode chain.
+    import lzma
+    filters = [_lzma_filter_spec(c) for c in reversed(coders)]
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
+    return dec.decompress(packed, max_length=f["unpack_size"])
+
+
 def _decode_folders(content: bytes, info: dict, base: int) -> list[bytes]:
     """Decode each folder's output bytes; folders consume their packed
     streams sequentially from base + pack_pos."""
@@ -361,8 +441,7 @@ def _decode_folders(content: bytes, info: dict, base: int) -> list[bytes]:
         packed = content[off:off + sum(sizes[si:si + n])]
         off += sum(sizes[si:si + n])
         si += n
-        out.append(_decode_coder(f["coder"]["id"], f["coder"]["props"],
-                                 packed, f["unpack_size"]))
+        out.append(_decode_folder(f, packed))
     return out
 
 

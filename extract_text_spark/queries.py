@@ -2121,8 +2121,10 @@ def ext_rar7z_fanout(spark, sf_dir):
     readers (extractors/arclite.py; the reference walks these with
     rarfile/py7zr, app/extractors.py:1812-1959 — absent here, so the
     fallback executes): even docs are stored-method RAR5 with a skipped
-    directory entry, odd docs are 7z alternating Copy / raw-LZMA2
-    coders, all fanned out JVM-side like every archive."""
+    directory entry, odd docs are 7z cycling Copy / raw-LZMA2 /
+    Delta+LZMA2 / BCJ-x86+LZMA1 coders (the last two are two-coder
+    bind-pair filter chains), all fanned out JVM-side like every
+    archive."""
     from .bytecorpus import make_7z, make_rar5
     from .ingest import extract_from_bytes
     d = _t(spark, sf_dir, "documents")
@@ -2133,7 +2135,8 @@ def ext_rar7z_fanout(spark, sf_dir):
             "sub/b.md": ("# Doc Title\n\n" + text).encode("utf-8"),
         }
         if doc_id % 2:
-            coder = "lzma2" if (doc_id // 2) % 2 else "copy"
+            coder = ("copy", "lzma2", "delta-lzma2",
+                     "bcj-lzma1")[(doc_id // 2) % 4]
             return "bundle.7z", make_7z(entries, coder=coder)
         return "bundle.rar", make_rar5(entries, with_dir="sub")
 

@@ -798,6 +798,32 @@ def test_vendored_7z_copy_and_lzma_coders():
             ("a.txt", b"seven text"), ("big.bin", bytes(range(256)) * 64)]
 
 
+def test_vendored_7z_multi_coder_filter_chains():
+    """Two-coder folders with bind pairs — the Delta+LZMA2 and BCJ-x86+
+    LZMA1 chains real 7-Zip emits for binary data/executables — decode
+    through one composed stdlib raw-filter chain (linear topology
+    resolved from the bind pairs; BCJ2's 4-stream split stays
+    unsupported)."""
+    from extract_text_spark.bytecorpus import make_7z
+    from extract_text_spark.extractors.arclite import sevenz_members
+    entries = {"a.txt": b"chained text payload " * 40,
+               "b/x.bin": bytes(range(256)) * 30}
+    for coder in ("delta-lzma2", "bcj-lzma1"):
+        assert sevenz_members(make_7z(entries, coder=coder)) == [
+            ("a.txt", entries["a.txt"]), ("b/x.bin", entries["b/x.bin"])]
+    # declared-size cap still fires before any chain decode
+    import pytest
+    with pytest.raises(ValueError, match="zip bomb protection"):
+        sevenz_members(make_7z({"x": b"A" * 100_000}, coder="delta-lzma2"),
+                       max_total=1024)
+    # end-to-end through the ingest fan-out
+    z = make_7z({"doc.txt": b"deep chain text"}, coder="bcj-lzma1")
+    status, spans = spans_from_bytes(z, "c.7z")
+    assert status is None
+    member = json.loads(spans[0]["text"])
+    assert member["path"] == "doc.txt" and member["text"] == "deep chain text"
+
+
 def test_vendored_readers_drive_ingest_fanout():
     """With rarfile/py7zr absent (this sandbox), the vendored readers
     carry the A4/A5 walk: member model, nested recursion, error surface
