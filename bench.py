@@ -38,27 +38,57 @@ def _gate_load() -> float:
     return round(os.getloadavg()[0], 2)
 
 
-def _timed_leg(fn) -> list[float]:
-    """One measured leg: [seconds, loadavg at start, loadavg at end].
+def _steal_jiffies() -> int:
+    """Aggregate CPU steal time (jiffies) — /proc/stat cpu field 8.
 
-    The r4 post-mortem: legs that *started* under the load gate still
-    swung 4x because co-tenant load arrived mid-run — recording the end
-    loadavg makes such legs self-identifying and rejectable."""
+    THE attribution signal on this host: co-tenancy happens at the
+    hypervisor, so a neighbour stealing our cycles is INVISIBLE to
+    loadavg (the VM's runqueue doesn't grow — our threads just run
+    slower). This is why every r4 leg started "under the load gate" yet
+    identical work swung 4x: the gate was watching the wrong counter."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _timed_leg(fn, cpus: int) -> list[float]:
+    """One measured leg: [seconds, loadavg at start, loadavg at end,
+    stolen_cores] — stolen_cores is the average number of whole cores the
+    hypervisor took from us DURING the leg (steal-jiffy delta / elapsed),
+    the direct measurement of co-tenant pollution."""
     load0 = _gate_load()
+    st0 = _steal_jiffies()
     t0 = time.monotonic()
     fn()
     dt = time.monotonic() - t0
-    return [round(dt, 3), load0, round(os.getloadavg()[0], 2)]
+    stolen = (_steal_jiffies() - st0) / (_HZ * dt)
+    return [round(dt, 3), load0, round(os.getloadavg()[0], 2),
+            round(stolen, 2)]
 
 
-def _median_clean(legs: list[list[float]]) -> float:
-    """Median over legs whose END loadavg stayed within the gate (the
-    documented rejection rule: a leg is load-polluted iff its end loadavg
-    exceeds LOAD_THRESHOLD + 1.0 — one full extra runnable core of
-    co-tenant work arriving mid-leg). Falls back to the median of all
-    legs if fewer than half survive, so the number always exists."""
-    clean = [s for s, _l0, l1 in legs if l1 <= LOAD_THRESHOLD + 1.0]
-    pool = clean if len(clean) * 2 >= len(legs) else [s for s, *_ in legs]
+def _leg_polluted(leg: list[float], cpus: int) -> bool:
+    """Documented rejection rule: a leg is polluted iff the hypervisor
+    stole >= 1 full core on average during it (stolen_cores >= 1.0), or
+    the VM's own runqueue grew past the leg's own parallelism plus the
+    gate's allowance (load_end > cpus + LOAD_THRESHOLD + 1.0 — a leg at
+    full tilt contributes ~cpus to loadavg by itself, so the old
+    gate+1.0 cut would have condemned every healthy 8-core leg)."""
+    _s, _l0, l1, stolen = leg
+    return stolen >= 1.0 or l1 > cpus + LOAD_THRESHOLD + 1.0
+
+
+def _median_clean(legs: list[list[float]], cpus: int) -> float:
+    """Median over non-polluted legs (see _leg_polluted); falls back to
+    the median of all legs if fewer than half survive, so the number
+    always exists."""
+    clean = [leg[0] for leg in legs if not _leg_polluted(leg, cpus)]
+    pool = clean if len(clean) * 2 >= len(legs) else [leg[0] for leg in legs]
     pool = sorted(pool)
     n = len(pool)
     mid = n // 2
@@ -120,10 +150,11 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         .alias("b")).agg(F.sum("b")).collect()[0][0]
     legs["extract_corpus"] = [
         _timed_leg(lambda: extract_spans_df(
-            docs_df, salt_partitions=HEADLINE_CPUS * 4).count())
+            docs_df, salt_partitions=HEADLINE_CPUS * 4).count(),
+            HEADLINE_CPUS)
         for _ in range(HEADLINE_LEGS)
     ]
-    dt = _median_clean(legs["extract_corpus"])
+    dt = _median_clean(legs["extract_corpus"], HEADLINE_CPUS)
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
     mb_per_sec = round(bytes_in / 1e6 / dt, 1)
@@ -149,7 +180,8 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # min is the engine; the legs show which runs the neighbours ate.
     for name in headliners:
         legs[name] = [
-            _timed_leg(lambda n=name: QUERIES[n](spark, sf_dir).count())
+            _timed_leg(lambda n=name: QUERIES[n](spark, sf_dir).count(),
+                       cpus)
             for _ in range(3)
         ]
         timings[name] = round(min(s for s, *_ in legs[name]), 3)
@@ -176,7 +208,9 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "headline_protocol": (
             f"median of {HEADLINE_LEGS} load-gated legs at "
             f"local[{HEADLINE_CPUS}] (host knee), leg = [sec, load_start, "
-            f"load_end], legs with load_end > gate+1.0 rejected"),
+            f"load_end, stolen_cores]; rejected iff stolen_cores >= 1.0 "
+            f"(hypervisor steal, the signal loadavg cannot see) or "
+            f"load_end > own_cpus + gate + 1.0"),
         "load_gate": LOAD_THRESHOLD,
         "legs": legs,
     }

@@ -13,12 +13,15 @@ writers emit:
   need the RAR algorithm itself and fail with a clear error. Header CRCs
   are not verified (tolerant parser).
 * 7z (7zFormat.txt): signature + start header, plain (kHeader) or
-  encoded (kEncodedHeader) header property tree, single-coder folders
-  with Copy (0x00), LZMA2 (0x21), LZMA1 (0x030101) or BZip2 (0x040202)
-  coders — LZMA via the stdlib ``lzma`` raw decoder with filter
-  parameters parsed from the coder properties. SubStreamsInfo (solid
+  encoded (kEncodedHeader) header property tree; folders with Copy
+  (0x00), LZMA2 (0x21), LZMA1 (0x030101) or BZip2 (0x040202) coders —
+  LZMA via the stdlib ``lzma`` raw decoder with filter parameters parsed
+  from the coder properties — plus LINEAR multi-coder filter chains
+  (Delta 0x03, BCJ x86 0x03030103 feeding an LZMA compressor): the
+  bind-pair topology is resolved to a packed→output chain and decoded
+  with one composed stdlib raw-filter call. SubStreamsInfo (solid
   archives: several files per folder) and empty-stream files are
-  handled; multi-coder filter chains (delta/BCJ) are not.
+  handled; BCJ2's 4-stream split and non-LZMA-family chains are not.
 """
 
 from __future__ import annotations

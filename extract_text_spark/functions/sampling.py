@@ -45,6 +45,42 @@ def stratified_sample(df: DataFrame, fracs_milli: dict[str, int],
     return df.where(bucket < rate)
 
 
+def mixture_sample(df: DataFrame, target_counts: dict[str, int],
+                   source_col: str = "source",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Training-mixture construction: deterministically sample each
+    source toward an absolute per-source document target (the
+    Pile/LLaMA-style "domain mixing weights" step, expressed as target
+    counts so the arithmetic is exact integers end-to-end).
+
+    acceptance rate (millionths) = min(1e6, target * 1e6 div source_count)
+    — a source below its target keeps everything (rate capped at 1.0);
+    membership = md5 bucket < rate, reproducible across reruns, engines
+    and partitionings like every sampler here.
+
+    100 TB shape: one map-side-combinable count per source (domains are
+    few — a handful of rows), broadcast-joined back, then a row-local
+    membership filter right after the broadcast join; the reject set
+    never shuffles or materializes and nothing large moves. Sources
+    absent from ``target_counts`` get target 0 (dropped — an explicit
+    mixture is a whitelist)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_mix_n"))
+    target = None
+    for name, tgt in target_counts.items():
+        cond = F.col(source_col) == name
+        target = (F.when(cond, tgt) if target is None
+                  else target.when(cond, tgt))
+    target = (target.otherwise(0) if target is not None else F.lit(0))
+    rate = F.least(
+        F.lit(_MOD).cast("long"),
+        F.call_function("div", target.cast("long") * _MOD,
+                        F.col("_mix_n")))
+    bucket = hash_bucket_col(id_col, salt="mix")
+    return (df.join(F.broadcast(counts), source_col)
+              .where(bucket < rate)
+              .drop("_mix_n"))
+
+
 def pack_sequences(df: DataFrame, token_col: str, budget: int,
                    id_col: str = "doc_id",
                    buckets: int = 1024) -> DataFrame:

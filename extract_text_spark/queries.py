@@ -591,6 +591,40 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def sample_mixture(spark, sf_dir):
+    """Training-mixture construction (sampling.mixture_sample): each
+    source is sampled toward an absolute target count — rate (millionths)
+    = min(1e6, target*1e6 div count), md5-bucket membership. Targets
+    (i%%4+1)*10 over src0..src19 exercise BOTH regimes at sf0.01
+    (count=25: sources with target >= 25 hit the rate cap and keep
+    everything) and the summary aggregates verify the kept set exactly."""
+    d = _t(spark, sf_dir, "documents")
+    s = sampling.mixture_sample(
+        d, {f"src{i}": (i % 4 + 1) * 10 for i in range(20)})
+    return (s.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    ).orderBy("source"))
+
+
+SAMPLE_MIXTURE_SQL = """
+WITH n AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), b AS (
+  SELECT d.source, d.doc_id,
+         ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS bucket,
+         least(1000000::BIGINT,
+               ((CAST(substr(d.source, 4) AS INT) % 4 + 1) * 10
+                * 1000000::BIGINT) // n.cnt) AS rate
+  FROM documents d JOIN n USING (source)
+)
+SELECT source, count(*)::BIGINT AS n_sampled, sum(doc_id)::BIGINT AS sum_ids
+FROM b WHERE bucket < rate
+GROUP BY source ORDER BY source
+"""
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic per-source sampling (training-mix construction):
     membership = md5 hash bucket < per-stratum rate, a pure filter at the
@@ -2698,6 +2732,7 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "dedup_paragraphs": dedup_paragraphs,
     "sample_stratified": sample_stratified,
+    "sample_mixture": sample_mixture,
     "pack_batches": pack_batches,
     "decontaminate": decontaminate,
     "dedup_exact": dedup_exact,
@@ -2755,6 +2790,7 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "sample_mixture": SAMPLE_MIXTURE_SQL,
     "pack_batches": PACK_BATCHES_SQL,
     "decontaminate": DECONTAMINATE_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

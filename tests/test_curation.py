@@ -134,6 +134,30 @@ def test_stratified_sample_deterministic_and_rate(spark):
     assert abs(n1 / 2000 - 0.1) < 0.03               # ~10% of src1
 
 
+def test_mixture_sample_targets_and_cap(spark):
+    """Per-source absolute targets -> capped integer rates; sources over
+    their target thin toward it, sources under it keep everything
+    (rate cap), unlisted sources drop (mixture = whitelist)."""
+    from extract_text_spark.functions import sampling
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string"))
+         .alias("source"))                           # 1000 docs each
+    s = sampling.mixture_sample(
+        df, {"s0": 100, "s1": 5000})                 # s2 unlisted
+    rows = s.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    assert set(by_src) <= {"s0", "s1"}
+    assert abs(len(by_src["s0"]) - 100) < 40         # ~10% rate
+    assert len(by_src["s1"]) == 1000                 # capped: keep all
+    # partitioning-stable membership
+    again = sorted(r.doc_id for r in
+                   s.orderBy(F.rand(3)).repartition(7).collect())
+    assert again == sorted(r.doc_id for r in rows)
+
+
 def test_contamination_flags_ngram_overlap(spark):
     rows = [
         (0, "held out eval question about spark"),     # benchmark (id%2==0... pred below)

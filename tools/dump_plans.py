@@ -246,6 +246,45 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    mix = QUERIES["sample_mixture"](spark, SF)
+    add("sample_mixture — broadcast source counts, filter at the scan", mix, [
+        ("per-source counts broadcast back (never a shuffled join)",
+         r"BroadcastHashJoin|BroadcastExchange"),
+        ("map-side partial count per source before its tiny shuffle",
+         r"partial_count|HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
+    mc = QUERIES["ext_main_content"](spark, SF)
+    add("ext_main_content — heuristic kernel inside the standard "
+        "extraction pipeline", mc, [
+        ("one Python kernel per size path (2 MapInPandas nodes; paths "
+         "partition rows, so a row runs exactly one kernel)",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 2),
+        ("page synthesis is pure codegen (concat/when before the kernel)",
+         lambda t: "BatchEvalPython" not in t),
+        ("big-path skew machinery present (span-chunk windows)",
+         r"Window"),
+    ])
+
+    ag = QUERIES["ext_archive_guards"](spark, SF)
+    add("ext_archive_guards — guards inside the once-run, cached ingest "
+        "kernel; JVM fan-out", ag, [
+        ("4 MapInPandas nodes: fixture builder + ingest (run once, "
+         "cached) + one extraction kernel per size path",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 4),
+        ("BOTH extraction paths read the cached ingest "
+         "(InMemoryTableScan — containers never parse twice)",
+         lambda t: t.count("InMemoryTableScan") >= 2),
+        ("exactly one parquet scan node of documents feeds everything",
+         lambda t: len(set(re.findall(r"Scan parquet\s*\((\d+)\)",
+                                      t))) == 1),
+        ("nested-member fan-out is JVM-only (Generate explode, no "
+         "Python between kernels)",
+         lambda t: "Generate" in t and "BatchEvalPython" not in t),
+    ])
+
     header = (
         "# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n\n"
         "Each section asserts the plan properties the engine's scale story\n"

@@ -33,11 +33,12 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from extract_text_spark.session import get_spark
 from extract_text_spark.pipeline import extract_spans_df
-from bench import ensure_span_corpus
+from bench import _steal_jiffies, _HZ
 
 cpus = {cpus}
 spark = get_spark(app_name=f"scale-{cpus}", master=f"local[{cpus}]",
                   shuffle_partitions=max(cpus * 2, 16))
+from bench import ensure_span_corpus
 path = ensure_span_corpus(spark, {n_docs})
 docs = spark.read.parquet(path)
 # Warmup: run the identical job once so every core's Python worker has
@@ -47,14 +48,17 @@ extract_spans_df(docs, salt_partitions=cpus * 4).count()
 legs = []
 for _ in range(2):
     l0 = os.getloadavg()[0]
+    st0 = _steal_jiffies()
     t0 = time.monotonic()
     n = extract_spans_df(docs, salt_partitions=cpus * 4).count()
     dt = time.monotonic() - t0
-    legs.append([round(dt, 3), round(l0, 2), round(os.getloadavg()[0], 2)])
+    stolen = (_steal_jiffies() - st0) / (_HZ * dt)
+    legs.append([round(dt, 3), round(l0, 2),
+                 round(os.getloadavg()[0], 2), round(stolen, 2)])
 best = min(legs)
 print("RESULT " + json.dumps({{"cpus": cpus, "seconds": best[0],
-                               "load_end": best[2], "legs": legs,
-                               "docs": n}}))
+                               "load_end": best[2], "stolen": best[3],
+                               "legs": legs, "docs": n}}))
 spark.stop()
 """
 
@@ -97,19 +101,28 @@ def main():
         eff = (small["seconds"] / big["seconds"]) / ratio
         trials.append({"small": small, "big": big, "eff": eff})
         print(f"pair {i + 1}/{pairs}: "
-              f"T_{n_small}={small['seconds']:.2f}s (load {small['loadavg']}) "
-              f"T_{n_big}={big['seconds']:.2f}s (load {big['loadavg']}) "
+              f"T_{n_small}={small['seconds']:.2f}s "
+              f"(load {small['loadavg']} stolen {small.get('stolen', 0)}) "
+              f"T_{n_big}={big['seconds']:.2f}s "
+              f"(load {big['loadavg']} stolen {big.get('stolen', 0)}) "
               f"eff={eff:.3f}", flush=True)
 
-    # Outlier rejection (round-5 hardening — r4's 0.444 pair was visibly
-    # load-polluted in its own loadavg column yet still widened the band):
-    # a pair is rejected iff either leg's END loadavg exceeded
-    # LOAD_THRESHOLD + 1.0 — one full extra runnable core of co-tenant
-    # work arriving mid-leg. Median over survivors; if fewer than half
-    # survive, fall back to all pairs (the number must always exist).
-    cut = LOAD_THRESHOLD + 1.0
+    # Outlier rejection (round-5 hardening). Co-tenancy on this host is
+    # hypervisor-level, so a neighbour stealing our cycles never shows in
+    # loadavg (the VM's runqueue doesn't grow — our threads just run
+    # slowly); that is exactly why every r4 leg "started under the load
+    # gate" yet swung 4x. The direct signal is /proc/stat CPU STEAL: a
+    # leg is polluted iff the hypervisor took >= 1 full core on average
+    # during it, or the VM's own runqueue grew past the leg's own
+    # parallelism + the gate allowance (a c-core leg at full tilt
+    # contributes ~c to loadavg by itself). Median over surviving pairs;
+    # if fewer than half survive, fall back to all pairs.
+    def polluted(res: dict) -> bool:
+        return (res.get("stolen", 0) >= 1.0
+                or res["load_end"] > res["cpus"] + LOAD_THRESHOLD + 1.0)
+
     kept = [t for t in trials
-            if t["small"]["load_end"] <= cut and t["big"]["load_end"] <= cut]
+            if not polluted(t["small"]) and not polluted(t["big"])]
     dropped = [i + 1 for i, t in enumerate(trials) if t not in kept]
     if len(kept) * 2 < len(trials):
         kept, dropped = trials, []
@@ -123,16 +136,17 @@ def main():
 
     trial_rows = "\n".join(
         f"| {i + 1} | {t['small']['seconds']:.2f} | {t['small']['loadavg']}"
-        f"/{t['small']['load_end']} "
+        f"/{t['small']['load_end']} | {t['small'].get('stolen', 0):.2f} "
         f"| {t['big']['seconds']:.2f} | {t['big']['loadavg']}"
-        f"/{t['big']['load_end']} "
-        f"| {t['eff']:.3f} |{' REJECTED (load)' if (i + 1) in dropped else ''}"
+        f"/{t['big']['load_end']} | {t['big'].get('stolen', 0):.2f} "
+        f"| {t['eff']:.3f} |"
+        f"{' REJECTED (polluted)' if (i + 1) in dropped else ''}"
         for i, t in enumerate(trials)
     )
     rejection_note = (
-        f"Pairs {dropped} rejected by the end-loadavg rule before the "
+        f"Pairs {dropped} rejected by the pollution rule before the "
         f"median." if dropped else
-        "No pairs rejected by the end-loadavg rule.")
+        "No pairs rejected by the pollution rule.")
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — extraction throughput + scaling evidence
@@ -144,16 +158,18 @@ substitution for N and 4N executors; see BASELINE.md).
 
 **Protocol:** median of {pairs} paired trials; each leg is best-of-2
 inside a fresh JVM after one warmup pass, starts only when 1-min loadavg
-< {LOAD_THRESHOLD} (sleep-wait, capped), and records the loadavg at leg
-start AND end (start/end in the load column). The sandbox host is
-oversubscribed, so a single pair can be polluted by invisible co-tenants
-mid-run; a pair is REJECTED before the median iff either leg's end
-loadavg exceeds {LOAD_THRESHOLD} + 1.0 (one full extra runnable core of
-co-tenant work arriving mid-leg), falling back to all pairs if fewer
-than half survive. {rejection_note}
+< {LOAD_THRESHOLD} (sleep-wait, capped), and records loadavg at leg
+start AND end plus **hypervisor CPU-steal during the leg** (the
+`stolen` column: average whole cores taken, from /proc/stat — the
+signal that attributes co-tenant pollution, which loadavg cannot see
+because a stolen cycle never enters this VM's runqueue). A pair is
+REJECTED before the median iff either leg had stolen >= 1.0 cores or
+its end loadavg exceeded its own core count + {LOAD_THRESHOLD} + 1.0
+(a c-core leg at full tilt contributes ~c to loadavg by itself);
+falls back to all pairs if fewer than half survive. {rejection_note}
 
-| pair | T_{n_small} (s) | load s/e | T_{n_big} (s) | load s/e | efficiency |
-|---|---|---|---|---|---|
+| pair | T_{n_small} (s) | load s/e | stolen | T_{n_big} (s) | load s/e | stolen | efficiency |
+|---|---|---|---|---|---|---|---|
 {trial_rows}
 
 Headline (median pair):
@@ -187,16 +203,19 @@ protocol matched. The breaks, in order:
   `sim_cosine_topk` (1.32->1.98) are protocol, not regressions.
 - **r4 -> r5:** the r4 headline (`extract_corpus` best-of-3 at
   local[32]) swung 9.3-37.6 s across legs that all STARTED under the
-  load gate — the 1-min loadavg at leg start cannot see co-tenant load
-  arriving mid-run, and 32 threads sits far past this host's ~8-thread
+  load gate. Root cause found in r5: co-tenancy here is HYPERVISOR
+  steal, which loadavg can never see (a stolen cycle doesn't enter this
+  VM's runqueue — threads just run slower), so the gate watched the
+  wrong counter; and 32 threads sits far past this host's ~8-thread
   knee where wall-clock measures contention (host note below). From r5,
   bench.py pins the headline to its own JVM at local[8]
   (`SPARK_GRAFT_HEADLINE_CPUS`), median of 5 legs, each leg recording
-  loadavg at start AND end, with the same end-loadavg rejection rule as
-  the scaling pairs above. `docs_per_sec` is therefore stated at 8
-  cores from r5 on — compare r5+ headlines to the 8-core scaling row,
-  not to r3/r4's 32-core best-of-3. Registry queries keep best-of-3 at
-  `$SPARK_GRAFT_CPUS` (unchanged from r4).
+  [sec, load_start, load_end, stolen_cores], with the same
+  steal-based pollution rule as the scaling pairs above.
+  `docs_per_sec` is therefore stated at 8 cores from r5 on — compare
+  r5+ headlines to the 8-core scaling row, not to r3/r4's 32-core
+  best-of-3. Registry queries keep best-of-3 at `$SPARK_GRAFT_CPUS`
+  (unchanged from r4).
 
 ## Host-topology note (why N=2 -> 4N=8)
 
