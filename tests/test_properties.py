@@ -202,3 +202,38 @@ def test_url_validation_is_total_and_fail_closed(url):
         assert not safe
     if status is not None:
         assert status.startswith("error: ") and spans == []
+
+
+@given(st.integers(1, 6), st.randoms(use_true_random=False))
+def test_7z_chain_resolution_any_coder_order(n, rng):
+    """_resolve_chain recovers the linear decode order for ANY listing
+    permutation of a folder's coders: real 7-Zip writers are free to
+    order coders however they like — only the bind pairs are normative.
+    Bind pair (i, j) = coder i's input consumes coder j's output."""
+    from extract_text_spark.extractors.arclite import _resolve_chain
+    order = list(range(n))            # chain positions packed -> output
+    perm = list(range(n))
+    rng.shuffle(perm)                 # coder index of each chain position
+    coders = [{"id": bytes([k]), "props": b"", "nin": 1, "nout": 1}
+              for k in range(n)]
+    bind_pairs = [(perm[p + 1], perm[p]) for p in range(n - 1)]
+    rng.shuffle(bind_pairs)           # pair order is also arbitrary
+    f = {"coders": coders, "bind_pairs": bind_pairs,
+         "n_out": n, "n_packed": 1}
+    assert _resolve_chain(f) == [perm[p] for p in order]
+
+
+def test_7z_chain_rejects_non_linear():
+    import pytest
+    from extract_text_spark.extractors.arclite import _resolve_chain
+    # a 2-in coder (BCJ2 shape) is not linear
+    f = {"coders": [{"id": b"\x21", "props": b"", "nin": 2, "nout": 1}],
+         "bind_pairs": [], "n_out": 1, "n_packed": 2}
+    with pytest.raises(ValueError, match="BCJ2"):
+        _resolve_chain(f)
+    # a cycle (malformed bind pairs) must not loop forever
+    f2 = {"coders": [{"id": b"\x21", "props": b"", "nin": 1, "nout": 1},
+                     {"id": b"\x03", "props": b"", "nin": 1, "nout": 1}],
+          "bind_pairs": [(0, 1), (1, 0)], "n_out": 2, "n_packed": 0}
+    with pytest.raises(ValueError, match="Invalid 7Z"):
+        _resolve_chain(f2)
