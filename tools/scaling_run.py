@@ -184,6 +184,14 @@ Headline (median pair):
 = **{med_eff:.3f}** (target >= 0.8; surviving band
 {effs[0]:.3f}-{effs[-1]:.3f})
 
+Reading efficiencies ABOVE 1.0: steal below the rejection cut still
+biases the ratio upward asymmetrically — 0.5 stolen cores is 25% of a
+2-core leg but only 6% of an 8-core leg, so residual co-tenant theft
+inflates T_N more than T_4N. Values slightly over 1.0 are therefore
+T_N pollution, not superlinear scaling; the conservative bound is the
+MINIMUM surviving efficiency in the table, which is the number to hold
+against the >= 0.8 target.
+
 Reference baseline context: the reference publishes no docs/sec figures
 (BASELINE.md); its envelope is a 4-thread pool with <5 s per simple file.
 This engine's single-node throughput above corresponds to
