@@ -158,6 +158,14 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
     mb_per_sec = round(bytes_in / 1e6 / dt, 1)
+    # self-describing cleanliness: how many legs survived the pollution
+    # rule (fewer than half -> the median fell back to ALL legs and the
+    # headline is an upper bound on the engine's time, not its value),
+    # plus the min leg as the contention-floor estimate.
+    headline_clean = sum(
+        1 for leg in legs["extract_corpus"]
+        if not _leg_polluted(leg, HEADLINE_CPUS))
+    headline_min = min(leg[0] for leg in legs["extract_corpus"])
     hspark.stop()
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
@@ -205,6 +213,10 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "corpus_docs_out": n_out,
         "cpus": cpus,
         "headline_cpus": HEADLINE_CPUS,
+        "headline_clean_legs": headline_clean,
+        "headline_legs_total": HEADLINE_LEGS,
+        "headline_min_leg_sec": round(headline_min, 3),
+        "docs_per_sec_min_leg": round(n_out / headline_min, 1),
         "headline_protocol": (
             f"median of {HEADLINE_LEGS} load-gated legs at "
             f"local[{HEADLINE_CPUS}] (host knee), leg = [sec, load_start, "
