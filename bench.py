@@ -83,12 +83,16 @@ def _leg_polluted(leg: list[float], cpus: int) -> bool:
     return stolen >= 1.0 or l1 > cpus + LOAD_THRESHOLD + 1.0
 
 
-def _median_clean(legs: list[list[float]], cpus: int) -> float:
+def _median_clean(legs: list[list[float]], cpus: int,
+                  min_clean: int = 3) -> float:
     """Median over non-polluted legs (see _leg_polluted); falls back to
-    the median of all legs if fewer than half survive, so the number
-    always exists."""
+    the median of all legs if fewer than ``min_clean`` survive, so the
+    number always exists. An absolute floor (not a proportion): with
+    adaptive leg extension a noisy window yields e.g. 3 clean of 10 —
+    those 3 ARE the measurement, the 7 polluted legs are just the
+    evidence trail."""
     clean = [leg[0] for leg in legs if not _leg_polluted(leg, cpus)]
-    pool = clean if len(clean) * 2 >= len(legs) else [leg[0] for leg in legs]
+    pool = clean if len(clean) >= min_clean else [leg[0] for leg in legs]
     pool = sorted(pool)
     n = len(pool)
     mid = n // 2
@@ -148,12 +152,22 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         F.aggregate("spans", F.lit(0).cast("long"),
                     lambda a, s: a + F.coalesce(F.length(s.text), F.lit(0)))
         .alias("b")).agg(F.sum("b")).collect()[0][0]
-    legs["extract_corpus"] = [
-        _timed_leg(lambda: extract_spans_df(
+    # Adaptive leg count: run HEADLINE_LEGS, then keep adding legs (up
+    # to 2x) while fewer than ceil(HEADLINE_LEGS/2)+ are clean — a noisy
+    # window costs a few extra ~5s legs instead of a fallback median
+    # that overstates the engine's time.
+    def _one_headline_leg():
+        return _timed_leg(lambda: extract_spans_df(
             docs_df, salt_partitions=HEADLINE_CPUS * 4).count(),
             HEADLINE_CPUS)
-        for _ in range(HEADLINE_LEGS)
-    ]
+
+    ec_legs = [_one_headline_leg() for _ in range(HEADLINE_LEGS)]
+    need = HEADLINE_LEGS // 2 + 1
+    while (sum(1 for leg in ec_legs
+               if not _leg_polluted(leg, HEADLINE_CPUS)) < need
+           and len(ec_legs) < 2 * HEADLINE_LEGS):
+        ec_legs.append(_one_headline_leg())
+    legs["extract_corpus"] = ec_legs
     dt = _median_clean(legs["extract_corpus"], HEADLINE_CPUS)
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
@@ -214,15 +228,18 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "cpus": cpus,
         "headline_cpus": HEADLINE_CPUS,
         "headline_clean_legs": headline_clean,
-        "headline_legs_total": HEADLINE_LEGS,
+        "headline_legs_total": len(legs["extract_corpus"]),
         "headline_min_leg_sec": round(headline_min, 3),
         "docs_per_sec_min_leg": round(n_out / headline_min, 1),
         "headline_protocol": (
-            f"median of {HEADLINE_LEGS} load-gated legs at "
-            f"local[{HEADLINE_CPUS}] (host knee), leg = [sec, load_start, "
-            f"load_end, stolen_cores]; rejected iff stolen_cores >= 1.0 "
+            f"median of clean legs at local[{HEADLINE_CPUS}] (host "
+            f"knee); {HEADLINE_LEGS} legs, adaptively extended to at "
+            f"most {2 * HEADLINE_LEGS} until {HEADLINE_LEGS // 2 + 1} "
+            f"are clean; leg = [sec, load_start, load_end, "
+            f"stolen_cores]; polluted iff stolen_cores >= 1.0 "
             f"(hypervisor steal, the signal loadavg cannot see) or "
-            f"load_end > own_cpus + gate + 1.0"),
+            f"load_end > own_cpus + gate + 1.0; median falls back to "
+            f"all legs if fewer than 3 are clean"),
         "load_gate": LOAD_THRESHOLD,
         "legs": legs,
     }
