@@ -505,6 +505,218 @@ def paragraph_dedup(df: DataFrame, para_col: str = "paragraphs",
 
 
 # ---------------------------------------------------------------------------
+# Exact substring dedup (suffix-array style, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def exact_substring_dedup(df: DataFrame, k: int = 4,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Exact substring dedup a la Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): any
+    k-token window whose fingerprint occurs more than once corpus-wide is
+    removed from every occurrence EXCEPT the corpus-first one (lowest
+    (doc_id, pos) — the same first-occurrence-wins rule as
+    paragraph_dedup). A token is dropped iff some removed window covers
+    it, so overlapping removed windows merge implicitly through the
+    coverage mask.
+
+    The reference recipe builds one suffix array over the concatenated
+    corpus — inherently single-machine. The distributed re-expression:
+
+    * fingerprint every k-token window (k = the duplicated-substring
+      length threshold; the paper uses 50 BPE tokens, the word-soup gate
+      corpus needs 4 to produce hits);
+    * "first occurrence" is a combinable min-struct aggregate on the
+      window hash — map-side partials absorb hot boilerplate windows
+      before the shuffle;
+    * per-doc reconstruction uses a sliding-window-OR coverage mask
+      built from k pre-shifted zip_with passes — O(k*T) per doc, no
+      quadratic term (the element_at-in-transform trap re-evaluates the
+      upstream expression per element, so tokens are materialized as a
+      real column first).
+
+    Scale shape (100 TB): windows explode once (T rows per doc — the
+    same order of work as the shingle explode every LSH query pays); the
+    aggregate and join keys are uniform md5s (AQE skew handling applies);
+    reassembly is one doc_id shuffle with sort_array restoring order.
+    """
+    d = df.select(F.col(id_col).alias("id"),
+                  F.split(text_col, " ").alias("toks"))
+    wins = d.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("toks", i + F.lit(1), k))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    firsts = wins.groupBy("h").agg(
+        F.min(F.struct("id", "pos")).alias("first"),
+        F.count("*").alias("cnt"))
+    flags = (
+        wins.join(firsts, "h")
+        .select(
+            "id", "pos",
+            ((F.col("cnt") > 1)
+             & ~((F.col("id") == F.col("first.id"))
+                 & (F.col("pos") == F.col("first.pos"))))
+            .cast("int").alias("dup")))
+    per_doc = flags.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum("dup").cast("long").alias("n_dup_windows"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "dup"))),
+            lambda s: s.dup).alias("wflags"))
+    out = d.join(per_doc, "id", "left")
+
+    # Window p covers tokens p..p+k-1, so token i is covered iff a dup
+    # window starts in [i-k+1, i]: an OR over k right-shifted copies of
+    # the start-flag array (padded to token length with k-1 zeros).
+    base = F.concat(F.col("wflags"),
+                    F.array_repeat(F.lit(0), F.lit(k - 1)))
+
+    def _shifted(j: int) -> Column:
+        if j == 0:
+            return base
+        return F.concat(F.array_repeat(F.lit(0), F.lit(j)),
+                        F.slice(base, F.lit(1), F.size(base) - F.lit(j)))
+
+    mask = _shifted(0)
+    for j in range(1, k):
+        mask = F.zip_with(mask, _shifted(j), lambda a, b: F.greatest(a, b))
+    covered = F.when(F.col("wflags").isNull(),
+                     F.array_repeat(F.lit(0), F.size("toks"))).otherwise(mask)
+    kept = F.filter(
+        F.zip_with(F.col("toks"), covered,
+                   lambda t, c: F.when(c == F.lit(0), t)),
+        lambda x: x.isNotNull())
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long")
+         .alias("n_dup_windows"),
+        F.aggregate(covered, F.lit(0), lambda a, x: a + x).cast("long")
+         .alias("n_removed_tokens"),
+        F.concat_ws(" ", kept).alias("text_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a corpus snapshot
+# ---------------------------------------------------------------------------
+
+def snapshot_dedup(new_df: DataFrame, snap_df: DataFrame,
+                   threshold: float,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus snapshot — the
+    incremental form every recurring crawl ingest needs (the self-join
+    operators above answer "what duplicates exist"; this answers "which
+    arriving docs may enter the corpus").
+
+    Two tiers, both new-vs-snapshot only (never snapshot-vs-snapshot):
+
+    * exact — md5 fingerprint equi-join against the DISTINCT snapshot
+      fingerprint set (at 100 TB that set is a bucketed table or a Bloom
+      pre-filter; the join key is a uniform hash either way);
+    * near — MinHash band keys computed per side, candidates from the
+      (band_idx, band_key) equi-join between the sides, exact-Jaccard
+      verification against the snapshot shingle table, best match =
+      highest jaccard_milli with lowest snapshot id on ties (a max-struct
+      aggregate — deterministic, combinable).
+
+    The snapshot signature/shingle tables are recomputed here for
+    self-containment; a production pipeline persists them once and
+    amortizes across ingests (same plan from the join onward). Output is
+    one row per new doc: (id, exact_dup, near_dup_id, jaccard_milli,
+    keep) with -1/0 sentinels when no near-dup clears the threshold.
+    """
+    r = k // bands
+
+    def _bands_long(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        s = _shingled(df, id_col, text_col)
+        sig = s.withColumn("hp", minhash_hash_pairs_col(F.col("sh")))
+        sig = sig.select("id", *minhash_sig_cols(F.col("hp"), k))
+        band_keys = [
+            F.md5(F.concat_ws(
+                "|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+            .alias(f"band{b}")
+            for b in range(bands)
+        ]
+        lng = sig.select("id", *band_keys).select(
+            "id",
+            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
+            .alias("band_idx", "band_key"),
+        )
+        return s, lng
+
+    s_new, lng_new = _bands_long(new_df)
+    s_snap, lng_snap = _bands_long(snap_df)
+
+    cand = (
+        lng_new.alias("n")
+        .join(lng_snap.alias("s"),
+              (F.col("n.band_idx") == F.col("s.band_idx"))
+              & (F.col("n.band_key") == F.col("s.band_key")))
+        .select(F.col("n.id").alias("new_id"), F.col("s.id").alias("snap_id"))
+        .dropDuplicates(["new_id", "snap_id"])
+    )
+    verified = (
+        cand.join(s_new.select(F.col("id").alias("new_id"),
+                               F.col("sh").alias("sha")), "new_id")
+        .join(s_snap.select(F.col("id").alias("snap_id"),
+                            F.col("sh").alias("shb")), "snap_id")
+        .select(
+            "new_id", "snap_id",
+            F.size(F.array_intersect("sha", "shb")).alias("inter"),
+            F.size("sha").alias("na"), F.size("shb").alias("nb"))
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("na") + F.col("nb")
+                                      - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jaccard_milli",
+                    F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long"))
+    )
+    best = (
+        verified.groupBy("new_id")
+        .agg(F.max(F.struct(F.col("jaccard_milli"),
+                            (-F.col("snap_id")).alias("neg_id")))
+             .alias("top"))
+        .select(F.col("new_id").alias("id"),
+                (-F.col("top.neg_id")).cast("long").alias("near_dup_id"),
+                F.col("top.jaccard_milli").alias("jaccard_milli"))
+    )
+    snap_fp = (snap_df.select(fingerprint_col(text_col).alias("fp"))
+               .distinct().withColumn("fp_hit", F.lit(True)))
+    exact = (new_df.select(F.col(id_col).alias("id"),
+                           fingerprint_col(text_col).alias("fp"))
+             .join(snap_fp, "fp", "left")
+             .select("id", F.coalesce("fp_hit", F.lit(False))
+                     .alias("exact_dup")))
+    return (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact, "id", "left")
+        .join(best, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+            F.coalesce("near_dup_id", F.lit(-1)).cast("long")
+             .alias("near_dup_id"),
+            F.coalesce("jaccard_milli", F.lit(0)).cast("long")
+             .alias("jaccard_milli"),
+            (~F.coalesce("exact_dup", F.lit(False))
+             & (F.coalesce("near_dup_id", F.lit(-1)) == -1)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (GPT-3 appendix-C style n-gram overlap)
 # ---------------------------------------------------------------------------
 

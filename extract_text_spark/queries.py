@@ -591,6 +591,64 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def dedup_substring(spark, sf_dir):
+    """Suffix-array-style exact substring dedup (Lee et al. 2021,
+    arXiv:2107.06499) over k=4-token windows: a window fingerprint seen
+    more than once corpus-wide is removed everywhere but its first
+    (doc_id, pos) occurrence, and a token is dropped iff a removed window
+    covers it. The oracle replays the identical rule with window
+    fingerprints + a correlated coverage EXISTS, so interval merging,
+    first-occurrence tie-breaks and the rebuilt text are all hash-gated.
+    k=4 because the word-soup gate corpus draws from a ~30-word
+    vocabulary — production uses ~50 BPE tokens, same plan."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(d, k=4).orderBy("doc_id")
+
+
+DEDUP_SUBSTRING_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(toks[(i+1):(i+4)], ' ')) AS h
+  FROM t, LATERAL unnest(range(greatest(len(toks) - 3, 0)::BIGINT)) AS u(i)
+),
+f AS (
+  SELECT doc_id, pos,
+         CASE WHEN count(*) OVER (PARTITION BY h) > 1 AND
+                   row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) > 1
+              THEN 1 ELSE 0 END AS dup
+  FROM w
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_windows,
+         sum(dup)::BIGINT AS n_dup_windows
+  FROM f GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, i AS idx, toks[i+1] AS tk, len(toks) AS n_tokens
+  FROM t, LATERAL unnest(range(len(toks)::BIGINT)) AS u(i)
+),
+cov AS (
+  SELECT tok.doc_id, tok.idx, tok.tk, tok.n_tokens,
+         EXISTS (SELECT 1 FROM f
+                 WHERE f.doc_id = tok.doc_id AND f.dup = 1
+                   AND f.pos BETWEEN tok.idx - 3 AND tok.idx) AS covered
+  FROM tok
+)
+SELECT c.doc_id,
+       max(c.n_tokens)::BIGINT AS n_tokens,
+       coalesce(max(a.n_windows), 0)::BIGINT AS n_windows,
+       coalesce(max(a.n_dup_windows), 0)::BIGINT AS n_dup_windows,
+       sum(CASE WHEN c.covered THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed_tokens,
+       coalesce(string_agg(CASE WHEN NOT c.covered THEN c.tk END, ' '
+                           ORDER BY c.idx), '') AS text_kept
+FROM cov c LEFT JOIN agg a USING (doc_id)
+GROUP BY c.doc_id ORDER BY c.doc_id
+"""
+
+
 def sample_mixture(spark, sf_dir):
     """Training-mixture construction (sampling.mixture_sample): each
     source is sampled toward an absolute target count — rate (millionths)
@@ -947,6 +1005,116 @@ SELECT a_id, b_id, inter, na, nb,
 FROM verified
 WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
 ORDER BY a_id, b_id
+"""
+
+
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup (dedup.snapshot_dedup): even doc_ids are
+    the existing snapshot, the new batch is the odd doc_ids PLUS exact
+    copies of every 50th snapshot doc re-keyed to doc_id+1000000 — so
+    the exact tier (md5 vs the distinct snapshot fingerprint set), the
+    near tier (cross-side MinHash band join + exact-Jaccard verify +
+    deterministic best-match pick) and the clean-keep path all carry
+    rows. New-vs-snapshot only: no self-join on either side."""
+    d = _t(spark, sf_dir, "documents")
+    snap = d.filter(F.col("doc_id") % 2 == 0)
+    new = (
+        d.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        .unionAll(
+            d.filter(F.col("doc_id") % 50 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    )
+    return dedup.snapshot_dedup(new, snap, MINHASH_T).orderBy("doc_id")
+
+
+def _shingles_sql_over(table: str) -> str:
+    return f"""
+  SELECT doc_id AS id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {table})
+  WHERE len(toks) >= 3
+"""
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH newb AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 50 = 0
+),
+snap AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+sN AS ({_shingles_sql_over('newb')}),
+sS AS ({_shingles_sql_over('snap')}),
+hpN AS (
+  SELECT id, sh,
+         list_transform(sh, x -> struct_pack(
+           a := ('0x' || substr(md5(x), 1, 8))::BIGINT,
+           b := ('0x' || substr(md5(x), 9, 8))::BIGINT)) AS hp
+  FROM sN
+),
+hpS AS (
+  SELECT id, sh,
+         list_transform(sh, x -> struct_pack(
+           a := ('0x' || substr(md5(x), 1, 8))::BIGINT,
+           b := ('0x' || substr(md5(x), 9, 8))::BIGINT)) AS hp
+  FROM sS
+),
+sigN AS (SELECT id, {_MINHASH_SQL_SIGS} FROM hpN),
+sigS AS (SELECT id, {_MINHASH_SQL_SIGS} FROM hpS),
+bandN AS (SELECT id, {_BANDS_SQL} FROM sigN),
+bandS AS (SELECT id, {_BANDS_SQL} FROM sigS),
+lngN AS (
+  SELECT id, unnest([0, 1, 2, 3]) AS band_idx,
+         unnest([band0, band1, band2, band3]) AS band_key
+  FROM bandN
+),
+lngS AS (
+  SELECT id, unnest([0, 1, 2, 3]) AS band_idx,
+         unnest([band0, band1, band2, band3]) AS band_key
+  FROM bandS
+),
+cand AS (
+  SELECT DISTINCT n.id AS new_id, s.id AS snap_id
+  FROM lngN n JOIN lngS s USING (band_idx, band_key)
+),
+ver AS (
+  SELECT new_id, snap_id,
+         len(list_intersect(a.sh, b.sh)) AS inter,
+         len(a.sh) AS na, len(b.sh) AS nb
+  FROM cand
+  JOIN sN a ON a.id = cand.new_id
+  JOIN sS b ON b.id = cand.snap_id
+),
+near AS (
+  SELECT new_id, snap_id,
+         CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000.0 + 0.5)
+              AS BIGINT) AS jm
+  FROM ver WHERE inter::DOUBLE / (na + nb - inter) >= {MINHASH_T}
+),
+best AS (
+  SELECT new_id, snap_id AS near_dup_id, jm FROM (
+    SELECT *, row_number() OVER (PARTITION BY new_id
+                                 ORDER BY jm DESC, snap_id ASC) AS rn
+    FROM near) WHERE rn = 1
+),
+ex AS (
+  SELECT DISTINCT n.doc_id AS id FROM newb n
+  JOIN (SELECT DISTINCT md5(text) AS fp FROM snap) sf
+    ON md5(n.text) = sf.fp
+)
+SELECT nb.doc_id,
+       (ex.id IS NOT NULL) AS exact_dup,
+       coalesce(best.near_dup_id, -1)::BIGINT AS near_dup_id,
+       coalesce(best.jm, 0)::BIGINT AS jaccard_milli,
+       (ex.id IS NULL AND best.near_dup_id IS NULL) AS keep
+FROM newb nb
+LEFT JOIN ex ON ex.id = nb.doc_id
+LEFT JOIN best ON best.new_id = nb.doc_id
+ORDER BY nb.doc_id
 """
 
 
@@ -2731,6 +2899,7 @@ QUERIES = {
     "ta_gopher": ta_gopher,
     "ta_pii_scrub": ta_pii_scrub,
     "dedup_paragraphs": dedup_paragraphs,
+    "dedup_substring": dedup_substring,
     "sample_stratified": sample_stratified,
     "sample_mixture": sample_mixture,
     "pack_batches": pack_batches,
@@ -2739,6 +2908,7 @@ QUERIES = {
     "dedup_url": dedup_url,
     "dedup_ngram_pairs": dedup_ngram_pairs,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental": dedup_incremental,
     "dedup_simhash": dedup_simhash,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_clusters": dedup_clusters,
@@ -2789,6 +2959,7 @@ ORACLES = {
     "ta_gopher": TA_GOPHER_SQL,
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
+    "dedup_substring": DEDUP_SUBSTRING_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
     "pack_batches": PACK_BATCHES_SQL,
@@ -2797,6 +2968,7 @@ ORACLES = {
     "dedup_url": DEDUP_URL_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
     "dedup_simhash_pairs": DEDUP_SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,

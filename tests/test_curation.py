@@ -222,3 +222,70 @@ def test_gopher_top2gram_bounded_on_book_length_doc(spark):
     # generous bound for the oversubscribed host; the quadratic form
     # took minutes on this doc
     assert elapsed < 60, f"top-2-gram took {elapsed:.1f}s on 50k words"
+
+
+def test_exact_substring_dedup_first_occurrence_wins(spark):
+    """Lee-et-al exact substring dedup: duplicated k-token windows are
+    stripped from every occurrence except the corpus-first (doc_id, pos);
+    overlapping removed windows merge through the coverage mask."""
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "x y a b c d e f z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in dedup.exact_substring_dedup(df, k=4).collect()}
+    assert got[1].text_kept == "a b c d e f g h"   # corpus-first copy intact
+    assert got[1].n_dup_windows == 0
+    # doc 2 re-uses doc 1's "a b c d e f": dup windows at pos 2,3,4 merge
+    # to cover tokens 2..7
+    assert got[2].text_kept == "x y z"
+    assert got[2].n_removed_tokens == 6
+    assert got[2].n_dup_windows == 3
+    assert got[2].n_windows == 6 and got[2].n_tokens == 9
+
+
+def test_exact_substring_dedup_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "p q r s t"), (2, "p q r s t")], "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in dedup.exact_substring_dedup(df, k=4).collect()}
+    assert got[1].text_kept == "p q r s t" and got[1].n_removed_tokens == 0
+    assert got[2].text_kept == "" and got[2].n_removed_tokens == 5
+
+
+def test_exact_substring_dedup_within_doc(spark):
+    df = spark.createDataFrame(
+        [(3, "m n o p m n o p")], "doc_id long, text string")
+    r = dedup.exact_substring_dedup(df, k=4).first()
+    # the second "m n o p" duplicates the window at pos 0
+    assert r.text_kept == "m n o p"
+    assert r.n_removed_tokens == 4 and r.n_dup_windows == 1
+
+
+def test_exact_substring_dedup_short_doc_untouched(spark):
+    df = spark.createDataFrame([(5, "a b c")], "doc_id long, text string")
+    r = dedup.exact_substring_dedup(df, k=4).first()
+    assert r.n_windows == 0 and r.n_removed_tokens == 0
+    assert r.text_kept == "a b c"
+
+
+def test_exact_substring_dedup_linear_on_book_length_doc(spark):
+    """The coverage mask is k pre-shifted zip_with passes — O(k*T) per
+    doc. A 50k-word doc sharing a 1000-token run must finish in seconds
+    (a per-token membership scan would be O(T*D) ~ 5e7 lambda evals)."""
+    import time
+    base = " ".join(f"w{i}" for i in range(50_000))
+    copy = " ".join([f"u{i}" for i in range(100)]
+                    + [f"w{i}" for i in range(1000, 2000)]
+                    + [f"v{i}" for i in range(100)])
+    df = spark.createDataFrame(
+        [(1, base), (2, copy)], "doc_id long, text string")
+    t0 = time.monotonic()
+    got = {r.doc_id: r
+           for r in dedup.exact_substring_dedup(df, k=4).collect()}
+    elapsed = time.monotonic() - t0
+    assert got[1].n_removed_tokens == 0              # corpus-first
+    assert got[2].n_removed_tokens == 1000           # exactly the w-run
+    assert got[2].n_dup_windows == 997
+    assert elapsed < 60, f"substring dedup took {elapsed:.1f}s"

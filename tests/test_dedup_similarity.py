@@ -439,3 +439,42 @@ def test_malformed_urls_never_collapse_into_one_cluster(spark):
     got = {r.canonical_url: r.n_copies for r in url_dedup(df).collect()}
     assert got == {"example.com/x": 1, "not a url at all": 1,
                    "http://ok.example/a": 1}
+
+
+def test_snapshot_dedup_tiers(spark):
+    """Incremental new-batch-vs-snapshot dedup: exact tier (md5 vs the
+    distinct snapshot fingerprint set), near tier (cross-side band join +
+    exact-Jaccard verify), and the clean keep path."""
+    words = [f"tok{i}" for i in range(20)]
+    snap = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta"),
+         (4, " ".join(words))],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta"),       # exact dup of 2
+         (13, " ".join(words[:-1] + ["CHANGED"])),          # near dup of 4
+         (15, "totally different words here now ok")],
+        "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in dedup.snapshot_dedup(new, snap, threshold=0.2).collect()}
+    assert got[11].exact_dup and not got[11].keep
+    assert got[11].near_dup_id == 2 and got[11].jaccard_milli == 1000000
+    assert not got[13].exact_dup and not got[13].keep
+    assert got[13].near_dup_id == 4
+    assert got[13].jaccard_milli == 894737          # 17 shared of 19 shingles
+    assert not got[15].exact_dup and got[15].keep
+    assert got[15].near_dup_id == -1 and got[15].jaccard_milli == 0
+
+
+def test_snapshot_dedup_best_match_is_deterministic(spark):
+    """Ties on jaccard_milli resolve to the LOWEST snapshot id (the
+    max-struct aggregate carries a negated id)."""
+    snap = spark.createDataFrame(
+        [(6, "one two three four five six seven"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(9, "one two three four five six seven")],
+        "doc_id long, text string")
+    r = dedup.snapshot_dedup(new, snap, threshold=0.2).first()
+    assert r.exact_dup and r.near_dup_id == 2 and r.jaccard_milli == 1000000

@@ -165,6 +165,29 @@ def main():
         ("adaptive execution enabled", r"AdaptiveSparkPlan"),
     ])
 
+    ss = QUERIES["dedup_substring"](spark, SF)
+    add("dedup_substring — combinable window-hash aggregate, linear mask", ss, [
+        ("map-side partial min(struct)/count on the window md5 "
+         "(hot windows absorbed before the shuffle)",
+         r"partial_min|HashAggregate"),
+        ("flag join is an equi-join on the uniform window hash",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("no Python anywhere (mask is k zip_with passes, pure codegen)",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian", r"^(?!.*CartesianProduct)"),
+        ("adaptive execution enabled", r"AdaptiveSparkPlan"),
+    ])
+
+    inc = QUERIES["dedup_incremental"](spark, SF)
+    add("dedup_incremental — new-vs-snapshot only, id-only band join", inc, [
+        ("cross-side band join is an equi hash join on band keys",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("never cartesian (no all-pairs fallback)",
+         r"^(?!.*CartesianProduct)"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     gop = QUERIES["ta_gopher"](spark, SF)
     add("ta_gopher — single scan, in-row HOFs, zero added shuffles", gop, [
         ("exactly one parquet scan", one_scan),
