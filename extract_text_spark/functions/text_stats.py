@@ -355,3 +355,97 @@ def gopher_keep_col(stats: dict[str, Column]) -> Column:
         & (stats["top2gram_char_frac_milli"]
            <= GOPHER_MAX_TOP2GRAM_FRAC_MILLI)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-frequency rarity scoring (the CCNet perplexity-filter shape)
+# ---------------------------------------------------------------------------
+
+def rarity_score(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-frequency rarity scoring — the perplexity-filter shape
+    (CCNet, Wenzek et al. 2020 scores docs with a KenLM model and keeps
+    the unsurprising head/middle of the distribution). Here the language
+    model is the corpus's own unigram distribution and the logarithm is
+    replaced by integer inverse frequency, so the score is bit-exact
+    across engines: per token, rarity = (1e6 * N_total) div count(token)
+    — the token's inverse probability in millionths — and the doc score
+    is one double division of the exact integer sum by the token count.
+    Common-boilerplate docs score low, rare-token docs score high;
+    thresholding the band mirrors CCNet's head/middle/tail split.
+
+    Scale shape (100 TB): unigram counts are one map-side-combined
+    groupBy over the exploded corpus; by Zipf the vocabulary is tiny
+    relative to the corpus, so the count table broadcasts back onto the
+    exploded tokens (hash-join if a web-scale vocab outgrows broadcast),
+    and the per-doc mean is a combinable sum/count aggregate — two
+    shuffles total, both on uniform keys. N_total rides a broadcast
+    single-row cross join, never a driver collect. The 1e6*N_total
+    product needs 128-bit headroom beyond ~9e12 corpus tokens — lift to
+    DECIMAL there (same plan).
+    """
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(F.split(text_col, " ")).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    scored = (
+        toks.join(F.broadcast(counts), "tok")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.call_function(
+            "div", F.lit(1_000_000) * F.col("n_total"), F.col("cnt"))
+            .alias("r"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_tokens"),
+             F.sum("r").cast("long").alias("rarity_sum"))
+        .select(F.col("id").alias(id_col), "n_tokens", "rarity_sum",
+                (F.col("rarity_sum") / F.col("n_tokens"))
+                .alias("rarity_mean"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document filters (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+
+
+def c4_cols(lines: str | Column = "lines") -> dict[str, Column]:
+    """The C4 cleaning rules over an array-of-lines column, pure
+    Catalyst (single scan, in-row HOFs, zero added shuffles):
+
+    * keep a line iff it ends in a terminal punctuation mark, has >=
+      C4_MIN_LINE_WORDS words, and does not mention "javascript";
+    * drop the whole page iff the kept text has < C4_MIN_SENTENCES
+      sentences (terminal-punctuation count), or the raw page contains
+      "lorem ipsum" or a curly brace.
+
+    Returns integer/boolean stat columns plus the rebuilt text_kept, so
+    the decision AND the surviving text are both oracle-checkable.
+    """
+    ln = F.col(lines) if isinstance(lines, str) else lines
+
+    def _line_keep(l: Column) -> Column:
+        return (l.rlike('[.!?"]$')
+                & (F.size(F.split(l, " ")) >= C4_MIN_LINE_WORDS)
+                & ~F.lower(l).contains("javascript"))
+
+    kept = F.filter(ln, _line_keep)
+    text_kept = F.concat_ws("\n", kept)
+    full = F.concat_ws("\n", ln)
+    n_sentences = (F.length(text_kept)
+                   - F.length(F.regexp_replace(text_kept, r"[.!?]", "")))
+    has_lorem = F.lower(full).contains("lorem ipsum")
+    has_brace = full.contains("{")
+    return {
+        "n_lines": F.size(ln).cast("long"),
+        "n_kept_lines": F.size(kept).cast("long"),
+        "n_sentences": n_sentences.cast("long"),
+        "has_lorem": has_lorem,
+        "has_brace": has_brace,
+        "keep": ((n_sentences >= C4_MIN_SENTENCES)
+                 & ~has_lorem & ~has_brace),
+        "text_kept": text_kept,
+    }

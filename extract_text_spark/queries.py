@@ -307,6 +307,124 @@ FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
 GROUP BY tok ORDER BY n DESC, tok LIMIT 100
 """
 
+# CCNet-style band over the corpus rarity distribution: sf0.01 means
+# cluster at ~30.0e6 (uniform word-soup) with a long rare-token tail —
+# the band keeps the unsurprising middle (321/500), dropping head+tail.
+RARITY_KEEP_MIN_MEAN = 29_900_000.0
+RARITY_KEEP_MAX_MEAN = 30_200_000.0
+
+
+def ta_rarity(spark, sf_dir):
+    """Corpus-frequency rarity scoring (text_stats.rarity_score) — the
+    CCNet perplexity-filter shape with the KenLM log-prob replaced by
+    integer inverse unigram frequency so the score is engine-exact.
+    keep mirrors CCNet's middle-of-the-distribution band."""
+    d = _t(spark, sf_dir, "documents")
+    s = text_stats.rarity_score(d)
+    return (s.select(
+        "doc_id", "n_tokens", "rarity_sum", "rarity_mean",
+        ((F.col("rarity_mean") >= RARITY_KEEP_MIN_MEAN)
+         & (F.col("rarity_mean") <= RARITY_KEEP_MAX_MEAN)).alias("keep"))
+        .orderBy("doc_id"))
+
+
+TA_RARITY_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n_total FROM cnt),
+scored AS (
+  SELECT doc_id, (1000000 * n_total) // c AS r
+  FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(r)::BIGINT AS rarity_sum
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, rarity_sum,
+       rarity_sum::DOUBLE / n_tokens AS rarity_mean,
+       (rarity_sum::DOUBLE / n_tokens >= {RARITY_KEEP_MIN_MEAN}
+        AND rarity_sum::DOUBLE / n_tokens <= {RARITY_KEEP_MAX_MEAN}) AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
+def ta_c4(spark, sf_dir):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, text_stats.c4_cols):
+    terminal-punctuation line filter, 3-word minimum, javascript-line
+    drop, and page drops for <5 sentences / "lorem ipsum" / curly
+    braces. The gate corpus carries no lines or punctuation, so lines
+    are derived deterministically: 7-word chunks decorated in closed
+    form by (doc_id, line#) — a 'javascript ' prefix every
+    (doc_id*7+i)%%11==0, ' lorem ipsum' on line 0 of doc_id%%29==0,
+    ' {' on line 1 of doc_id%%31==0, and a terminal '.' whenever
+    (doc_id+i)%%3!=0 — so every rule fires on some rows and both the
+    decision and the surviving text are hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = dedup.word_chunks_col("text", k=7)
+    lines = F.transform(
+        chunks,
+        lambda c, i: F.concat(
+            F.when((F.col("doc_id") * 7 + i) % 11 == 0,
+                   F.lit("javascript ")).otherwise(F.lit("")),
+            c,
+            F.when((F.col("doc_id") % 29 == 0) & (i == F.lit(0)),
+                   F.lit(" lorem ipsum")).otherwise(F.lit("")),
+            F.when((F.col("doc_id") % 31 == 0) & (i == F.lit(1)),
+                   F.lit(" {")).otherwise(F.lit("")),
+            F.when((F.col("doc_id") + i) % 3 != 0,
+                   F.lit(".")).otherwise(F.lit("")),
+        ))
+    base = d.select("doc_id", lines.alias("lines"))
+    stats = text_stats.c4_cols("lines")
+    return (base.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+                .orderBy("doc_id"))
+
+
+TA_C4_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+ln AS (
+  SELECT doc_id, i,
+         (CASE WHEN (doc_id*7 + i) % 11 = 0 THEN 'javascript ' ELSE '' END)
+         || array_to_string(words[(i*7+1):(i*7+7)], ' ')
+         || (CASE WHEN doc_id % 29 = 0 AND i = 0
+                  THEN ' lorem ipsum' ELSE '' END)
+         || (CASE WHEN doc_id % 31 = 0 AND i = 1 THEN ' {' ELSE '' END)
+         || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS line
+  FROM t, LATERAL unnest(range(((len(words) - 1) // 7 + 1)::BIGINT)) AS u(i)
+),
+j AS (
+  SELECT doc_id, i, line,
+         (regexp_matches(line, '[.!?"]$')
+          AND len(string_split(line, ' ')) >= 3
+          AND NOT contains(lower(line), 'javascript')) AS lkeep
+  FROM ln
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN lkeep THEN 1 ELSE 0 END)::BIGINT AS n_kept_lines,
+         coalesce(string_agg(CASE WHEN lkeep THEN line END, chr(10)
+                             ORDER BY i), '') AS text_kept,
+         string_agg(line, chr(10) ORDER BY i) AS full_text
+  FROM j GROUP BY doc_id
+)
+SELECT doc_id, n_lines, n_kept_lines,
+       (length(text_kept)
+        - length(regexp_replace(text_kept, '[.!?]', '', 'g')))::BIGINT
+         AS n_sentences,
+       contains(lower(full_text), 'lorem ipsum') AS has_lorem,
+       contains(full_text, '{') AS has_brace,
+       ((length(text_kept)
+         - length(regexp_replace(text_kept, '[.!?]', '', 'g'))) >= 5
+        AND NOT contains(lower(full_text), 'lorem ipsum')
+        AND NOT contains(full_text, '{')) AS keep,
+       text_kept
+FROM agg ORDER BY doc_id
+"""
+
 
 _LANG_PHRASES = {
     "en": "the cat and the dog is in it for you that",
@@ -2892,6 +3010,8 @@ QUERIES = {
     "part_topk_per_brand": part_topk_per_brand,
     "ta_tokens": ta_tokens,
     "ta_vocab": ta_vocab,
+    "ta_rarity": ta_rarity,
+    "ta_c4": ta_c4,
     "ta_quality": ta_quality,
     "ta_langid": ta_langid,
     "ta_langid_multi": ta_langid_multi,
@@ -2952,6 +3072,8 @@ ORACLES = {
     "part_topk_per_brand": PART_TOPK_SQL,
     "ta_tokens": TA_TOKENS_SQL,
     "ta_vocab": TA_VOCAB_SQL,
+    "ta_rarity": TA_RARITY_SQL,
+    "ta_c4": TA_C4_SQL,
     "ta_quality": TA_QUALITY_SQL,
     "ta_langid": TA_LANGID_SQL,
     "ta_langid_multi": _langid_multi_sql(),

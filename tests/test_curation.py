@@ -289,3 +289,50 @@ def test_exact_substring_dedup_linear_on_book_length_doc(spark):
     assert got[2].n_removed_tokens == 1000           # exactly the w-run
     assert got[2].n_dup_windows == 997
     assert elapsed < 60, f"substring dedup took {elapsed:.1f}s"
+
+
+def test_rarity_score_inverse_frequency(spark):
+    """rarity = (1e6 * N_total) div count(token), summed exactly; mean is
+    one double division (the CCNet perplexity-filter shape, log-free)."""
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string")
+    got = {r.doc_id: r for r in text_stats.rarity_score(df).collect()}
+    assert got[1].n_tokens == 3
+    assert got[1].rarity_sum == 3 * (4_000_000 // 3)   # common token: low
+    assert got[2].rarity_sum == 4_000_000              # rare token: high
+    assert got[2].rarity_mean == 4_000_000.0
+
+
+def test_c4_cols_line_rules(spark):
+    """C4 line filter: terminal punctuation + >=3 words + no javascript;
+    the page drops when kept text has <5 sentences."""
+    lines = ["Good line one here.", "too short.", "no terminal punct",
+             "javascript is bad.", "Another fine line stays!",
+             "Held? Yes kept here."]
+    df = spark.createDataFrame([(1, lines)],
+                               "doc_id long, lines array<string>")
+    stats = text_stats.c4_cols("lines")
+    r = df.select(*[v.alias(k) for k, v in stats.items()]).first()
+    assert r.n_lines == 6 and r.n_kept_lines == 3
+    assert r.text_kept == ("Good line one here.\n"
+                           "Another fine line stays!\n"
+                           "Held? Yes kept here.")
+    assert r.n_sentences == 4          # . ! ? . across the kept lines
+    assert not r.keep                  # <5 sentences -> page dropped
+
+
+def test_c4_cols_page_rules(spark):
+    good = [f"Sentence number {i} right here." for i in range(5)]
+    rows = [
+        (2, good),                                     # clean page
+        (3, good + ["brace { here."]),                 # curly brace
+        (4, good + ["We have Lorem Ipsum included."]), # lorem ipsum (ci)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    stats = text_stats.c4_cols("lines")
+    got = {r.doc_id: r for r in
+           df.select("doc_id",
+                     *[v.alias(k) for k, v in stats.items()]).collect()}
+    assert got[2].keep and got[2].n_sentences == 5
+    assert got[3].has_brace and not got[3].keep
+    assert got[4].has_lorem and not got[4].keep

@@ -188,6 +188,27 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    rar = QUERIES["ta_rarity"](spark, SF)
+    add("ta_rarity — broadcast vocabulary, combinable aggregates", rar, [
+        ("unigram counts broadcast back onto the exploded tokens "
+         "(the corpus never shuffles for the join)", r"BroadcastHashJoin"),
+        ("N_total rides a broadcast single-row join, not a collect",
+         r"BroadcastNestedLoopJoin|BroadcastExchange"),
+        ("map-side partial aggregation before each shuffle",
+         r"HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
+    c4 = QUERIES["ta_c4"](spark, SF)
+    add("ta_c4 — single scan, in-row HOFs, zero added shuffles", c4, [
+        ("exactly one parquet scan", one_scan),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("only the final orderBy exchanges",
+         lambda t: t.count("Exchange") <= 2),
+    ])
+
     gop = QUERIES["ta_gopher"](spark, SF)
     add("ta_gopher — single scan, in-row HOFs, zero added shuffles", gop, [
         ("exactly one parquet scan", one_scan),
