@@ -25,6 +25,14 @@ def test_queries_oracles_aligned():
     assert len(qs) >= 20
     # documented rows-only exceptions
     assert set(qs) - set(oracles) == set()  # every query is exactly oracled
+    # the driver gate has historically checked a bounded PREFIX of the
+    # registry, so both dicts must share the criticality-ranked order
+    # (see the comment above QUERIES in queries.py)
+    assert list(qs) == list(oracles)
+    critical_prefix = {"extract_flagship", "ext_pdf_bytes",
+                       "ext_office_bytes", "ext_zip_fanout",
+                       "dedup_substring", "dedup_incremental"}
+    assert critical_prefix <= set(list(qs)[:50])
 
 
 @pytest.mark.parametrize("kind", ["plain", "html"])
