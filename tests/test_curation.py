@@ -336,3 +336,47 @@ def test_c4_cols_page_rules(spark):
     assert got[2].keep and got[2].n_sentences == 5
     assert got[3].has_brace and not got[3].keep
     assert got[4].has_lorem and not got[4].keep
+
+
+def test_exact_substring_dedup_matches_python_reference(spark):
+    """Seeded random corpus (tiny vocabulary -> dense window collisions,
+    within- and cross-doc) checked row-for-row against an independent
+    pure-Python implementation of the same first-occurrence-wins rule."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = {i: " ".join(rng.choice(vocab)
+                        for _ in range(rng.randint(1, 25)))
+            for i in range(40)}
+    k = 4
+
+    toks = {i: t.split(" ") for i, t in docs.items()}
+    occ = {}
+    for i in sorted(docs):
+        for p in range(len(toks[i]) - k + 1):
+            occ.setdefault(" ".join(toks[i][p:p + k]), []).append((i, p))
+    flagged = {i: set() for i in docs}
+    for lst in occ.values():
+        if len(lst) > 1:
+            first = min(lst)
+            for (i, p) in lst:
+                if (i, p) != first:
+                    flagged[i].add(p)
+    expect = {}
+    for i in sorted(docs):
+        covered = [False] * len(toks[i])
+        for p in flagged[i]:
+            for j in range(p, p + k):
+                covered[j] = True
+        expect[i] = (
+            len(toks[i]), max(len(toks[i]) - k + 1, 0), len(flagged[i]),
+            sum(covered),
+            " ".join(t for t, c in zip(toks[i], covered) if not c))
+
+    df = spark.createDataFrame(list(docs.items()),
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_windows, r.n_dup_windows,
+                      r.n_removed_tokens, r.text_kept)
+           for r in dedup.exact_substring_dedup(df, k=k).collect()}
+    assert got == expect
