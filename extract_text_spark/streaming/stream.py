@@ -267,3 +267,45 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_incremental(
+    spark: SparkSession,
+    input_path: str,
+    snapshot: DataFrame,
+    output_path: str,
+    checkpoint_path: str,
+    threshold: float,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming twin of ``dedup.snapshot_dedup`` — the recurring-crawl
+    ingest loop: a parquet watch directory of arriving (doc_id, text)
+    batches, each micro-batch deduped against a STATIC corpus snapshot
+    (exact md5 tier + cross-side MinHash band join + exact-Jaccard
+    verification), keep/drop decisions landing exactly-once.
+
+    ``foreachBatch`` because the operator composes aggregates and
+    multi-way joins that streaming DataFrames cannot express
+    incrementally; exactly-once via the per-batch dynamic-overwrite
+    partition pattern (``_skew_safe_sink`` — a replayed batch REPLACES
+    its batch_id partition). The snapshot is static for the query's
+    lifetime; a production loop would also append each batch's keepers
+    to the persisted snapshot signature/fingerprint tables between
+    triggers — same plan from the join onward.
+    """
+    from ..functions.dedup import snapshot_dedup
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("text", StringType())])
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(input_path)
+    writer = docs.writeStream.foreachBatch(_skew_safe_sink(
+        output_path,
+        lambda b: snapshot_dedup(b, snapshot, threshold),
+    )).option("checkpointLocation", checkpoint_path)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

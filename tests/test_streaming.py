@@ -231,3 +231,42 @@ def test_stream_extract_urls(spark, tmp_path):
                         resolver=resolve_public).awaitTermination()
     rows2 = spark.read.parquet(out)
     assert rows2.count() == n1 + 1
+
+
+def test_stream_dedup_incremental(spark, tmp_path):
+    """Recurring-crawl ingest: arriving batches dedupe against a static
+    snapshot exactly-once; exact/near/keep tiers all land."""
+    from extract_text_spark.streaming.stream import stream_dedup_incremental
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["din", "dout", "dck"])
+    import os
+    os.makedirs(inp)
+    words = [f"tok{i}" for i in range(20)]
+    snap = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta"),
+         (4, " ".join(words))],
+        "doc_id long, text string")
+    spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta"),       # exact dup
+         (13, " ".join(words[:-1] + ["CHANGED"]))],         # near dup
+        "doc_id long, text string").write.parquet(f"{inp}/b0")
+    stream_dedup_incremental(spark, inp + "/*", snap, out, ckpt,
+                             threshold=0.2).awaitTermination()
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert got[11].exact_dup and not got[11].keep
+    assert got[13].near_dup_id == 4 and not got[13].keep
+
+    # exactly-once: rerun with the same checkpoint adds nothing
+    n1 = spark.read.parquet(out).count()
+    stream_dedup_incremental(spark, inp + "/*", snap, out, ckpt,
+                             threshold=0.2).awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+    # a late batch dedupes incrementally (clean doc -> keep)
+    spark.createDataFrame([(15, "totally different words here now ok")],
+                          "doc_id long, text string") \
+        .write.parquet(f"{inp}/b1")
+    stream_dedup_incremental(spark, inp + "/*", snap, out, ckpt,
+                             threshold=0.2).awaitTermination()
+    rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert len(rows) == n1 + 1 and rows[15].keep
