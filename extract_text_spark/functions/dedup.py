@@ -345,6 +345,87 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
     )
 
 
+def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
+                   k: int = 8, iters: int = 2,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
+    k-means the embedding space, then prune near-identical pairs WITHIN
+    each cluster only — the clustering turns an O(N^2) cosine sweep into
+    per-cluster work, which is what makes semantic dedup runnable at web
+    scale (the paper dedups LAION-440M this way).
+
+    Deterministic exemplar rule: rank each cluster by (centroid-cosine
+    ASC, id ASC) and drop a point iff some EARLIER-ranked point in its
+    cluster has pairwise cosine >= ``tau_milli`` (integer millionths).
+    The first-ranked survivor of every duplicate group is therefore the
+    member LEAST similar to its centroid — the paper's keep-low-
+    centroid-similarity choice (§3.2: keeping rim points preserves more
+    diversity than keeping the redundant core).
+
+    Scale shape: clustering is ``kmeans_fit`` (broadcast centroids,
+    bounded k x dim driver state); candidate pairs come from an
+    equi-join on cluster id — never an all-pairs cross join — and the
+    paper sizes k so clusters stay small (~N/k docs each); the ranked
+    table is persisted because the self-join reads it twice. Exact
+    cosines only: reported ``dup_milli`` is never approximate.
+
+    Output, one row per input vector:
+    (vec_id, cluster, cent_milli, keep, dup_of, dup_milli) with -1/0
+    sentinels when nothing clears the threshold.
+    """
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from .similarity import kmeans_fit, score_milli_col
+
+    assigned, cents = kmeans_fit(vectors, k=k, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("cent_milli").asc(), F.col("vec_id").asc())
+    ranked = (
+        assigned.join(F.broadcast(cents), "cluster")
+        .withColumn("cent_milli",
+                    score_milli_col(F.col("nv"), F.col("centroid")))
+        .withColumn("rnk", F.row_number().over(w))
+        .select("cluster", "vec_id", "nv", "cent_milli", "rnk")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("b.rnk") < F.col("a.rnk")))
+        .withColumn("pm", score_milli_col(F.col("a.nv"), F.col("b.nv")))
+        .filter(F.col("pm") >= tau_milli)
+        .select(F.col("a.vec_id").alias("vec_id"),
+                F.col("b.vec_id").alias("b_id"), "pm")
+    )
+    # best match = highest cosine, ties to the lowest earlier id: a
+    # max-struct aggregate (combinable — map-side partials absorb dense
+    # duplicate groups), same trick as snapshot_dedup's best-match pick.
+    best = (
+        pairs.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("pm"),
+                            (-F.col("b_id")).alias("neg_id"))).alias("top"))
+        .select("vec_id",
+                (-F.col("top.neg_id")).cast("long").alias("dup_of"),
+                F.col("top.pm").alias("dup_milli"))
+    )
+    return (
+        ranked.join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            "cent_milli",
+            F.col("dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long"))
+            .alias("dup_of"),
+            F.coalesce(F.col("dup_milli"), F.lit(0).cast("long"))
+            .alias("dup_milli"),
+        )
+    )
+
+
 def simhash_pairs(df: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   bits: int = 16) -> DataFrame:

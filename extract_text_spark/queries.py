@@ -1649,13 +1649,16 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+def _kmeans_ctes(k: int, iters: int,
+                 src: str = "SELECT vec_id, embedding FROM embeddings") -> str:
     """Unrolled deterministic Lloyd's as chained CTEs, mirroring
     similarity.kmeans_fit: c0 = k lowest-id vectors; a{i} assigns against
     c{i-1} (cosine-milli argmax, ties to lowest cluster); c{i} is the
-    milli-mean of a{i} with the previous centroid kept for empty clusters."""
+    milli-mean of a{i} with the previous centroid kept for empty clusters.
+    ``src`` is the (vec_id, embedding) input relation — the embeddings
+    table by default, an augmented union for the SemDeDup oracle."""
     ctes = [
-        "v AS (SELECT vec_id, embedding AS nv FROM embeddings)",
+        f"v AS (SELECT vec_id, embedding AS nv FROM ({src}))",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
          list_transform(nv, x -> x::DOUBLE) AS centroid
@@ -1710,6 +1713,88 @@ SIM_ANN_KMEANS_SQL = (
     f"vv AS (SELECT vec_id AS neighbor_id, nv, cluster FROM a{KMEANS_ITERS}),\n"
     f"cent AS (SELECT cluster, centroid FROM c{KMEANS_ITERS}),\n"
     + _ivf_search_sql("vv", "cent", nprobe=2, topk=TOP_K)
+)
+
+
+# SemDeDup duplicate arms: the synthetic embeddings have no natural
+# near-dups (max pairwise cosine ~0.51), so the query plants them the way
+# dedup_incremental plants its new-batch rows — +1000000 ids get dim-0
+# bumped by +0.5 (cosine 0.88-0.91 against unit-norm sources), +2000000
+# ids are exact copies (cosine 1.0). tau=0.8 then sits between the
+# planted dups and the densest natural pair with a wide margin on both
+# sides.
+SEMDEDUP_TAU = 800000
+
+
+def _semdedup_input(e):
+    near = e.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) + F.lit(0.5))
+                    .cast("float")),
+            F.slice("embedding", 2, EMB_DIM - 1),
+        ).alias("embedding"),
+    )
+    exact = e.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding")
+    return (e.select("vec_id", "embedding")
+            .unionByName(near).unionByName(exact))
+
+
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) over the embeddings table plus planted
+    exact/near duplicate arms: k-means clustering, then within-cluster
+    cosine pruning with the paper's keep-low-centroid-similarity exemplar
+    rule — iterative k-means AND the dedup sweep both under the value-hash
+    gate via integer-millionth arithmetic."""
+    e = _t(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        _semdedup_input(e), SEMDEDUP_TAU,
+        k=KMEANS_K, iters=KMEANS_ITERS,
+    ).orderBy("vec_id")
+
+
+_SEMDEDUP_SRC = "SELECT vec_id, embedding FROM aug"
+
+SIM_SEMDEDUP_SQL = (
+    f"""WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         [(embedding[1] + 0.5)::FLOAT] || embedding[2:{EMB_DIM}] AS embedding
+  FROM embeddings WHERE vec_id % 25 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+"""
+    + _kmeans_ctes(KMEANS_K, KMEANS_ITERS, src=_SEMDEDUP_SRC) + ",\n"
+    + f"""scored AS (
+  SELECT a.vec_id, a.nv, a.cluster,
+         {_smilli_sql("a.nv", "c.centroid")} AS cent_milli
+  FROM a{KMEANS_ITERS} a JOIN c{KMEANS_ITERS} c ON a.cluster = c.cluster),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY cent_milli ASC, vec_id ASC) AS rnk
+  FROM scored),
+pairs AS (
+  SELECT vec_id, b_id, pm FROM (
+    SELECT x.vec_id, y.vec_id AS b_id,
+           {_smilli_sql("x.nv", "y.nv")} AS pm
+    FROM ranked x JOIN ranked y
+      ON x.cluster = y.cluster AND y.rnk < x.rnk)
+  WHERE pm >= {SEMDEDUP_TAU}),
+best AS (
+  SELECT vec_id, b_id AS dup_of, pm AS dup_milli FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY pm DESC, b_id ASC) AS rn
+    FROM pairs) WHERE rn = 1)
+SELECT r.vec_id, CAST(r.cluster AS BIGINT) AS cluster, r.cent_milli,
+       (b.dup_of IS NULL) AS keep,
+       coalesce(b.dup_of, CAST(-1 AS BIGINT)) AS dup_of,
+       coalesce(b.dup_milli, CAST(0 AS BIGINT)) AS dup_milli
+FROM ranked r LEFT JOIN best b ON b.vec_id = r.vec_id
+ORDER BY r.vec_id"""
 )
 
 
@@ -3048,6 +3133,7 @@ QUERIES = {
     "sim_ann_ivf": sim_ann_ivf,
     "sim_kmeans_assign": sim_kmeans_assign,
     "sim_ann_kmeans": sim_ann_kmeans,
+    "sim_semdedup": sim_semdedup,
     "ta_gopher": ta_gopher,
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
@@ -3110,6 +3196,7 @@ ORACLES = {
     "sim_ann_ivf": SIM_ANN_IVF_SQL,
     "sim_kmeans_assign": SIM_KMEANS_ASSIGN_SQL,
     "sim_ann_kmeans": SIM_ANN_KMEANS_SQL,
+    "sim_semdedup": SIM_SEMDEDUP_SQL,
     "ta_gopher": TA_GOPHER_SQL,
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,

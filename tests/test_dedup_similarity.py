@@ -478,3 +478,34 @@ def test_snapshot_dedup_best_match_is_deterministic(spark):
         "doc_id long, text string")
     r = dedup.snapshot_dedup(new, snap, threshold=0.2).first()
     assert r.exact_dup and r.near_dup_id == 2 and r.jaccard_milli == 1000000
+
+
+def test_semantic_dedup_exemplar_rule(spark):
+    """SemDeDup closed form: two well-separated clusters, one exact copy
+    planted in each. The copy drops against its source (pairwise cosine
+    1.0 >= tau); in-cluster neighbours at cosine 0.96 < tau all survive;
+    ranking is centroid-similarity ASC (the paper keeps the rim point)
+    with id ASC tiebreak, so the lower-id member of an identical pair is
+    the exemplar."""
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+         (2, [0.96, 0.28]), (3, [0.28, 0.96]),
+         (10, [1.0, 0.0]),                      # exact copy of 0
+         (11, [0.28, 0.96])],                   # exact copy of 3
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r
+           for r in dedup.semantic_dedup(vecs, tau_milli=990000,
+                                         k=2, iters=2).collect()}
+    assert len(got) == 6
+    assert all(got[i].keep for i in (0, 1, 2, 3))
+    assert all(got[i].dup_of == -1 and got[i].dup_milli == 0
+               for i in (0, 1, 2, 3))
+    assert not got[10].keep and got[10].dup_of == 0
+    assert got[10].dup_milli == 1000000
+    assert not got[11].keep and got[11].dup_of == 3
+    assert got[11].dup_milli == 1000000
+    # the two true clusters were recovered: copies share their source's
+    # cluster, the 0.96-neighbours too
+    assert got[0].cluster == got[2].cluster == got[10].cluster
+    assert got[1].cluster == got[3].cluster == got[11].cluster
+    assert got[0].cluster != got[1].cluster

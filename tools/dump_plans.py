@@ -154,6 +154,22 @@ def main():
         ("windowed top-k", r"Window"),
     ])
 
+    sdd = QUERIES["sim_semdedup"](spark, SF)
+    add("sim_semdedup — within-cluster pairs only, broadcast centroids", sdd, [
+        ("duplicate candidates come from a join keyed on cluster id "
+         "(never an all-pairs sweep over the corpus)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("never cartesian (clustering bounds the pair work)",
+         r"^(?!.*CartesianProduct)"),
+        ("centroids broadcast for the rank scoring", r"BroadcastExchange"),
+        ("ranked table persisted (self-join reads it twice)",
+         r"InMemoryTableScan"),
+        ("best-match pick is a combinable max-struct aggregate",
+         r"partial_max|HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     pd_ = QUERIES["dedup_paragraphs"](spark, SF)
     add("dedup_paragraphs — combinable first-occurrence aggregate", pd_, [
         ("map-side partial min(struct) before the hash shuffle "
