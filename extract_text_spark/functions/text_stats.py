@@ -404,6 +404,69 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def classifier_bucket_col(feature: Column, nbuckets: int) -> Column:
+    """Hashed feature bucket: first 32 md5 bits mod nbuckets (fastText's
+    hashing trick; md5 keeps it bit-exact across engines)."""
+    return (F.conv(F.substring(F.md5(feature), 1, 8), 16, 10)
+            .cast("long") % nbuckets)
+
+
+def quality_classifier(df, weights, nbuckets: int = 1 << 20,
+                       threshold_milli: int = 0,
+                       id_col: str = "doc_id", text_col: str = "text"):
+    """fastText-shape quality classifier inference (Joulin et al. 2017,
+    arXiv:1607.01759) — the model-based filter tier of CCNet / LLaMA /
+    DCLM pipelines, which score pages with a linear classifier over
+    hashed bag-of-n-gram features trained on good-vs-crawl text.
+
+    This is the inference pass: unigram + bigram features (with
+    multiplicity, as fastText counts them), hashed into ``nbuckets``
+    buckets, linear ``weights`` (a (bucket, w:long) DataFrame — learned
+    offline in production, seeded deterministically in the test query),
+    per-doc decision on the MEAN logit. No transcendentals anywhere:
+    sigmoid is monotone, so thresholding the mean logit IS thresholding
+    the class probability, and every emitted value stays integer /
+    bit-exact across engines (the one double division is exact-int over
+    int, like the rarity mean).
+
+    Scale shape (100 TB): the explode is 2 rows per token; the weight
+    table is bounded by nbuckets (fastText's 2M buckets x 8 B ~ 16 MB)
+    so it BROADCASTS — the corpus never shuffles for the join — and the
+    per-doc sum/count is one map-side-combined groupBy on doc_id.
+
+    Output: (doc_id, n_features, logit_sum, logit_milli, keep).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nxt = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    # zip_with pads the shorter side with null and concat null-propagates,
+    # so the dangling last pair drops in the filter (args evaluate once —
+    # the pre-shifted-arrays pattern, never element_at in a lambda).
+    bigrams = F.filter(
+        F.zip_with(toks, nxt, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    feats = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select("id", classifier_bucket_col(F.col("feat"), nbuckets)
+             .alias("bucket"))
+    scored = (
+        feats.join(F.broadcast(weights), "bucket", "left")
+        .select("id", F.coalesce(F.col("w"), F.lit(0)).cast("long")
+                .alias("w"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(F.count("*").cast("long").alias("n_features"),
+             F.sum("w").cast("long").alias("logit_sum"))
+        .select(
+            F.col("id").alias(id_col), "n_features", "logit_sum",
+            F.floor(F.col("logit_sum") * 1000000.0 / F.col("n_features")
+                    + 0.5).cast("long").alias("logit_milli"))
+        .withColumn("keep", F.col("logit_milli") >= threshold_milli)
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4-style line/document filters (Raffel et al. 2020, arXiv:1910.10683 §2.2)
 # ---------------------------------------------------------------------------

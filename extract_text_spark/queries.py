@@ -351,6 +351,67 @@ FROM agg ORDER BY doc_id
 """
 
 
+# Classifier fixture weights: a deterministic stand-in for fastText's
+# learned vector — prose-signal unigrams positive, spammy-signal tokens
+# negative, one bigram to prove bigram features flow. Threshold 0 splits
+# the gate corpus ~45/55.
+CLS_NBUCKETS = 1 << 20
+CLS_SEED_WEIGHTS = [
+    ("the", 400), ("a", 250), ("data", 150), ("value", 100),
+    ("fast table", 500),
+    ("slow", -350), ("scan", -200), ("hash", -150),
+]
+
+
+def ta_classifier(spark, sf_dir):
+    """fastText-shape quality-classifier inference
+    (text_stats.quality_classifier): hashed unigram+bigram features,
+    broadcast linear weights, mean-logit threshold (monotone sigmoid ==
+    probability threshold, no transcendentals) — the CCNet/LLaMA/DCLM
+    model-filter tier with the learned weights replaced by a
+    deterministic seed table."""
+    d = _t(spark, sf_dir, "documents")
+    w = spark.createDataFrame(CLS_SEED_WEIGHTS, "feat string, w long").select(
+        text_stats.classifier_bucket_col(F.col("feat"), CLS_NBUCKETS)
+        .alias("bucket"), "w")
+    return text_stats.quality_classifier(
+        d, w, nbuckets=CLS_NBUCKETS, threshold_milli=0,
+    ).orderBy("doc_id")
+
+
+_CLS_WEIGHT_VALUES = ", ".join(
+    f"(('0x' || substr(md5('{feat}'), 1, 8))::BIGINT % {CLS_NBUCKETS}, "
+    f"CAST({w} AS BIGINT))"
+    for feat, w in CLS_SEED_WEIGHTS
+)
+
+TA_CLASSIFIER_SQL = f"""
+WITH wt(bucket, w) AS (VALUES {_CLS_WEIGHT_VALUES}),
+t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+f AS (
+  SELECT doc_id,
+         unnest(tk || list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS feat
+  FROM t
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % {CLS_NBUCKETS} AS bucket
+  FROM f
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_features,
+         sum(coalesce(w, 0))::BIGINT AS logit_sum
+  FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_features, logit_sum,
+       CAST(floor(logit_sum * 1000000.0 / n_features + 0.5) AS BIGINT)
+         AS logit_milli,
+       floor(logit_sum * 1000000.0 / n_features + 0.5) >= 0 AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def ta_c4(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2, text_stats.c4_cols):
     terminal-punctuation line filter, 3-word minimum, javascript-line
@@ -3137,6 +3198,7 @@ QUERIES = {
     "ta_gopher": ta_gopher,
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
+    "ta_classifier": ta_classifier,
     "ta_c4": ta_c4,
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
@@ -3200,6 +3262,7 @@ ORACLES = {
     "ta_gopher": TA_GOPHER_SQL,
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,
+    "ta_classifier": TA_CLASSIFIER_SQL,
     "ta_c4": TA_C4_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,

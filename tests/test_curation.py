@@ -380,3 +380,32 @@ def test_exact_substring_dedup_matches_python_reference(spark):
                       r.n_removed_tokens, r.text_kept)
            for r in dedup.exact_substring_dedup(df, k=k).collect()}
     assert got == expect
+
+
+def test_quality_classifier_closed_form(spark):
+    """Hashed-feature linear classifier: unigrams and bigrams both score
+    (with multiplicity), unmatched features contribute weight 0 but still
+    count in the mean, single-token docs have no bigram."""
+    from extract_text_spark.functions.text_stats import (
+        classifier_bucket_col, quality_classifier)
+
+    seeds = [("the", 400), ("a", 250), ("slow", -350), ("scan", -200),
+             ("fast table", 500)]
+    w = spark.createDataFrame(seeds, "feat string, w long").select(
+        classifier_bucket_col(F.col("feat"), 1 << 20).alias("bucket"), "w")
+    docs = spark.createDataFrame(
+        [(1, "the the a"),     # 3 uni + 2 bi; sum 400+400+250 = 1050
+         (2, "slow scan"),     # 2 uni + 1 bi; sum -550
+         (3, "fast table"),    # bigram feature fires: sum +500
+         (4, "x")],            # single token: no bigram, n=1
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_classifier(
+        docs, w, nbuckets=1 << 20, threshold_milli=0).collect()}
+    assert (got[1].n_features, got[1].logit_sum) == (5, 1050)
+    assert got[1].logit_milli == 210000000 and got[1].keep
+    assert (got[2].n_features, got[2].logit_sum) == (3, -550)
+    assert got[2].logit_milli == -183333333 and not got[2].keep
+    assert (got[3].n_features, got[3].logit_sum) == (3, 500)
+    assert got[3].logit_milli == 166666667 and got[3].keep
+    assert (got[4].n_features, got[4].logit_sum) == (1, 0)
+    assert got[4].logit_milli == 0 and got[4].keep

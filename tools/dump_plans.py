@@ -154,6 +154,17 @@ def main():
         ("windowed top-k", r"Window"),
     ])
 
+    cls = QUERIES["ta_classifier"](spark, SF)
+    add("ta_classifier — broadcast weights, combinable mean-logit", cls, [
+        ("weight table broadcast onto the exploded features "
+         "(the corpus never shuffles for the join)", r"BroadcastHashJoin"),
+        ("map-side partial sum/count before the doc_id shuffle",
+         r"partial_sum|HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian", r"^(?!.*CartesianProduct)"),
+    ])
+
     sdd = QUERIES["sim_semdedup"](spark, SF)
     add("sim_semdedup — within-cluster pairs only, broadcast centroids", sdd, [
         ("duplicate candidates come from a join keyed on cluster id "
