@@ -384,3 +384,170 @@ def extract_media_features(df: DataFrame,
     return valid.select("media_ref", "payload", "mime").mapInPandas(
         _feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Resize + frame-sample plumbing (the training-pipeline media ops)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("status", StringType()),
+    StructField("src_w", IntegerType()),
+    StructField("src_h", IntegerType()),
+    StructField("dst_w", IntegerType()),
+    StructField("dst_h", IntegerType()),
+    StructField("scale_milli", LongType()),
+    StructField("resized", BinaryType()),
+    StructField("resized_n_bytes", LongType()),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("media_ref", StringType(), False),
+    StructField("status", StringType()),
+    StructField("duration_ms", LongType()),
+    StructField("n_frames", IntegerType()),
+    StructField("first_ts_ms", LongType()),
+    StructField("last_ts_ms", LongType()),
+])
+
+
+def plan_resize_dims(w: int, h: int, max_dim: int) -> tuple[int, int, int]:
+    """Aspect-preserving clamp of (w, h) to max_dim — integer arithmetic
+    only (floor division), so the plan is bit-exact in any engine:
+    dst = max(1, (side * max_dim) // max(w, h)); scale in millionths."""
+    m = max(w, h)
+    if m <= max_dim:
+        return w, h, 1_000_000
+    return (max(1, (w * max_dim) // m), max(1, (h * max_dim) // m),
+            (1_000_000 * max_dim) // m)
+
+
+def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbour resize of an uncompressed 24-bit BMP — no
+    codec library needed: the raster is raw bottom-up BGR rows padded to
+    4 bytes. Source pixel for (x, y) is (x*src_w//dst_w, y*src_h//dst_h),
+    PIL's NEAREST floor mapping."""
+    import struct
+
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        raise DecoderUnavailable("not a BMP")
+    src_w, src_h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if src_w <= 0 or src_h <= 0 or bpp != 24 or compression != 0:
+        # top-down (negative height), paletted, or RLE BMPs -> stub seam
+        raise DecoderUnavailable("not an uncompressed bottom-up 24-bit BMP")
+    src_row = (3 * src_w + 3) // 4 * 4
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    dst_row = (3 * dst_w + 3) // 4 * 4
+    data_size = dst_row * dst_h
+    out = bytearray(b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54))
+    out += struct.pack("<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0,
+                       data_size, 2835, 2835, 0, 0)
+    for y in range(dst_h):
+        sy = y * src_h // dst_h
+        base = pix_off + sy * src_row
+        row = bytearray(dst_row)
+        for x in range(dst_w):
+            sx = base + 3 * (x * src_w // dst_w)
+            row[3 * x:3 * x + 3] = payload[sx:sx + 3]
+        out += row
+    return bytes(out)
+
+
+def _resize_batches(max_dim: int):
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                sniffed = sniff_mime(payload)
+                hdr = (decode_bmp_header(payload) if sniffed == "image/bmp"
+                       else decode_png_header(payload)
+                       if sniffed == "image/png"
+                       else decode_gif_header(payload)
+                       if sniffed == "image/gif" else None)
+                if hdr is None:
+                    rows.append((ref, "unsupported", None, None, None, None,
+                                 None, None, None))
+                    continue
+                w, h = hdr["width"], hdr["height"]
+                dw, dh, sm = plan_resize_dims(w, h, max_dim)
+                if sniffed == "image/bmp":
+                    try:
+                        rz = resize_bmp(payload, dw, dh)
+                        rows.append((ref, "resized", w, h, dw, dh, sm,
+                                     rz, len(rz)))
+                        continue
+                    except DecoderUnavailable:
+                        pass
+                # compressed rasters: the PLAN (real header dims -> target
+                # dims) is emitted; pixel work stays behind the stub seam.
+                rows.append((ref, "planned", w, h, dw, dh, sm, None, None))
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in RESIZE_SCHEMA.fields])
+    return kernel
+
+
+def resize_media(df: DataFrame, max_dim: int,
+                 partitions: int | None = None) -> DataFrame:
+    """Aspect-preserving image resize over binary media rows — the
+    training-pipeline normalization pass. Same shape as
+    ``extract_media_features``: validate -> salt-repartition -> Arrow
+    kernel. Uncompressed BMPs are resized for REAL (``resize_bmp``,
+    pure-stdlib nearest-neighbour); compressed rasters with decodable
+    headers emit the exact integer resize plan with pixels behind the
+    documented stub; unknown payloads are 'unsupported'."""
+    valid = validate_media_df(df).filter("valid")
+    if partitions:
+        valid = valid.repartition(partitions, F.pmod(F.xxhash64("media_ref"),
+                                                     F.lit(partitions)))
+    return valid.select("media_ref", "payload").mapInPandas(
+        _resize_batches(max_dim), schema=RESIZE_SCHEMA)
+
+
+def _frame_batches(interval_ms: int):
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for ref, payload in zip(batch["media_ref"], batch["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                sniffed = sniff_mime(payload)
+                if sniffed == "audio/wav":
+                    hdr = decode_wav_header(payload)
+                    if hdr is not None and hdr.get("duration_ms") is not None:
+                        d = hdr["duration_ms"]
+                        n = int(d // interval_ms) + 1
+                        rows.append((ref, "sampled", d, n, 0,
+                                     (n - 1) * interval_ms))
+                        continue
+                if sniffed in ("video/webm",):
+                    # container recognized, duration needs the codec layer
+                    rows.append((ref, "stubbed", None, None, None, None))
+                    continue
+                rows.append((ref, "unsupported", None, None, None, None))
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in FRAME_SCHEMA.fields])
+    return kernel
+
+
+def sample_frames(df: DataFrame, interval_ms: int = 1000,
+                  partitions: int | None = None) -> DataFrame:
+    """Fixed-interval frame/segment sampling over time-based media — the
+    plan every audio/video featurization pass starts from. Timestamps are
+    integer arithmetic over REAL header durations (WAV's is exact:
+    data_bytes / byte_rate); frame i samples at i*interval_ms, inclusive
+    of t=0, so n_frames = duration // interval + 1. WebM containers are
+    recognized but their duration lives in the codec layer (stub seam);
+    other payloads are 'unsupported'."""
+    valid = validate_media_df(df).filter("valid")
+    if partitions:
+        valid = valid.repartition(partitions, F.pmod(F.xxhash64("media_ref"),
+                                                     F.lit(partitions)))
+    return valid.select("media_ref", "payload").mapInPandas(
+        _frame_batches(interval_ms), schema=FRAME_SCHEMA)

@@ -2346,6 +2346,139 @@ FROM f ORDER BY media_ref
 """
 
 
+MM_RESIZE_MAX_DIM = 64
+MM_FRAME_INTERVAL_MS = 250
+
+
+def mm_resize(spark, sf_dir):
+    """Image resize plumbing (multimodal.resize_media): uncompressed BMPs
+    resized for REAL (stdlib nearest-neighbour — resized_n_bytes verifies
+    the emitted container), PNG/GIF emit the exact integer resize plan
+    from real header dims, WAV/opaque payloads route to 'unsupported'.
+    The aspect-preserving dimension math is pure floor division, so the
+    whole plan is under the value-hash gate."""
+    from .bytecorpus import make_bmp, make_gif, make_png, make_wav
+    from .functions.multimodal import MEDIA_SCHEMA, resize_media
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                doc_id = int(doc_id)
+                m = doc_id % 5
+                if m == 0:
+                    payload = make_bmp((doc_id % 200) + 1, (doc_id % 140) + 1)
+                elif m == 1:
+                    payload = make_wav(((doc_id % 50) + 1) * 800)
+                elif m == 3:
+                    payload = make_png((doc_id % 300) + 3, (doc_id % 200) + 2)
+                elif m == 4:
+                    payload = make_gif((doc_id % 500) + 1, (doc_id % 300) + 1)
+                else:
+                    payload = text.encode("utf-8")
+                rows.append((f"m://{doc_id}", payload,
+                             "application/octet-stream", None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "payload", "mime", "width", "height"])
+
+    media = d.select("doc_id", "text").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return resize_media(media, MM_RESIZE_MAX_DIM).select(
+        "media_ref", "status", "src_w", "src_h", "dst_w", "dst_h",
+        "scale_milli", "resized_n_bytes",
+    ).orderBy("media_ref")
+
+
+MM_RESIZE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, doc_id % 5 AS m,
+         CASE doc_id % 5 WHEN 0 THEN (doc_id % 200) + 1
+              WHEN 3 THEN (doc_id % 300) + 3
+              WHEN 4 THEN (doc_id % 500) + 1 END AS w,
+         CASE doc_id % 5 WHEN 0 THEN (doc_id % 140) + 1
+              WHEN 3 THEN (doc_id % 200) + 2
+              WHEN 4 THEN (doc_id % 300) + 1 END AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, m, w::INT AS w, h::INT AS h,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN greatest(w, h) <= {MM_RESIZE_MAX_DIM} THEN w
+              ELSE greatest(1, (w * {MM_RESIZE_MAX_DIM}) // greatest(w, h))
+         END::INT AS dw,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN greatest(w, h) <= {MM_RESIZE_MAX_DIM} THEN h
+              ELSE greatest(1, (h * {MM_RESIZE_MAX_DIM}) // greatest(w, h))
+         END::INT AS dh,
+         CASE WHEN w IS NULL THEN NULL
+              WHEN greatest(w, h) <= {MM_RESIZE_MAX_DIM} THEN 1000000
+              ELSE (1000000 * {MM_RESIZE_MAX_DIM}) // greatest(w, h)
+         END::BIGINT AS sm
+  FROM f
+)
+SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
+       CASE m WHEN 0 THEN 'resized' WHEN 3 THEN 'planned'
+              WHEN 4 THEN 'planned' ELSE 'unsupported' END AS status,
+       w AS src_w, h AS src_h, dw AS dst_w, dh AS dst_h, sm AS scale_milli,
+       CASE m WHEN 0 THEN CAST(54 + dh * (((3 * dw + 3) // 4) * 4) AS BIGINT)
+              END AS resized_n_bytes
+FROM p ORDER BY media_ref
+"""
+
+
+def mm_frame_sample(spark, sf_dir):
+    """Frame/segment sampling plumbing (multimodal.sample_frames): WAV
+    durations are REAL header arithmetic (data_bytes*1000 // byte_rate),
+    frame count/timestamps are integer arithmetic over them; WebM is
+    recognized-but-stubbed (duration lives in the codec layer); images
+    route to 'unsupported'."""
+    from .bytecorpus import make_bmp, make_wav
+    from .functions.multimodal import MEDIA_SCHEMA, sample_frames
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                m = doc_id % 3
+                if m == 0:
+                    payload = make_wav(((doc_id % 79) + 1) * 400)
+                elif m == 1:
+                    payload = b"\x1a\x45\xdf\xa3" + b"x" * 16
+                else:
+                    payload = make_bmp((doc_id % 30) + 1, (doc_id % 20) + 1)
+                rows.append((f"m://{doc_id}", payload,
+                             "application/octet-stream", None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "payload", "mime", "width", "height"])
+
+    media = d.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return sample_frames(media, MM_FRAME_INTERVAL_MS).orderBy("media_ref")
+
+
+MM_FRAME_SQL = f"""
+WITH f AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         -- make_wav(n): 16-bit mono at 8000 Hz -> duration = n // 8 ms
+         (((doc_id % 79) + 1) * 400) // 8 AS d
+  FROM documents
+)
+SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
+       CASE m WHEN 0 THEN 'sampled' WHEN 1 THEN 'stubbed'
+              ELSE 'unsupported' END AS status,
+       CASE m WHEN 0 THEN d END::BIGINT AS duration_ms,
+       CASE m WHEN 0 THEN d // {MM_FRAME_INTERVAL_MS} + 1 END::INT
+         AS n_frames,
+       CASE m WHEN 0 THEN 0 END::BIGINT AS first_ts_ms,
+       CASE m WHEN 0 THEN (d // {MM_FRAME_INTERVAL_MS})
+              * {MM_FRAME_INTERVAL_MS} END::BIGINT AS last_ts_ms
+FROM f ORDER BY media_ref
+"""
+
+
 _OCR_GATE_SCHEMA = StructType([
     StructField("media_ref", StringType(), False),
     StructField("eligible", BooleanType()),
@@ -3178,6 +3311,8 @@ QUERIES = {
     "mm_media_features": mm_media_features,
     "mm_decode_headers": mm_decode_headers,
     "mm_ocr_gates": mm_ocr_gates,
+    "mm_resize": mm_resize,
+    "mm_frame_sample": mm_frame_sample,
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
     "dedup_paragraphs": dedup_paragraphs,
@@ -3242,6 +3377,8 @@ ORACLES = {
     "mm_media_features": MM_MEDIA_SQL,
     "mm_decode_headers": MM_DECODE_SQL,
     "mm_ocr_gates": MM_OCR_GATES_SQL,
+    "mm_resize": MM_RESIZE_SQL,
+    "mm_frame_sample": MM_FRAME_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,

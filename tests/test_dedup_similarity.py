@@ -509,3 +509,57 @@ def test_semantic_dedup_exemplar_rule(spark):
     assert got[0].cluster == got[2].cluster == got[10].cluster
     assert got[1].cluster == got[3].cluster == got[11].cluster
     assert got[0].cluster != got[1].cluster
+
+
+def test_resize_bmp_nearest_neighbour_pixels():
+    """Real raster check the hash gate can't see: 4x2 -> 2x1 picks source
+    pixels (0,0) and (2,0) with floor mapping; identity resize round-trips
+    byte-identically."""
+    from extract_text_spark.bytecorpus import make_bmp
+    from extract_text_spark.functions.multimodal import (
+        decode_bmp_header, resize_bmp)
+
+    src = make_bmp(4, 2)                   # row stride 12, pixel bytes i%251
+    out = resize_bmp(src, 2, 1)
+    hdr = decode_bmp_header(out)
+    assert (hdr["width"], hdr["height"]) == (2, 1)
+    # dst row stride 8: pixels (0,0)->src[0:3], (1,0)->src pixel 2 -> [6:9]
+    assert out[54:] == bytes([0, 1, 2, 6, 7, 8, 0, 0])
+    assert resize_bmp(src, 4, 2) == src    # identity resize is byte-exact
+
+
+def test_resize_and_frame_sample_routing(spark):
+    """Mixed media route correctly: BMP resizes for real (and the output
+    re-decodes), PNG plans, WAV is unsupported for resize but samples
+    frames inclusively at both ends."""
+    from extract_text_spark.bytecorpus import make_bmp, make_png, make_wav
+    from extract_text_spark.functions.multimodal import (
+        decode_bmp_header, resize_media, sample_frames)
+
+    rows = [("bmp", make_bmp(100, 40)), ("png", make_png(300, 20)),
+            ("wav", make_wav(4000)), ("junk", b"\x00\x01")]
+    df = spark.createDataFrame(
+        [(r, bytearray(p), "application/octet-stream", None, None)
+         for r, p in rows],
+        "media_ref string, payload binary, mime string, "
+        "width int, height int")
+
+    rz = {r.media_ref: r for r in resize_media(df, max_dim=50).collect()}
+    assert rz["bmp"].status == "resized"
+    assert (rz["bmp"].dst_w, rz["bmp"].dst_h) == (50, 20)
+    assert rz["bmp"].scale_milli == 500000
+    got = decode_bmp_header(bytes(rz["bmp"].resized))
+    assert (got["width"], got["height"]) == (50, 20)
+    assert rz["bmp"].resized_n_bytes == 54 + 20 * ((3 * 50 + 3) // 4 * 4)
+    assert rz["png"].status == "planned" and rz["png"].resized is None
+    assert (rz["png"].dst_w, rz["png"].dst_h) == (50, 3)
+    assert rz["wav"].status == "unsupported"
+    assert rz["junk"].status == "unsupported"
+
+    fr = {r.media_ref: r
+          for r in sample_frames(df, interval_ms=250).collect()}
+    # 4000 samples at 8 kHz 16-bit -> 500 ms -> frames at 0/250/500
+    assert fr["wav"].status == "sampled" and fr["wav"].duration_ms == 500
+    assert (fr["wav"].n_frames, fr["wav"].first_ts_ms,
+            fr["wav"].last_ts_ms) == (3, 0, 500)
+    assert fr["bmp"].status == "unsupported"
