@@ -886,6 +886,82 @@ def canonical_url_col(url: str | Column = "url") -> Column:
     return F.when(scheme.isNull() | host.isNull(), u).otherwise(canon)
 
 
+# Simplified public-suffix logic: the common multi-label suffixes where
+# the registrable domain is three labels, not two. Production swaps in
+# the full Public Suffix List — same plan, a bigger literal/broadcast set.
+_MULTI_LABEL_SUFFIXES = [
+    "co.uk", "ac.uk", "gov.uk", "org.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.kr", "com.tr", "com.ar", "co.za",
+]
+
+
+def registrable_domain_col(host: Column) -> Column:
+    """eTLD+1 extraction (simplified PSL): keep 3 labels when the host
+    ends in a known multi-label public suffix, else 2; hosts with fewer
+    labels than that pass through whole."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_multi = F.lit(False)
+    for s in _MULTI_LABEL_SUFFIXES:
+        is_multi = is_multi | host.endswith("." + s)
+    take = F.when(is_multi, F.lit(3)).otherwise(F.lit(2))
+    return F.when(n <= take, host).otherwise(
+        F.array_join(F.slice(labels, n - take + 1, take), "."))
+
+
+def url_quality_filter(df: DataFrame, blocklist: DataFrame,
+                       nsfw_weights: list[tuple[str, int]],
+                       threshold_milli: int = 1_000_000,
+                       url_col: str = "url",
+                       id_col: str = "doc_id") -> DataFrame:
+    """RefinedWeb-style URL filtering (Penedo et al. 2023 §3.1) — the
+    first curation pass of a crawl, applied to the URL alone before any
+    fetch or extraction spend:
+
+    * hard drop — the registrable domain (eTLD+1, so subdomains cannot
+      dodge the list) appears in ``blocklist`` (a one-column ``domain``
+      DataFrame; RefinedWeb uses a 4.6M-domain list — MBs, so it
+      BROADCASTS and the corpus never shuffles);
+    * soft drop — a weighted word score over the lowercased URL
+      (substring hits, weights in millionths); drop at
+      ``score >= threshold_milli``;
+    * unparseable URLs drop (a crawl pipeline cannot fetch them anyway)
+      but stay in the output with parse_ok=false for audit.
+
+    Everything is pure Catalyst: ``try_parse_url`` (never the throwing
+    ANSI form), a literal fold for the bounded word list, one broadcast
+    join, zero added shuffles.
+
+    Output: (id, url, host, domain, blocked, nsfw_milli, parse_ok, keep).
+    """
+    u = F.col(url_col)
+    host = F.lower(F.try_parse_url(u, F.lit("HOST")))
+    low = F.lower(u)
+    score = F.lit(0).cast("long")
+    for word, w in nsfw_weights:
+        score = score + F.when(low.contains(word.lower()),
+                               F.lit(int(w))).otherwise(F.lit(0))
+    base = df.select(
+        F.col(id_col), u.alias("url"), host.alias("host"),
+        F.when(host.isNotNull(), registrable_domain_col(host))
+        .alias("domain"),
+        score.alias("nsfw_milli"), host.isNotNull().alias("parse_ok"),
+    )
+    bl = blocklist.select(F.col("domain").alias("domain"),
+                          F.lit(True).alias("_bl"))
+    return (
+        base.join(F.broadcast(bl), "domain", "left")
+        .select(
+            id_col, "url", "host", "domain",
+            F.coalesce(F.col("_bl"), F.lit(False)).alias("blocked"),
+            "nsfw_milli", "parse_ok",
+            (F.col("parse_ok") & F.coalesce(~F.col("_bl"), F.lit(True))
+             & (F.col("nsfw_milli") < threshold_milli)).alias("keep"),
+        )
+    )
+
+
 def url_dedup(df: DataFrame, url_col: str = "url",
               id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on the canonical URL: one shuffle on the canonical key

@@ -1024,6 +1024,74 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
+URL_BLOCKLIST = ["bad.example", "tracker.example"]
+URL_NSFW_WEIGHTS = [("casino", 600000), ("poker", 500000), ("xxx", 900000)]
+
+
+def url_filter(spark, sf_dir):
+    """RefinedWeb-style URL filtering (dedup.url_quality_filter): doc_id
+    %% 7 arms a clean page (0), a blocklisted domain reached via a
+    subdomain (1: eTLD+1 catches it), a co.uk multi-label-suffix host
+    (2: PSL logic keeps 3 labels), a two-word soft drop (3: 1.1 over the
+    1.0 threshold), a one-word soft keep (4), an unparseable URL (5) and
+    the blocklisted domain itself (6). The oracle states every expected
+    host/domain/score closed-form — it never re-parses URLs in SQL."""
+    from .functions.dedup import url_quality_filter
+    d = _t(spark, sf_dir, "documents")
+    k = (F.col("doc_id") / 7).cast("long").cast("string")
+    urls = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(d.doc_id % 7 == 0, F.concat(
+            F.lit("https://news.example.org/story"), k))
+         .when(d.doc_id % 7 == 1, F.concat(
+            F.lit("https://Spam.BAD.example/p"), k))
+         .when(d.doc_id % 7 == 2, F.concat(
+            F.lit("http://shop.widgets.co.uk/item"), k))
+         .when(d.doc_id % 7 == 3, F.concat(
+            F.lit("https://ok.example/casino-poker"), k))
+         .when(d.doc_id % 7 == 4, F.concat(
+            F.lit("https://ok.example/poker-news"), k))
+         .when(d.doc_id % 7 == 5, F.concat(F.lit("not a url "), k))
+         .otherwise(F.concat(F.lit("http://bad.example/"), k))
+         .alias("url"))
+    bl = spark.createDataFrame([(x,) for x in URL_BLOCKLIST],
+                               "domain string")
+    return url_quality_filter(
+        urls, bl, URL_NSFW_WEIGHTS, threshold_milli=1_000_000,
+    ).orderBy("doc_id")
+
+
+URL_FILTER_SQL = """
+WITH f AS (
+  SELECT doc_id, doc_id % 7 AS m, (doc_id // 7)::VARCHAR AS k
+  FROM documents
+)
+SELECT doc_id,
+       CASE m WHEN 0 THEN 'https://news.example.org/story' || k
+              WHEN 1 THEN 'https://Spam.BAD.example/p' || k
+              WHEN 2 THEN 'http://shop.widgets.co.uk/item' || k
+              WHEN 3 THEN 'https://ok.example/casino-poker' || k
+              WHEN 4 THEN 'https://ok.example/poker-news' || k
+              WHEN 5 THEN 'not a url ' || k
+              ELSE 'http://bad.example/' || k END AS url,
+       CASE m WHEN 0 THEN 'news.example.org'
+              WHEN 1 THEN 'spam.bad.example'
+              WHEN 2 THEN 'shop.widgets.co.uk'
+              WHEN 3 THEN 'ok.example' WHEN 4 THEN 'ok.example'
+              WHEN 6 THEN 'bad.example' END AS host,
+       CASE m WHEN 0 THEN 'example.org' WHEN 1 THEN 'bad.example'
+              WHEN 2 THEN 'widgets.co.uk'
+              WHEN 3 THEN 'ok.example' WHEN 4 THEN 'ok.example'
+              WHEN 6 THEN 'bad.example' END AS domain,
+       m IN (1, 6) AS blocked,
+       CASE m WHEN 3 THEN 1100000 WHEN 4 THEN 500000
+              ELSE 0 END::BIGINT AS nsfw_milli,
+       m <> 5 AS parse_ok,
+       m IN (0, 2, 4) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(d).orderBy("fp")
@@ -3315,6 +3383,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
+    "url_filter": url_filter,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_substring": dedup_substring,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -3381,6 +3450,7 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
+    "url_filter": URL_FILTER_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,

@@ -563,3 +563,28 @@ def test_resize_and_frame_sample_routing(spark):
     assert (fr["wav"].n_frames, fr["wav"].first_ts_ms,
             fr["wav"].last_ts_ms) == (3, 0, 500)
     assert fr["bmp"].status == "unsupported"
+
+
+def test_url_quality_filter_psl_and_thresholds(spark):
+    """eTLD+1 edges: deep subdomains collapse to the registrable domain
+    (2 labels normally, 3 under a multi-label suffix; a bare suffix host
+    passes through whole); a score exactly at the threshold drops."""
+    from extract_text_spark.functions.dedup import url_quality_filter
+
+    urls = spark.createDataFrame(
+        [(1, "https://a.b.widgets.co.uk/x"),    # -> widgets.co.uk
+         (2, "https://co.uk/x"),                # bare suffix host
+         (3, "https://deep.sub.bad.example/x"), # blocked via eTLD+1
+         (4, "https://ok.example/xxx-casino"),  # 900000+600000 over
+         (5, "https://ok.example/casino")],     # exactly == threshold
+        "doc_id long, url string")
+    bl = spark.createDataFrame([("bad.example",)], "domain string")
+    got = {r.doc_id: r for r in url_quality_filter(
+        urls, bl, [("casino", 600000), ("xxx", 900000)],
+        threshold_milli=600000).collect()}
+    assert got[1].domain == "widgets.co.uk" and got[1].keep
+    assert got[2].domain == "co.uk" and got[2].keep
+    assert got[3].domain == "bad.example" and got[3].blocked
+    assert not got[3].keep
+    assert got[4].nsfw_milli == 1500000 and not got[4].keep
+    assert got[5].nsfw_milli == 600000 and not got[5].keep  # >= drops

@@ -154,6 +154,18 @@ def main():
         ("windowed top-k", r"Window"),
     ])
 
+    uf = QUERIES["url_filter"](spark, SF)
+    add("url_filter — broadcast blocklist, zero added shuffles", uf, [
+        ("blocklist join is broadcast (the corpus never shuffles "
+         "for the domain check)", r"BroadcastHashJoin"),
+        ("no Python anywhere (parse_url + literal word fold are "
+         "pure Catalyst)",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian", r"^(?!.*CartesianProduct)"),
+        ("single scan of the input",
+         lambda t: t.split("\n\n(1)")[0].count("Scan parquet") == 1),
+    ])
+
     cls = QUERIES["ta_classifier"](spark, SF)
     add("ta_classifier — broadcast weights, combinable mean-logit", cls, [
         ("weight table broadcast onto the exploded features "
