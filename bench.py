@@ -195,7 +195,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "ext_url_source", "ext_url_images", "ext_mail_bytes",
         "dedup_url", "ta_vocab", "ext_main_content",
         "dedup_substring", "dedup_incremental", "ta_rarity", "ta_c4",
-        "sim_semdedup", "ta_classifier", "url_filter",
+        "sim_semdedup", "ta_classifier", "url_filter", "host_pagerank",
     ]
     # Best-of-3 per query, each leg load-gated and its start loadavg
     # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold

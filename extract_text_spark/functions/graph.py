@@ -1,0 +1,71 @@
+"""Host-graph ranking: PageRank as a distributed power iteration.
+
+Crawl pipelines use host/domain-level PageRank (or harmonic centrality,
+e.g. the CommonCrawl host ranks) as a quality PRIOR: a page inherits a
+score from its host's position in the link graph before any content is
+read. The iteration is the classic join+aggregate shape — each round is
+one equi-join of ranks onto edges plus one map-side-combined groupBy on
+the destination — which is exactly how GraphX/Pregel lowers it, so the
+plan scales to billion-edge host graphs (edges shuffle once per round on
+uniform host keys; ranks are one row per host).
+
+Determinism: ranks are integer "units" (the total starts at RANK_SCALE),
+every transfer is floor division — (r * damping_milli) // 1_000_000 //
+out_deg — so each iteration is exact integer arithmetic with a DuckDB
+twin (queries.py unrolls the rounds as chained CTEs, the kmeans oracle
+trick). Mass lost to flooring and to dangling hosts (no out-links) is
+dropped, not redistributed — documented, identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+RANK_SCALE = 1_000_000_000_000  # total initial rank mass (integer units)
+
+
+def pagerank(edges: DataFrame, iters: int = 2,
+             damping_milli: int = 850_000,
+             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Integer-exact PageRank over a (src, dst) edge list.
+
+    * nodes = distinct endpoints; r0 = RANK_SCALE // N each
+    * per round: share(u) = (r(u) * damping_milli) // 1e6 // out_deg(u),
+      r'(v) = teleport + sum of shares over in-edges(v), with
+      teleport = (RANK_SCALE * (1e6 - damping_milli)) // 1e6 // N
+    * dangling hosts keep receiving teleport but their own mass drops
+      (the no-redistribution variant — exact and order-free)
+
+    Returns (host, rank) with rank in integer units. The edge list is
+    read every round (persist it upstream for many iterations); ranks
+    never leave the executors — no driver state at all.
+    """
+    src, dst = F.col(src_col).alias("host"), F.col(dst_col).alias("host")
+    nodes = edges.select(src).union(edges.select(dst)).distinct()
+    n = nodes.count()  # one scalar; the only driver-side value
+    teleport = (RANK_SCALE * (1_000_000 - damping_milli)) // 1_000_000 // n
+    out_deg = (edges.groupBy(F.col(src_col).alias("host"))
+               .agg(F.count("*").alias("deg")))
+    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n).cast("long"))
+    for _ in range(iters):
+        shares = (
+            edges.join(ranks.withColumnRenamed("host", src_col), src_col)
+            .join(out_deg.withColumnRenamed("host", src_col), src_col)
+            .select(
+                F.col(dst_col).alias("host"),
+                F.call_function(
+                    "div",
+                    F.call_function(
+                        "div", F.col("rank") * damping_milli,
+                        F.lit(1_000_000)),
+                    F.col("deg")).alias("share"))
+        )
+        inbound = shares.groupBy("host").agg(F.sum("share").alias("inflow"))
+        ranks = (
+            nodes.join(inbound, "host", "left")
+            .select("host",
+                    (F.lit(teleport)
+                     + F.coalesce(F.col("inflow"), F.lit(0)))
+                    .cast("long").alias("rank"))
+        )
+    return ranks

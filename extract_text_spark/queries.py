@@ -1092,6 +1092,76 @@ FROM f ORDER BY doc_id
 """
 
 
+PAGERANK_ITERS = 2
+PAGERANK_DAMPING = 850_000
+
+
+def _pagerank_edges(d):
+    e1 = d.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((7 * F.col("doc_id") + 3) % 10).cast("string"))
+        .alias("dst"))
+    e2 = d.select(
+        F.concat(F.lit("h"), ((3 * F.col("doc_id") + 1) % 10).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"),
+                 (F.call_function("div", F.col("doc_id"), F.lit(7)) % 10)
+                 .cast("string")).alias("dst"))
+    return e1.unionByName(e2)
+
+
+def host_pagerank(spark, sf_dir):
+    """Host-graph PageRank (graph.pagerank) — the domain-quality prior
+    crawl pipelines rank hosts with (CommonCrawl-style host ranks). Two
+    power-iteration rounds of integer-exact rank transfer over a
+    multi-edge host graph derived closed-form from doc_ids; the oracle
+    unrolls the rounds as chained CTEs (the kmeans trick), so an
+    ITERATIVE graph algorithm sits under the value-hash gate."""
+    from .functions.graph import pagerank
+    d = _t(spark, sf_dir, "documents")
+    return pagerank(_pagerank_edges(d), iters=PAGERANK_ITERS,
+                    damping_milli=PAGERANK_DAMPING).orderBy("host")
+
+
+def _pagerank_ctes(iters: int) -> str:
+    from .functions.graph import RANK_SCALE
+    damp = PAGERANK_DAMPING
+    ctes = [
+        """e AS (
+  SELECT 'h' || (doc_id % 10)::VARCHAR AS src,
+         'h' || ((7 * doc_id + 3) % 10)::VARCHAR AS dst FROM documents
+  UNION ALL
+  SELECT 'h' || ((3 * doc_id + 1) % 10)::VARCHAR,
+         'h' || ((doc_id // 7) % 10)::VARCHAR FROM documents)""",
+        """nodes AS (SELECT src AS host FROM e UNION SELECT dst FROM e)""",
+        """nn AS (SELECT count(*) AS n FROM nodes)""",
+        f"""tp AS (
+  SELECT ({RANK_SCALE} * (1000000 - {damp}) // 1000000) // n AS t,
+         {RANK_SCALE} // n AS r_init FROM nn)""",
+        """deg AS (SELECT src AS host, count(*) AS deg FROM e GROUP BY src)""",
+        """r0 AS (SELECT host, CAST(r_init AS BIGINT) AS rank
+  FROM nodes CROSS JOIN tp)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""s{i} AS (
+  SELECT e.dst AS host,
+         ((r.rank * {damp} // 1000000) // d.deg) AS share
+  FROM e JOIN r{i - 1} r ON r.host = e.src JOIN deg d ON d.host = e.src)""")
+        ctes.append(f"""r{i} AS (
+  SELECT nodes.host,
+         CAST(tp.t + coalesce(sum(s{i}.share), 0) AS BIGINT) AS rank
+  FROM nodes CROSS JOIN tp LEFT JOIN s{i} ON s{i}.host = nodes.host
+  GROUP BY nodes.host, tp.t)""")
+    return ",\n".join(ctes)
+
+
+HOST_PAGERANK_SQL = (
+    "WITH " + _pagerank_ctes(PAGERANK_ITERS)
+    + f"\nSELECT host, rank FROM r{PAGERANK_ITERS} ORDER BY host"
+)
+
+
 def dedup_exact(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.exact_duplicates(d).orderBy("fp")
@@ -3384,6 +3454,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
     "url_filter": url_filter,
+    "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_substring": dedup_substring,
     "dedup_ngram_pairs": dedup_ngram_pairs,
@@ -3451,6 +3522,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
     "url_filter": URL_FILTER_SQL,
+    "host_pagerank": HOST_PAGERANK_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,
     "dedup_ngram_pairs": DEDUP_NGRAM_SQL,

@@ -588,3 +588,34 @@ def test_url_quality_filter_psl_and_thresholds(spark):
     assert not got[3].keep
     assert got[4].nsfw_milli == 1500000 and not got[4].keep
     assert got[5].nsfw_milli == 600000 and not got[5].keep  # >= drops
+
+
+def test_pagerank_matches_integer_reference(spark):
+    """Distributed power iteration == an independent pure-Python replica
+    of the integer-exact transfer rule, on a graph with a multi-edge, a
+    cycle and a dangling sink."""
+    from collections import Counter
+
+    from extract_text_spark.functions.graph import RANK_SCALE, pagerank
+
+    edges = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a"),
+             ("d", "a"), ("a", "e")]  # e: dangling sink
+
+    def ref(iters, damp=850000):
+        nodes = sorted({x for e in edges for x in e})
+        n = len(nodes)
+        tp = (RANK_SCALE * (10**6 - damp)) // 10**6 // n
+        deg = Counter(s for s, _ in edges)
+        r = {v: RANK_SCALE // n for v in nodes}
+        for _ in range(iters):
+            nr = {v: tp for v in nodes}
+            for s, t in edges:
+                nr[t] += (r[s] * damp // 10**6) // deg[s]
+            r = nr
+        return r
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r.host: r.rank for r in pagerank(df, iters=3).collect()}
+    assert got == ref(3)
+    # sanity on the shape: 'a' has 2 in-hosts + the multi-edge boost to b
+    assert got["a"] > got["e"] and got["b"] > got["e"]

@@ -154,6 +154,18 @@ def main():
         ("windowed top-k", r"Window"),
     ])
 
+    pr = QUERIES["host_pagerank"](spark, SF)
+    add("host_pagerank — join+aggregate power iteration, no driver state",
+        pr, [
+        ("rank transfer is an equi-join of ranks onto edges (host keys)",
+         r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"),
+        ("inbound mass is a map-side-combined sum before the host shuffle",
+         r"partial_sum|HashAggregate"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian", r"^(?!.*CartesianProduct)"),
+    ])
+
     uf = QUERIES["url_filter"](spark, SF)
     add("url_filter — broadcast blocklist, zero added shuffles", uf, [
         ("blocklist join is broadcast (the corpus never shuffles "
