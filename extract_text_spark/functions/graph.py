@@ -69,3 +69,69 @@ def pagerank(edges: DataFrame, iters: int = 2,
                     .cast("long").alias("rank"))
         )
     return ranks
+
+
+_SKIP_SCHEMES = ("javascript:", "mailto:", "data:", "tel:")
+
+
+def _resolve_outlinks(page_url: str, html: str,
+                      cap: int | None = None) -> list[tuple[int, str, str, str]]:
+    """(link_idx, raw href, resolved absolute URL, lowercased host) for
+    every fetchable ``<a href>`` in document order: RFC 3986 resolution
+    (stdlib ``urljoin`` — relative paths, dot segments, //network-path,
+    query-only all handled), fragments stripped from the result,
+    empty/fragment-only hrefs and non-fetchable schemes skipped."""
+    from urllib.parse import urljoin, urlsplit, urlunsplit
+
+    from ..extractors.html import find_hrefs
+
+    out = []
+    for idx, href in enumerate(find_hrefs(html, cap=cap)):
+        h = href.strip()
+        if not h or h.startswith("#"):
+            continue
+        if h.lower().startswith(_SKIP_SCHEMES):
+            continue
+        parts = urlsplit(urljoin(page_url, h))
+        resolved = urlunsplit((parts.scheme, parts.netloc, parts.path,
+                               parts.query, ""))
+        host = (parts.hostname or "").lower()
+        if not host:
+            continue
+        out.append((idx, href, resolved, host))
+    return out
+
+
+def harvest_outlinks(df: DataFrame, id_col: str = "doc_id",
+                     url_col: str = "url", html_col: str = "html",
+                     cap: int | None = None) -> DataFrame:
+    """Outlink extraction over (id, page URL, HTML) rows — the edge-list
+    producer for ``pagerank`` and crawl frontiers. One Arrow kernel per
+    row (iterator-form mapInPandas, never row-at-a-time Python);
+    compose with ``F.transform``-free downstream ops: the host column
+    feeds ``registrable_domain_col`` + ``pagerank`` directly."""
+    from pyspark.sql.types import (IntegerType, LongType, StringType,
+                                   StructField, StructType)
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("link_idx", IntegerType()),
+        StructField("href", StringType()),
+        StructField("resolved", StringType()),
+        StructField("host", StringType()),
+    ])
+
+    def kernel(batches):
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, url, html in zip(b["doc_id"], b["url"], b["html"]):
+                for idx, href, resolved, host in _resolve_outlinks(
+                        str(url), str(html), cap=cap):
+                    rows.append((int(doc_id), idx, href, resolved, host))
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    src = df.select(F.col(id_col).alias("doc_id"),
+                    F.col(url_col).alias("url"),
+                    F.col(html_col).alias("html"))
+    return src.mapInPandas(kernel, schema=schema)

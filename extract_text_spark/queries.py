@@ -1092,6 +1092,71 @@ FROM f ORDER BY doc_id
 """
 
 
+def ext_outlinks(spark, sf_dir):
+    """Outlink harvesting + RFC 3986 resolution (graph.harvest_outlinks,
+    html.find_hrefs): absolute, relative-path, dot-segment, network-path
+    and query-only hrefs resolve against the page URL; fragments strip;
+    fragment-only/javascript hrefs skip but still consume their document
+    position; anchors inside <script> raw text are not elements. The
+    edge-list producer for host_pagerank."""
+    from .functions.graph import harvest_outlinks
+    d = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("string")
+    k = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("https://site"), m, F.lit(".example/dir/page"),
+                 k, F.lit(".html")).alias("url"),
+        F.concat(
+            F.lit('<p><a href="https://other.example/p'), k,
+            F.lit('">x</a> <a href="a/b'), k,
+            F.lit('.html">y</a> <a href="../up.html">z</a> '
+                  '<a href="//cdn.example/lib.js">w</a> '
+                  '<a href="#frag">s</a> '
+                  '<a href="javascript:void(0)">t</a> '
+                  '<a href="/abs?q='), k,
+            F.lit('#f">u</a></p>'
+                  '<script><a href="/ignored">no</a></script>'),
+        ).alias("html"))
+    return harvest_outlinks(pages).orderBy("doc_id", "link_idx")
+
+
+EXT_OUTLINKS_SQL = """
+WITH f AS (
+  SELECT doc_id, (doc_id % 4)::VARCHAR AS m, doc_id::VARCHAR AS k
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest([
+    struct_pack(link_idx := 0,
+                href := 'https://other.example/p' || k,
+                resolved := 'https://other.example/p' || k,
+                host := 'other.example'),
+    struct_pack(link_idx := 1,
+                href := 'a/b' || k || '.html',
+                resolved := 'https://site' || m || '.example/dir/a/b'
+                            || k || '.html',
+                host := 'site' || m || '.example'),
+    struct_pack(link_idx := 2,
+                href := '../up.html',
+                resolved := 'https://site' || m || '.example/up.html',
+                host := 'site' || m || '.example'),
+    struct_pack(link_idx := 3,
+                href := '//cdn.example/lib.js',
+                resolved := 'https://cdn.example/lib.js',
+                host := 'cdn.example'),
+    struct_pack(link_idx := 6,
+                href := '/abs?q=' || k || '#f',
+                resolved := 'https://site' || m || '.example/abs?q=' || k,
+                host := 'site' || m || '.example')
+  ]) AS u
+  FROM f
+)
+SELECT doc_id, u.link_idx::INT AS link_idx, u.href, u.resolved, u.host
+FROM l ORDER BY doc_id, link_idx
+"""
+
+
 PAGERANK_ITERS = 2
 PAGERANK_DAMPING = 850_000
 
@@ -3454,6 +3519,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
     "url_filter": url_filter,
+    "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_substring": dedup_substring,
@@ -3522,6 +3588,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
     "url_filter": URL_FILTER_SQL,
+    "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
     "dedup_substring": DEDUP_SUBSTRING_SQL,

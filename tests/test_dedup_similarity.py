@@ -619,3 +619,48 @@ def test_pagerank_matches_integer_reference(spark):
     assert got == ref(3)
     # sanity on the shape: 'a' has 2 in-hosts + the multi-edge boost to b
     assert got["a"] > got["e"] and got["b"] > got["e"]
+
+
+def test_outlinks_resolution_rules():
+    """RFC 3986 resolution edges the oracle fixture doesn't cover:
+    dot-segments past root, query-only refs, scheme-relative against
+    http, skip schemes case-insensitively."""
+    from extract_text_spark.functions.graph import _resolve_outlinks
+
+    base = "http://h.example/a/b/page.html?old=1"
+    html = ('<a href="../../../up.html">a</a>'
+            '<a href="?q=2">b</a>'
+            '<a href="//cdn.example/x">c</a>'
+            '<a href="MAILTO:x@y">d</a>'
+            '<a href=" #only ">e</a>')
+    got = _resolve_outlinks(base, html)
+    assert [(i, r) for i, _, r, _ in got] == [
+        (0, "http://h.example/up.html"),
+        (1, "http://h.example/a/b/page.html?q=2"),
+        (2, "http://cdn.example/x"),
+    ]
+    assert [h for _, _, _, h in got] == ["h.example", "h.example",
+                                         "cdn.example"]
+
+
+def test_outlinks_feed_pagerank_end_to_end(spark):
+    """The composed link pipeline: pages -> harvest_outlinks -> host
+    edges -> pagerank. The hub pointed to by both pages outranks the
+    one-inlink host."""
+    from extract_text_spark.functions.graph import (harvest_outlinks,
+                                                    pagerank)
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/p",
+          '<a href="https://hub.example/x">h</a>'
+          '<a href="https://b.example/y">b</a>'),
+         (2, "https://b.example/q",
+          '<a href="https://hub.example/z">h</a>')],
+        "doc_id long, url string, html string")
+    links = harvest_outlinks(pages)
+    # src host from the page URL: join back through the page table
+    edges = links.join(pages.select("doc_id", "url"), "doc_id").select(
+        F.expr("parse_url(url, 'HOST')").alias("src"),
+        F.col("host").alias("dst"))
+    ranks = {r.host: r.rank for r in pagerank(edges, iters=3).collect()}
+    assert ranks["hub.example"] > ranks["b.example"] > ranks["a.example"]

@@ -208,3 +208,14 @@ def test_single_span_giant_doc_is_linear_not_quadratic():
     elapsed = time.monotonic() - t0
     assert status == "ok" and out[0]["text"].startswith("Words in a paragraph")
     assert elapsed < 60, f"20MB single-span doc took {elapsed:.1f}s"
+
+
+def test_find_hrefs_document_order_and_rawtext():
+    from extract_text_spark.extractors.html import find_hrefs
+
+    html = ('<a href="/one">1</a><!-- <a href="/c">x</a> -->'
+            '<A HREF="/two">2</A><a name="no-href">3</a>'
+            '<script>var s = \'<a href="/s">\';</script>'
+            '<a href>4</a><a href="/three">5</a>')
+    assert find_hrefs(html) == ["/one", "/two", "", "/three"]
+    assert find_hrefs(html, cap=2) == ["/one", "/two"]
