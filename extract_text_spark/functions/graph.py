@@ -92,7 +92,13 @@ def _resolve_outlinks(page_url: str, html: str,
             continue
         if h.lower().startswith(_SKIP_SCHEMES):
             continue
-        parts = urlsplit(urljoin(page_url, h))
+        try:
+            # urljoin/urlsplit raise ValueError on malformed authorities
+            # (e.g. 'http://[bad' -> "Invalid IPv6 URL"); one hostile href
+            # must drop itself, never the kernel task.
+            parts = urlsplit(urljoin(page_url, h))
+        except ValueError:
+            continue
         resolved = urlunsplit((parts.scheme, parts.netloc, parts.path,
                                parts.query, ""))
         host = (parts.hostname or "").lower()

@@ -237,3 +237,23 @@ def test_7z_chain_rejects_non_linear():
           "bind_pairs": [(0, 1), (1, 0)], "n_out": 2, "n_packed": 0}
     with pytest.raises(ValueError, match="Invalid 7Z"):
         _resolve_chain(f2)
+
+
+@given(st.lists(st.text(max_size=40), max_size=8), st.text(max_size=60))
+@settings(**_SETTINGS)
+def test_outlink_resolution_total(hrefs, base_tail):
+    """_resolve_outlinks is total over hostile hrefs AND hostile page
+    URLs (urljoin raises ValueError on malformed authorities like
+    'http://[bad' — one bad link must drop itself, not the kernel
+    task), and every emitted row has a non-empty host with no
+    fragment in the resolved URL."""
+    from extract_text_spark.functions.graph import _resolve_outlinks
+
+    html = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    for base in ("https://ok.example/a/b.html?q=1" + base_tail,
+                 "http://[" + base_tail):
+        rows = _resolve_outlinks(base, html)
+        assert rows == _resolve_outlinks(base, html)  # deterministic
+        for idx, href, resolved, host in rows:
+            assert host and host == host.lower()
+            assert "#" not in resolved
