@@ -43,6 +43,8 @@ def pagerank(edges: DataFrame, iters: int = 2,
     src, dst = F.col(src_col).alias("host"), F.col(dst_col).alias("host")
     nodes = edges.select(src).union(edges.select(dst)).distinct()
     n = nodes.count()  # one scalar; the only driver-side value
+    if n == 0:
+        raise ValueError("pagerank: empty edge list (no hosts to rank)")
     teleport = (RANK_SCALE * (1_000_000 - damping_milli)) // 1_000_000 // n
     out_deg = (edges.groupBy(F.col(src_col).alias("host"))
                .agg(F.count("*").alias("deg")))

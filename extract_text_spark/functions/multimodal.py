@@ -440,6 +440,10 @@ def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
         raise DecoderUnavailable("not an uncompressed bottom-up 24-bit BMP")
     src_row = (3 * src_w + 3) // 4 * 4
     pix_off = struct.unpack_from("<I", payload, 10)[0]
+    if len(payload) < pix_off + src_row * src_h:
+        # a short slice assigned into the row bytearray would silently
+        # SHRINK it and emit a malformed raster — reject truncated input
+        raise DecoderUnavailable("truncated BMP raster")
     dst_row = (3 * dst_w + 3) // 4 * 4
     data_size = dst_row * dst_h
     out = bytearray(b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54))

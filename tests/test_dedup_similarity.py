@@ -664,3 +664,31 @@ def test_outlinks_feed_pagerank_end_to_end(spark):
         F.col("host").alias("dst"))
     ranks = {r.host: r.rank for r in pagerank(edges, iters=3).collect()}
     assert ranks["hub.example"] > ranks["b.example"] > ranks["a.example"]
+
+
+def test_resize_and_pagerank_guards(spark):
+    """A truncated BMP raster must not emit malformed output: resize_bmp
+    raises, and the kernel demotes the row to the 'planned' stub path
+    (the header dims are still real). Empty edge lists fail loudly
+    instead of dividing by zero."""
+    import pytest as _pytest
+
+    from extract_text_spark.bytecorpus import make_bmp
+    from extract_text_spark.functions.graph import pagerank
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, resize_bmp, resize_media)
+
+    truncated = make_bmp(10, 10)[:80]   # valid header, missing raster
+    with _pytest.raises(DecoderUnavailable):
+        resize_bmp(truncated, 5, 5)
+    df = spark.createDataFrame(
+        [("t", bytearray(truncated), "application/octet-stream",
+          None, None)],
+        "media_ref string, payload binary, mime string, "
+        "width int, height int")
+    (row,) = resize_media(df, max_dim=5).collect()
+    assert row.status == "planned" and row.resized is None
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty, iters=1)
