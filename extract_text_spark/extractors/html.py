@@ -223,6 +223,52 @@ def _tag_attrs(tag_src: str) -> dict[str, str | None]:
     return attrs
 
 
+def _find_attr_values(html: str, tag: str, attr: str,
+                      cap: int | None = None) -> list[str]:
+    """Document-order values of ``attr`` on ``tag`` elements that CARRY
+    the attribute (presence matches, even empty — lxml-builder parity:
+    a bare attribute yields ""). Comments/CDATA/doctype are skipped and
+    script/style raw text is not element soup; an unclosed rawtext
+    element swallows the rest of the document, like the tokenizer."""
+    out: list[str] = []
+    i, n = 0, len(html)
+    low = None
+    while i < n and (cap is None or len(out) < cap):
+        lt = html.find("<", i)
+        if lt < 0:
+            break
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        nxt = html[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt == "/"):
+            i = lt + 1
+            continue
+        j, name, is_end, _self_closing = _scan_tag(html, lt)
+        if not is_end and name == tag:
+            attrs = _tag_attrs(html[lt:j])
+            if attr in attrs:
+                out.append(attrs[attr] or "")
+        elif not is_end and name in _RAWTEXT:
+            if low is None:
+                low = html.translate(_ASCII_LOWER)
+            close = low.find(f"</{name}", j)
+            if close < 0:
+                break
+            j, _, _, _ = _scan_tag(html, close)
+        i = j
+    return out
+
+
 def find_img_srcs(html: str, cap: int | None = None) -> list[str]:
     """Document-order ``src`` values of ``<img>`` elements that carry a
     ``src`` attribute — BeautifulSoup ``find_all("img", src=True)`` parity
@@ -237,91 +283,16 @@ def find_img_srcs(html: str, cap: int | None = None) -> list[str]:
     img_src`` guard in ``_process_single_image`` (:3181), losing only that
     one image.
     """
-    out: list[str] = []
-    i, n = 0, len(html)
-    low = None
-    while i < n and (cap is None or len(out) < cap):
-        lt = html.find("<", i)
-        if lt < 0:
-            break
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end < 0 else end + 3
-            continue
-        if html.startswith("<![CDATA[", lt):
-            end = html.find("]]>", lt + 9)
-            i = n if end < 0 else end + 3
-            continue
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
-            end = html.find(">", lt)
-            i = n if end < 0 else end + 1
-            continue
-        nxt = html[lt + 1 : lt + 2]
-        if not (nxt.isalpha() or nxt == "/"):
-            i = lt + 1
-            continue
-        j, name, is_end, _self_closing = _scan_tag(html, lt)
-        if not is_end and name == "img":
-            attrs = _tag_attrs(html[lt:j])
-            if "src" in attrs:
-                # lxml builder: a bare attribute's value is "" (not
-                # html.parser's None) — see docstring.
-                out.append(attrs["src"] or "")
-        elif not is_end and name in _RAWTEXT:
-            if low is None:
-                low = html.translate(_ASCII_LOWER)
-            close = low.find(f"</{name}", j)
-            if close < 0:
-                break
-            j, _, _, _ = _scan_tag(html, close)
-        i = j
-    return out
+    return _find_attr_values(html, "img", "src", cap)
 
 
 def find_hrefs(html: str, cap: int | None = None) -> list[str]:
     """Document-order ``href`` values of ``<a>`` elements that carry an
     ``href`` attribute — the outlink twin of ``find_img_srcs`` (same
-    tokenizer walk: comments/CDATA/doctype skipped, script/style raw text
-    is not element soup, a bare attribute yields \"\" per the lxml
-    builder). Harvesting anchors is the first step of link-graph
-    construction (host PageRank, crawl frontiers)."""
-    out: list[str] = []
-    i, n = 0, len(html)
-    low = None
-    while i < n and (cap is None or len(out) < cap):
-        lt = html.find("<", i)
-        if lt < 0:
-            break
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end < 0 else end + 3
-            continue
-        if html.startswith("<![CDATA[", lt):
-            end = html.find("]]>", lt + 9)
-            i = n if end < 0 else end + 3
-            continue
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
-            end = html.find(">", lt)
-            i = n if end < 0 else end + 1
-            continue
-        nxt = html[lt + 1 : lt + 2]
-        if not (nxt.isalpha() or nxt == "/"):
-            i = lt + 1
-            continue
-        j, name, is_end, _self_closing = _scan_tag(html, lt)
-        if not is_end and name == "a":
-            attrs = _tag_attrs(html[lt:j])
-            if "href" in attrs:
-                out.append(attrs["href"] or "")
-        elif not is_end and name in _RAWTEXT:
-            if low is None:
-                low = html.translate(_ASCII_LOWER)
-            close = low.find(f"</{name}", j)
-            if close < 0:
-                break
-            j, _, _, _ = _scan_tag(html, close)
-        i = j
-    return out
+    shared walker, same bare-attribute "" semantics). Harvesting anchors
+    is the first step of link-graph construction (host PageRank, crawl
+    frontiers)."""
+    return _find_attr_values(html, "a", "href", cap)
 
 
 _FILE_DROP = frozenset({"script", "style"})

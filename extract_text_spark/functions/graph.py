@@ -40,8 +40,15 @@ def pagerank(edges: DataFrame, iters: int = 2,
     read every round (persist it upstream for many iterations); ranks
     never leave the executors — no driver state at all.
     """
+    from pyspark.storagelevel import StorageLevel
+
     src, dst = F.col(src_col).alias("host"), F.col(dst_col).alias("host")
-    nodes = edges.select(src).union(edges.select(dst)).distinct()
+    # one row per host, read by the count plus every iteration's rank
+    # rebuild — persist so the endpoint union+distinct shuffle (the most
+    # expensive stage on a billion-edge graph) runs once, not iters+1
+    # times; ContextCleaner reclaims it once the plan is unreferenced
+    nodes = (edges.select(src).union(edges.select(dst)).distinct()
+             .persist(StorageLevel.MEMORY_AND_DISK))
     n = nodes.count()  # one scalar; the only driver-side value
     if n == 0:
         raise ValueError("pagerank: empty edge list (no hosts to rank)")

@@ -2451,7 +2451,11 @@ FROM g ORDER BY doc_id
 
 def mm_media_features(spark, sf_dir):
     """Multimodal plumbing: text bytes as opaque binary payloads -> Arrow
-    feature kernel. md5(utf8 bytes) == md5(text) gives the SQL oracle."""
+    feature kernel. md5(utf8 bytes) == md5(text) gives the SQL oracle —
+    which requires the RAW text as payload, so this arm assumes the gate
+    corpus text never starts with an image magic signature (it is
+    lowercase vocab words; the NUL-prefix trick used by mm_resize /
+    mm_decode_headers would break the md5 identity)."""
     from .functions.multimodal import extract_media_features
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("m://"), F.col("doc_id").cast("string"), F.lit("/0"))
@@ -2504,7 +2508,9 @@ def mm_decode_headers(spark, sf_dir):
                     payload = make_gif((doc_id % 500) + 1, (doc_id % 300) + 1,
                                        comment_len=doc_id % 11)
                 else:
-                    payload = text.encode("utf-8")
+                    # NUL prefix: corpus-proof opaque bytes (no accidental
+                    # magic-signature match however the corpus changes)
+                    payload = b"\x00" + text.encode("utf-8")
                 rows.append((f"m://{doc_id}", payload,
                              "application/octet-stream", None, None))
             yield pd.DataFrame(rows, columns=[
@@ -2538,7 +2544,7 @@ SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
               WHEN 3 THEN CAST(ph * (pw + 1) + 68 AS BIGINT)
               WHEN 4 THEN CAST(14 + CASE WHEN cl > 0 THEN 4 + cl ELSE 0 END
                                AS BIGINT)
-              ELSE length(text)::BIGINT END AS n_bytes,
+              ELSE (length(text) + 1)::BIGINT END AS n_bytes,
        CASE m WHEN 0 THEN w::INT WHEN 3 THEN pw::INT WHEN 4 THEN gw::INT
               END AS width,
        CASE m WHEN 0 THEN h::INT WHEN 3 THEN ph::INT WHEN 4 THEN gh::INT
@@ -2580,7 +2586,9 @@ def mm_resize(spark, sf_dir):
                 elif m == 4:
                     payload = make_gif((doc_id % 500) + 1, (doc_id % 300) + 1)
                 else:
-                    payload = text.encode("utf-8")
+                    # NUL prefix: corpus-proof opaque bytes — no text can
+                    # accidentally start with an image magic signature
+                    payload = b"\x00" + text.encode("utf-8")
                 rows.append((f"m://{doc_id}", payload,
                              "application/octet-stream", None, None))
             yield pd.DataFrame(rows, columns=[
