@@ -53,3 +53,24 @@ def test_sink_fallback_roundtrip(spark, tmp_path):
     assert backend == "parquet"
     back = read_table(spark, str(tmp_path / "t"))
     assert sorted((r["k"], r["v"]) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_gate_corpus_text_never_sniffs_as_media():
+    """mm_media_features feeds RAW document text as opaque payload bytes
+    (its oracle needs md5(payload) == md5(text), so it cannot NUL-prefix
+    like mm_resize/mm_decode_headers do). That is sound only while no
+    gate-corpus text starts with an image/audio magic signature — assert
+    it so a corpus-generator change surfaces here, not as a hash
+    mismatch in the driver gate."""
+    import duckdb
+
+    from extract_text_spark.functions.multimodal import sniff_mime
+
+    con = duckdb.connect()
+    for sf in ("0.001", "0.01"):
+        rows = con.execute(
+            f"SELECT text FROM '/root/testdata/sf{sf}/documents.parquet'"
+        ).fetchall()
+        assert rows and all(
+            sniff_mime(t.encode("utf-8")) == "application/octet-stream"
+            for (t,) in rows)
