@@ -57,7 +57,7 @@ def _steal_jiffies() -> int:
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
-def _timed_leg(fn, cpus: int) -> list[float]:
+def _timed_leg(fn) -> list[float]:
     """One measured leg: [seconds, loadavg at start, loadavg at end,
     stolen_cores] — stolen_cores is the average number of whole cores the
     hypervisor took from us DURING the leg (steal-jiffy delta / elapsed),
@@ -158,17 +158,22 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # that overstates the engine's time.
     def _one_headline_leg():
         return _timed_leg(lambda: extract_spans_df(
-            docs_df, salt_partitions=HEADLINE_CPUS * 4).count(),
-            HEADLINE_CPUS)
+            docs_df, salt_partitions=HEADLINE_CPUS * 4).count())
 
     ec_legs = [_one_headline_leg() for _ in range(HEADLINE_LEGS)]
+    # ONE clean-leg target everywhere: the adaptive extension stops once
+    # `need` legs are clean, and _median_clean falls back to all legs iff
+    # fewer than the SAME `need` survive (a hardcoded 3 would disagree
+    # with non-default SPARK_GRAFT_HEADLINE_LEGS and silently average
+    # polluted legs back in).
     need = HEADLINE_LEGS // 2 + 1
     while (sum(1 for leg in ec_legs
                if not _leg_polluted(leg, HEADLINE_CPUS)) < need
            and len(ec_legs) < 2 * HEADLINE_LEGS):
         ec_legs.append(_one_headline_leg())
     legs["extract_corpus"] = ec_legs
-    dt = _median_clean(legs["extract_corpus"], HEADLINE_CPUS)
+    dt = _median_clean(legs["extract_corpus"], HEADLINE_CPUS,
+                       min_clean=need)
     timings["extract_corpus"] = round(dt, 3)
     docs_per_sec = round(n_out / dt, 1)
     mb_per_sec = round(bytes_in / 1e6 / dt, 1)
@@ -205,8 +210,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     # min is the engine; the legs show which runs the neighbours ate.
     for name in headliners:
         legs[name] = [
-            _timed_leg(lambda n=name: QUERIES[n](spark, sf_dir).count(),
-                       cpus)
+            _timed_leg(lambda n=name: QUERIES[n](spark, sf_dir).count())
             for _ in range(3)
         ]
         timings[name] = round(min(s for s, *_ in legs[name]), 3)
@@ -242,7 +246,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
             f"stolen_cores]; polluted iff stolen_cores >= 1.0 "
             f"(hypervisor steal, the signal loadavg cannot see) or "
             f"load_end > own_cpus + gate + 1.0; median falls back to "
-            f"all legs if fewer than 3 are clean"),
+            f"all legs if fewer than {HEADLINE_LEGS // 2 + 1} are clean"),
         "load_gate": LOAD_THRESHOLD,
         "legs": legs,
     }

@@ -401,15 +401,16 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
                 F.col("b.vec_id").alias("b_id"), "pm")
     )
     # best match = highest cosine, ties to the lowest earlier id: a
-    # max-struct aggregate (combinable — map-side partials absorb dense
-    # duplicate groups), same trick as snapshot_dedup's best-match pick.
+    # min-struct aggregate over (negated score, id) — combinable, and
+    # type-agnostic on the id (negating the ID instead would NULL out on
+    # string ids and silently mark duplicates keep=True).
     best = (
         pairs.groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("pm"),
-                            (-F.col("b_id")).alias("neg_id"))).alias("top"))
+        .agg(F.min(F.struct((-F.col("pm")).alias("neg_pm"),
+                            F.col("b_id"))).alias("top"))
         .select("vec_id",
-                (-F.col("top.neg_id")).cast("long").alias("dup_of"),
-                F.col("top.pm").alias("dup_milli"))
+                F.col("top.b_id").cast("long").alias("dup_of"),
+                (-F.col("top.neg_pm")).alias("dup_milli"))
     )
     return (
         ranked.join(best, "vec_id", "left")
@@ -692,10 +693,55 @@ def exact_substring_dedup(df: DataFrame, k: int = 4,
 # Incremental dedup against a corpus snapshot
 # ---------------------------------------------------------------------------
 
+def shingle_band_tables(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = MINHASH_K,
+                        bands: int = LSH_BANDS
+                        ) -> tuple[DataFrame, DataFrame]:
+    """One side's minhash-join artifacts: the persisted (id, shingles)
+    table plus the long-format (id, band_idx, band_key) table. Compute
+    once and pass to ``snapshot_dedup`` via ``snap_tables`` when the same
+    side is reused across many calls — the streaming twin reuses the
+    static snapshot every micro-batch, and recomputing (and re-persisting)
+    it per trigger repeats the snapshot's full shingle/signature work N
+    times (the unbounded-cache hazard ingest.py documents)."""
+    r = k // bands
+    s = _shingled(df, id_col, text_col)
+    sig = s.withColumn("hp", minhash_hash_pairs_col(F.col("sh")))
+    sig = sig.select("id", *minhash_sig_cols(F.col("hp"), k))
+    band_keys = [
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    lng = sig.select("id", *band_keys).select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
+        .alias("band_idx", "band_key"),
+    )
+    return s, lng
+
+
+def snapshot_dedup_tables(snap_df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = MINHASH_K,
+                          bands: int = LSH_BANDS):
+    """Precompute EVERYTHING ``snapshot_dedup`` needs from the static
+    snapshot side — shingles, band keys, and the persisted distinct
+    fingerprint set — so a recurring ingest loop pays the snapshot scan
+    once, not once per micro-batch."""
+    from pyspark.storagelevel import StorageLevel
+    s, lng = shingle_band_tables(snap_df, id_col, text_col, k, bands)
+    fp = (snap_df.select(fingerprint_col(text_col).alias("fp"))
+          .distinct().withColumn("fp_hit", F.lit(True))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    return s, lng, fp
+
+
 def snapshot_dedup(new_df: DataFrame, snap_df: DataFrame,
                    threshold: float,
                    id_col: str = "doc_id", text_col: str = "text",
-                   k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+                   k: int = MINHASH_K, bands: int = LSH_BANDS,
+                   snap_tables=None) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus snapshot — the
     incremental form every recurring crawl ingest needs (the self-join
     operators above answer "what duplicates exist"; this answers "which
@@ -709,36 +755,24 @@ def snapshot_dedup(new_df: DataFrame, snap_df: DataFrame,
     * near — MinHash band keys computed per side, candidates from the
       (band_idx, band_key) equi-join between the sides, exact-Jaccard
       verification against the snapshot shingle table, best match =
-      highest jaccard_milli with lowest snapshot id on ties (a max-struct
-      aggregate — deterministic, combinable).
+      highest jaccard_milli with lowest snapshot id on ties (a min-struct
+      aggregate over (negated score, id) — deterministic, combinable,
+      type-agnostic on the id column).
 
-    The snapshot signature/shingle tables are recomputed here for
-    self-containment; a production pipeline persists them once and
-    amortizes across ingests (same plan from the join onward). Output is
-    one row per new doc: (id, exact_dup, near_dup_id, jaccard_milli,
-    keep) with -1/0 sentinels when no near-dup clears the threshold.
+    The snapshot artifacts are recomputed here for self-containment; a
+    production or streaming loop precomputes them ONCE with
+    ``snapshot_dedup_tables`` and passes them via ``snap_tables`` so
+    each ingest amortizes the snapshot scan (same plan from the join
+    onward). Output is one row per new doc: (id, exact_dup,
+    near_dup_id, jaccard_milli, keep) with -1/0 sentinels (numeric ids;
+    string ids carry NULL) when no near-dup clears the threshold.
     """
-    r = k // bands
-
-    def _bands_long(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        s = _shingled(df, id_col, text_col)
-        sig = s.withColumn("hp", minhash_hash_pairs_col(F.col("sh")))
-        sig = sig.select("id", *minhash_sig_cols(F.col("hp"), k))
-        band_keys = [
-            F.md5(F.concat_ws(
-                "|", *[F.col(f"mh{b * r + j}") for j in range(r)]))
-            .alias(f"band{b}")
-            for b in range(bands)
-        ]
-        lng = sig.select("id", *band_keys).select(
-            "id",
-            F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)]))
-            .alias("band_idx", "band_key"),
-        )
-        return s, lng
-
-    s_new, lng_new = _bands_long(new_df)
-    s_snap, lng_snap = _bands_long(snap_df)
+    s_new, lng_new = shingle_band_tables(new_df, id_col, text_col, k, bands)
+    if snap_tables is not None:
+        s_snap, lng_snap, snap_fp = snap_tables
+    else:
+        s_snap, lng_snap, snap_fp = snapshot_dedup_tables(
+            snap_df, id_col, text_col, k, bands)
 
     cand = (
         lng_new.alias("n")
@@ -764,22 +798,34 @@ def snapshot_dedup(new_df: DataFrame, snap_df: DataFrame,
         .withColumn("jaccard_milli",
                     F.floor(F.col("jaccard") * 1000000.0 + 0.5).cast("long"))
     )
+    # min-struct over (negated score, id): highest jaccard, ties to the
+    # lowest snapshot id — type-agnostic on the id column (the engine's
+    # own extraction outputs carry STRING doc_ids like "7/a.zip/x.txt";
+    # negating the id would implicit-cast to NULL and silently report
+    # genuine near-dups as keep=True).
     best = (
         verified.groupBy("new_id")
-        .agg(F.max(F.struct(F.col("jaccard_milli"),
-                            (-F.col("snap_id")).alias("neg_id")))
-             .alias("top"))
+        .agg(F.min(F.struct((-F.col("jaccard_milli")).alias("neg_jm"),
+                            F.col("snap_id"))).alias("top"))
         .select(F.col("new_id").alias("id"),
-                (-F.col("top.neg_id")).cast("long").alias("near_dup_id"),
-                F.col("top.jaccard_milli").alias("jaccard_milli"))
+                F.col("top.snap_id").alias("near_dup_id"),
+                (-F.col("top.neg_jm")).alias("jaccard_milli"))
     )
-    snap_fp = (snap_df.select(fingerprint_col(text_col).alias("fp"))
-               .distinct().withColumn("fp_hit", F.lit(True)))
     exact = (new_df.select(F.col(id_col).alias("id"),
                            fingerprint_col(text_col).alias("fp"))
              .join(snap_fp, "fp", "left")
              .select("id", F.coalesce("fp_hit", F.lit(False))
                      .alias("exact_dup")))
+    from pyspark.sql.types import NumericType
+
+    # Sentinel is type-aware: numeric ids keep the documented -1/0
+    # contract (the oracle's shape); string ids (the engine's own
+    # extraction outputs) carry the real id with NULL when absent —
+    # coalescing -1 into a string column would THROW under ANSI.
+    if isinstance(new_df.schema[id_col].dataType, NumericType):
+        near_out = F.coalesce("near_dup_id", F.lit(-1)).cast("long")
+    else:
+        near_out = F.col("near_dup_id")
     return (
         new_df.select(F.col(id_col).alias("id"))
         .join(exact, "id", "left")
@@ -787,12 +833,11 @@ def snapshot_dedup(new_df: DataFrame, snap_df: DataFrame,
         .select(
             F.col("id").alias(id_col),
             F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
-            F.coalesce("near_dup_id", F.lit(-1)).cast("long")
-             .alias("near_dup_id"),
+            near_out.alias("near_dup_id"),
             F.coalesce("jaccard_milli", F.lit(0)).cast("long")
              .alias("jaccard_milli"),
             (~F.coalesce("exact_dup", F.lit(False))
-             & (F.coalesce("near_dup_id", F.lit(-1)) == -1)).alias("keep"),
+             & F.col("near_dup_id").isNull()).alias("keep"),
         )
     )
 

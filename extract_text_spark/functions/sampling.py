@@ -24,6 +24,17 @@ def hash_bucket_col(id_col: str | Column, salt: str = "") -> Column:
             .cast("long") % _MOD)
 
 
+def _case_map(col: str, mapping: dict[str, int], default: int) -> Column:
+    """Literal when-chain over a small {value: int} map with a default —
+    the broadcast-free form both samplers use for their handful of
+    strata/sources."""
+    out = None
+    for name, val in mapping.items():
+        cond = F.col(col) == name
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(default) if out is not None else F.lit(default)
+
+
 def stratified_sample(df: DataFrame, fracs_milli: dict[str, int],
                       strata_col: str = "source",
                       id_col: str = "doc_id",
@@ -34,13 +45,7 @@ def stratified_sample(df: DataFrame, fracs_milli: dict[str, int],
     strata); membership never shuffles — it is a filter pushed at the
     scan, so at 10^12 docs the sample never materializes the reject set.
     """
-    rate = None
-    for name, milli in fracs_milli.items():
-        cond = F.col(strata_col) == name
-        rate = (F.when(cond, milli) if rate is None
-                else rate.when(cond, milli))
-    rate = (rate.otherwise(default_milli) if rate is not None
-            else F.lit(default_milli))
+    rate = _case_map(strata_col, fracs_milli, default_milli)
     bucket = hash_bucket_col(id_col, salt="strat")
     return df.where(bucket < rate)
 
@@ -65,12 +70,7 @@ def mixture_sample(df: DataFrame, target_counts: dict[str, int],
     absent from ``target_counts`` get target 0 (dropped — an explicit
     mixture is a whitelist)."""
     counts = df.groupBy(source_col).agg(F.count("*").alias("_mix_n"))
-    target = None
-    for name, tgt in target_counts.items():
-        cond = F.col(source_col) == name
-        target = (F.when(cond, tgt) if target is None
-                  else target.when(cond, tgt))
-    target = (target.otherwise(0) if target is not None else F.lit(0))
+    target = _case_map(source_col, target_counts, 0)
     rate = F.least(
         F.lit(_MOD).cast("long"),
         F.call_function("div", target.cast("long") * _MOD,

@@ -766,6 +766,7 @@ def ingest_bytes_df(df: DataFrame, validate: bool = False) -> DataFrame:
 
 def extract_from_bytes(df: DataFrame, validate: bool = False,
                        materialize: bool = True,
+                       cache_registry: list | None = None,
                        **extract_kwargs) -> DataFrame:
     """Full byte-ingest pipeline: parse containers -> JVM fan-out ->
     extraction kernel (pipeline.extract_spans_df).
@@ -778,15 +779,21 @@ def extract_from_bytes(df: DataFrame, validate: bool = False,
     sinks call this per micro-batch, where an unbounded pile of cached
     batches is worse than a bounded per-batch double parse.
 
-    The persisted handle rides on the result as ``result.ingest_cache`` —
-    drivers looping many extractions in one session call
-    ``release_ingest_cache(result)`` after their action to free that
-    job's cached raw bytes without nuking the whole catalog cache."""
+    Releasing the cache: looping drivers pass ``cache_registry=`` (any
+    list they own) — the persisted handle is appended to it, and
+    ``release_caches(registry)`` frees every job's raw-byte cache after
+    the consuming action. The handle also rides on the RETURNED
+    DataFrame as ``result.ingest_cache`` for one-shot callers, but note
+    that is a plain Python attribute: any transformation
+    (``result.select(...)``) returns a new object without it, which is
+    exactly why loops should own the registry instead."""
     from .pipeline import extract_spans_df
     ing = ingest_bytes_df(df, validate=validate)
     if materialize:
         from pyspark import StorageLevel
         ing = ing.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_registry is not None:
+            cache_registry.append(ing)
     out = extract_spans_df(ing, **extract_kwargs)
     if materialize:
         out.ingest_cache = ing
@@ -796,8 +803,20 @@ def extract_from_bytes(df: DataFrame, validate: bool = False,
 def release_ingest_cache(result: DataFrame) -> None:
     """Unpersist the cached ingest output riding on an
     ``extract_from_bytes`` / ``extract_from_urls`` result (no-op for
-    results without one). Call after the consuming action; the result
+    results without one — including any TRANSFORMED result, which loses
+    the attribute; loops should use ``cache_registry=`` +
+    ``release_caches``). Call after the consuming action; the result
     stays valid — a re-run just re-parses."""
     ing = getattr(result, "ingest_cache", None)
     if ing is not None:
         ing.unpersist()
+
+
+def release_caches(registry: list) -> None:
+    """Unpersist every handle collected via ``cache_registry=`` and
+    clear the list — the loop-safe release: transformations on a result
+    discard its ``.ingest_cache`` attribute, but the registry the CALLER
+    owns survives any downstream plan shaping."""
+    for ing in registry:
+        ing.unpersist()
+    registry.clear()

@@ -289,13 +289,17 @@ def stream_dedup_incremental(
     multi-way joins that streaming DataFrames cannot express
     incrementally; exactly-once via the per-batch dynamic-overwrite
     partition pattern (``_skew_safe_sink`` — a replayed batch REPLACES
-    its batch_id partition). The snapshot is static for the query's
-    lifetime; a production loop would also append each batch's keepers
-    to the persisted snapshot signature/fingerprint tables between
-    triggers — same plan from the join onward.
+    its batch_id partition). The snapshot artifacts (shingles, band
+    keys, fingerprint set) are precomputed ONCE here and reused by every
+    micro-batch — recomputing them per trigger would repeat the full
+    snapshot scan and pile up persisted copies N times over the stream's
+    lifetime. A production loop would also append each batch's keepers
+    to those persisted tables between triggers — same plan from the
+    join onward.
     """
-    from ..functions.dedup import snapshot_dedup
+    from ..functions.dedup import snapshot_dedup, snapshot_dedup_tables
 
+    snap_tables = snapshot_dedup_tables(snapshot)
     schema = StructType([StructField("doc_id", LongType()),
                          StructField("text", StringType())])
     reader = spark.readStream.schema(schema)
@@ -304,7 +308,8 @@ def stream_dedup_incremental(
     docs = reader.parquet(input_path)
     writer = docs.writeStream.foreachBatch(_skew_safe_sink(
         output_path,
-        lambda b: snapshot_dedup(b, snapshot, threshold),
+        lambda b: snapshot_dedup(b, snapshot, threshold,
+                                 snap_tables=snap_tables),
     )).option("checkpointLocation", checkpoint_path)
     if available_now:
         writer = writer.trigger(availableNow=True)

@@ -430,7 +430,9 @@ def ingest_urls_df(df: DataFrame, fetch, url_col: str = "url",
     return src.mapInPandas(kernel, schema=_URL_SCHEMA)
 
 
-def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
+def extract_from_urls(df: DataFrame, fetch,
+                      cache_registry: list | None = None,
+                      **kwargs) -> DataFrame:
     """Full URL pipeline: validate+fetch+route -> JVM fan-out ->
     extraction kernel, mirroring ingest.extract_from_bytes.
 
@@ -438,10 +440,11 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
     extraction pipeline's small/big path split: both paths consume it,
     and without the materialization barrier each URL would be FETCHED
     once per path — wrong for a side-effecting network tier, and 2x the
-    kernel cost. The cache is not released here (the result is lazy);
-    the persisted handle rides on the result as ``result.ingest_cache``
-    so looping drivers can call ``ingest.release_ingest_cache(result)``
-    after their action instead of clearing the whole catalog cache."""
+    kernel cost. The cache is not released here (the result is lazy):
+    looping drivers pass ``cache_registry=`` and free each job via
+    ``ingest.release_caches(registry)``; the handle also rides on the
+    untouched result as ``result.ingest_cache`` for one-shot callers
+    (a plain attribute — lost on any transformation)."""
     from pyspark import StorageLevel
     from .pipeline import extract_spans_df
     ingest_kwargs = {k: kwargs.pop(k) for k in
@@ -449,6 +452,8 @@ def extract_from_urls(df: DataFrame, fetch, **kwargs) -> DataFrame:
                       "partitions") if k in kwargs}
     ing = ingest_urls_df(df, fetch, **ingest_kwargs).persist(
         StorageLevel.MEMORY_AND_DISK)
+    if cache_registry is not None:
+        cache_registry.append(ing)
     out = extract_spans_df(ing, **kwargs)
     out.ingest_cache = ing
     return out

@@ -692,3 +692,18 @@ def test_resize_and_pagerank_guards(spark):
     empty = spark.createDataFrame([], "src string, dst string")
     with _pytest.raises(ValueError, match="empty edge list"):
         pagerank(empty, iters=1)
+
+
+def test_snapshot_dedup_string_ids_still_drop(spark):
+    """The best-match pick must be type-agnostic on the id column: the
+    engine's own extraction outputs carry STRING doc_ids (e.g.
+    '7/a.zip/x.txt'). A negated-id max-struct would implicit-cast the id
+    to NULL and silently report this near-dup as keep=True."""
+    words = [f"tok{i}" for i in range(20)]
+    snap = spark.createDataFrame([("7/a.zip/x.txt", " ".join(words))],
+                                 "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("9/b.tar/y.txt", " ".join(words[:-1] + ["CHANGED"]))],
+        "doc_id string, text string")
+    (r,) = dedup.snapshot_dedup(new, snap, threshold=0.2).collect()
+    assert not r.keep and r.jaccard_milli > 0

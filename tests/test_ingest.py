@@ -871,3 +871,21 @@ def test_vendored_7z_declared_size_cap_fires_before_decode():
     with pytest.raises(ValueError, match="zip bomb protection"):
         sevenz_members(z, max_total=1024)
     assert sevenz_members(z, max_total=10**9)[0][1] == b"A" * 100_000
+
+
+def test_cache_registry_survives_transformations(spark):
+    """The loop-safe release path: .ingest_cache is a plain attribute and
+    any transformation discards it, but a caller-owned cache_registry
+    keeps the handle, so release_caches frees the persisted ingest even
+    when the driver only ever held a derived DataFrame."""
+    from extract_text_spark.ingest import release_caches
+    rows = [("d1", "plain.txt", b"some text")]
+    reg: list = []
+    derived = extract_from_bytes(_bytes_df(spark, rows),
+                                 cache_registry=reg).select("doc_id")
+    assert not hasattr(derived, "ingest_cache")   # attribute gone
+    assert len(reg) == 1 and reg[0].storageLevel.useMemory
+    derived.count()
+    handle = reg[0]
+    release_caches(reg)
+    assert not handle.storageLevel.useMemory and reg == []

@@ -124,8 +124,12 @@ def main():
     kept = [t for t in trials
             if not polluted(t["small"]) and not polluted(t["big"])]
     dropped = [i + 1 for i, t in enumerate(trials) if t not in kept]
-    if len(kept) * 2 < len(trials):
-        kept, dropped = trials, []
+    fallback_all = len(kept) * 2 < len(trials)
+    if fallback_all:
+        # Keep `dropped` intact for the report: the rule DID condemn
+        # these pairs — hiding that would misstate a maximally-polluted
+        # window as clean. The median just has no quorum to act on it.
+        kept = trials
     effs = sorted(t["eff"] for t in kept)
     med_eff = statistics.median(effs)
     # median trial (by efficiency) supplies the headline wall numbers
@@ -143,10 +147,17 @@ def main():
         f"{' REJECTED (polluted)' if (i + 1) in dropped else ''}"
         for i, t in enumerate(trials)
     )
-    rejection_note = (
-        f"Pairs {dropped} rejected by the pollution rule before the "
-        f"median." if dropped else
-        "No pairs rejected by the pollution rule.")
+    if fallback_all:
+        rejection_note = (
+            f"**Pollution rule condemned pairs {dropped} — fewer than "
+            f"half survived, so the median fell back to ALL pairs. Treat "
+            f"this run's efficiency as an upper bound on pollution, not "
+            f"a clean measurement; re-run on a quieter window.**")
+    elif dropped:
+        rejection_note = (f"Pairs {dropped} rejected by the pollution "
+                          f"rule before the median.")
+    else:
+        rejection_note = "No pairs rejected by the pollution rule."
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     md = f"""# BENCH/BASELINE — extraction throughput + scaling evidence
@@ -179,7 +190,8 @@ Headline (median pair):
 | {n_small} (N) | {small['seconds']:.2f} | {tps_small:.1f} |
 | {n_big} (4N) | {big['seconds']:.2f} | {tps_big:.1f} |
 
-**Scaling efficiency (median of {len(kept)}/{pairs} surviving pairs)**
+**Scaling efficiency (median of {len(kept)}/{pairs} \
+{'pairs - FALLBACK, see rejection note' if fallback_all else 'surviving pairs'})**
 = (T_N / T_4N) / {ratio:.0f}
 = **{med_eff:.3f}** (target >= 0.8; surviving band
 {effs[0]:.3f}-{effs[-1]:.3f})
