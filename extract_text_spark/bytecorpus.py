@@ -1118,3 +1118,64 @@ def make_7z(entries: dict[str, bytes], coder: str = "copy") -> bytes:
     start = struct.pack("<QQI", len(body), len(header), zlib.crc32(header))
     return (SEVENZ_SIG + b"\x00\x04"
             + struct.pack("<I", zlib.crc32(start)) + start + body + header)
+
+
+def make_warc(records: list[dict], gzip_members: bool = False,
+              bare_lf: bool = False) -> bytes:
+    """Deterministic WARC bytes (ISO 28500 shape, CommonCrawl packaging
+    when ``gzip_members``). Each record dict:
+
+    * ``type``: warcinfo/request/response/conversion/resource/metadata
+    * ``uri``: WARC-Target-URI (optional)
+    * ``body``: payload bytes (for ``response``, the HTTP body)
+    * ``http_status``/``http_headers``: response-envelope fields
+      (``response`` type only)
+    * ``content_type``: the record Content-Type (direct-content types)
+    * ``truncate_by``: drop this many payload bytes AFTER declaring the
+      full Content-Length (framing-error fixture arm)
+
+    WARC-Date and record ids are pinned so bytes are reproducible;
+    ``bare_lf`` writes LF-only header blocks (tolerant-parser arm).
+    """
+    import gzip as _gzip
+    import hashlib
+    nl = b"\n" if bare_lf else b"\r\n"
+    out = []
+    for i, rec in enumerate(records):
+        rtype = rec.get("type", "response")
+        body = rec.get("body", b"")
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        if rtype == "response":
+            status = rec.get("http_status", 200)
+            reason = {200: "OK", 301: "Moved Permanently",
+                      404: "Not Found", 500: "Internal Server Error"}.get(
+                          status, "Status")
+            http = [f"HTTP/1.1 {status} {reason}".encode()]
+            for k, v in (rec.get("http_headers") or {}).items():
+                http.append(f"{k}: {v}".encode())
+            http.append(f"Content-Length: {len(body)}".encode())
+            payload = b"\r\n".join(http) + b"\r\n\r\n" + body
+            ctype = "application/http; msgtype=response"
+        else:
+            payload = body
+            ctype = rec.get("content_type",
+                            "application/warc-fields"
+                            if rtype == "warcinfo" else
+                            "application/octet-stream")
+        rid = hashlib.md5(f"{i}:{rec.get('uri', '')}".encode()).hexdigest()
+        hdr = [b"WARC/1.0",
+               f"WARC-Type: {rtype}".encode(),
+               f"WARC-Record-ID: <urn:uuid:{rid}>".encode(),
+               b"WARC-Date: 2024-01-01T00:00:00Z"]
+        if rec.get("uri"):
+            hdr.append(f"WARC-Target-URI: {rec['uri']}".encode())
+        hdr.append(f"Content-Type: {ctype}".encode())
+        hdr.append(f"Content-Length: {len(payload)}".encode())
+        if rec.get("truncate_by"):
+            payload = payload[:-rec["truncate_by"]]
+        record = nl.join(hdr) + nl + nl + payload + nl + nl
+        if gzip_members:
+            record = _gzip.compress(record, mtime=0)
+        out.append(record)
+    return b"".join(out)

@@ -3350,6 +3350,108 @@ SELECT url, off::BIGINT AS off, kind, content FROM recs ORDER BY url, off
 """
 
 
+def ext_warc_source(spark, sf_dir):
+    """WARC source (CommonCrawl packaging) through the real distributed
+    pipeline: each doc becomes one WARC file whose records are built
+    deterministically from doc_id, so every output row is closed-form.
+    doc_id %% 5 exercises (0) a plain WARC with warcinfo + request records
+    SKIPPED and a 200 text/html response taking the page-mode strip (the
+    ordinal proves skipped records still advance addressing), (1) the
+    CommonCrawl per-record-gzip-member packaging with a text/plain file
+    download (filename derivation + byte ingestion), (2) a non-200
+    response quarantined per-record, (3) a bare-LF WET-style
+    ``conversion`` record (text/plain, extensionless URI -> .txt
+    backfill from the MIME map), (4) a framing error (payload truncated
+    against its declared Content-Length) quarantining the whole file."""
+    from .bytecorpus import make_warc
+    from .warcsource import extract_from_warc
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                m = doc_id % 5
+                if m == 0:
+                    html = ("<html><head><style>p{margin:0}</style></head>"
+                            "<body><nav>site chrome</nav><p>Doc "
+                            f"{doc_id} body</p>"
+                            "<footer>footer junk</footer></body></html>")
+                    payload = make_warc([
+                        {"type": "warcinfo", "body": b"software: cc"},
+                        {"type": "request",
+                         "uri": f"http://crawl.example/doc{doc_id}.html",
+                         "body": b"GET / HTTP/1.1"},
+                        {"type": "response",
+                         "uri": f"http://crawl.example/doc{doc_id}.html",
+                         "http_headers": {"Content-Type": "text/html"},
+                         "body": html},
+                    ])
+                elif m == 1:
+                    payload = make_warc([
+                        {"type": "response",
+                         "uri": f"http://crawl.example/doc{doc_id}.txt",
+                         "http_headers": {"Content-Type": "text/plain"},
+                         "body": f"Plain doc {doc_id} payload"},
+                    ], gzip_members=True)
+                elif m == 2:
+                    payload = make_warc([
+                        {"type": "response", "http_status": 404,
+                         "uri": f"http://crawl.example/doc{doc_id}.html",
+                         "body": b"not found"},
+                    ])
+                elif m == 3:
+                    payload = make_warc([
+                        {"type": "conversion",
+                         "uri": f"http://crawl.example/doc{doc_id}",
+                         "content_type": "text/plain",
+                         "body": f"WET doc {doc_id} text"},
+                    ], bare_lf=True)
+                else:
+                    payload = make_warc([
+                        {"type": "response",
+                         "uri": f"http://crawl.example/doc{doc_id}.txt",
+                         "body": b"x" * 40, "truncate_by": 30},
+                    ])
+                rows.append((f"w{doc_id}", payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("content", BinaryType()),
+    ])
+    warcs = d.select("doc_id").mapInPandas(kernel, schema=schema)
+    out = extract_from_warc(warcs)
+    return out.select(
+        F.col("doc_id").alias("record_id"), "status",
+        F.try_element_at("spans", F.lit(1)).getField("text")
+         .alias("extracted"),
+    ).orderBy("record_id")
+
+
+EXT_WARC_SOURCE_SQL = """
+SELECT CASE doc_id % 5
+         WHEN 0 THEN 'w' || doc_id::VARCHAR || '/2'
+         WHEN 4 THEN 'w' || doc_id::VARCHAR
+         ELSE 'w' || doc_id::VARCHAR || '/0'
+       END AS record_id,
+       CASE doc_id % 5
+         WHEN 2 THEN 'error: HTTP status 404'
+         WHEN 4 THEN 'error: Error processing WARC: ' ||
+                     'truncated WARC record payload'
+         ELSE 'ok'
+       END AS status,
+       CASE doc_id % 5
+         WHEN 0 THEN 'Doc ' || doc_id::VARCHAR || ' body'
+         WHEN 1 THEN 'Plain doc ' || doc_id::VARCHAR || ' payload'
+         WHEN 3 THEN 'WET doc ' || doc_id::VARCHAR || ' text'
+       END AS extracted
+FROM documents ORDER BY record_id
+"""
+
+
 def ext_pdf_bytes(spark, sf_dir):
     """Real PDF bytes (E1 from actual FlateDecode streams): two pages per
     doc through extractors/pdfbytes.py -> pdf_page spans -> the pinned
@@ -3508,6 +3610,7 @@ QUERIES = {
     "ext_rar7z_fanout": ext_rar7z_fanout,
     "ext_url_source": ext_url_source,
     "ext_url_images": ext_url_images,
+    "ext_warc_source": ext_warc_source,
     "ext_mail_bytes": ext_mail_bytes,
     "ext_main_content": ext_main_content,
     "ext_html_strip": ext_html_strip,
@@ -3577,6 +3680,7 @@ ORACLES = {
     "ext_rar7z_fanout": EXT_RAR7Z_FANOUT_SQL,
     "ext_url_source": EXT_URL_SOURCE_SQL,
     "ext_url_images": EXT_URL_IMAGES_SQL,
+    "ext_warc_source": EXT_WARC_SOURCE_SQL,
     "ext_mail_bytes": EXT_MAIL_BYTES_SQL,
     "ext_main_content": EXT_MAIN_CONTENT_SQL,
     "ext_html_strip": EXT_HTML_STRIP_SQL,
