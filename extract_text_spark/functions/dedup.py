@@ -1017,3 +1017,128 @@ def url_dedup(df: DataFrame, url_col: str = "url",
         F.min(id_col).alias("keep_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter snapshot membership (the "seen before?" scale path)
+# ---------------------------------------------------------------------------
+
+BLOOM_WORD_BITS = 60    # bits per packed long: max shift 59 stays inside
+                        # signed-64 range in Spark AND DuckDB (DuckDB
+                        # overflow-checks 1::BIGINT << 63)
+
+
+def _bloom_positions(fp: Column, m_bits: int, k: int) -> list[Column]:
+    """k uniform bit positions in [0, m_bits) from md5(j:fingerprint) —
+    the md5-derived-hash family every deterministic operator here uses
+    (same 8-hex-chars-to-BIGINT idiom as sampling.hash_bucket_col, so
+    the DuckDB twin is exact)."""
+    return [
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(str(j)), F.lit(":"), fp)), 1, 8),
+            16, 10).cast("long") % m_bits
+        for j in range(k)
+    ]
+
+
+def bloom_filter_words(snapshot: DataFrame, text_col: str = "text",
+                       m_bits: int = 480, k: int = 4) -> list[int]:
+    """Build the m-bit filter over the snapshot as ``m_bits/60`` packed
+    longs. One combinable aggregation: explode k positions per distinct
+    fingerprint, bit_or the masks per word — map-side partials absorb
+    hot fingerprints, and the result is bounded driver state (m/60
+    longs, the k-means-centroid shape), NOT a per-row collect."""
+    fp = F.md5(F.col(text_col))
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    pos = (snapshot.select(F.explode(F.array(
+               *_bloom_positions(fp, m_bits, k))).alias("p"))
+           .select(F.call_function("div", F.col("p"),
+                                   F.lit(BLOOM_WORD_BITS)).alias("w"),
+                   F.call_function(
+                       "shiftleft", F.lit(1).cast("long"),
+                       (F.col("p") % BLOOM_WORD_BITS).cast("int"))
+                   .alias("mask")))
+    rows = pos.groupBy("w").agg(F.bit_or("mask").alias("bits")).collect()
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words
+
+
+def bloom_member_col(text_col: str | Column, words: list[int],
+                     m_bits: int, k: int = 4) -> Column:
+    """Row-local membership test against a literal packed-word array:
+    ALL k bits set. Pure codegen (conv/md5/bitwise) — a scan-level
+    filter with ZERO shuffle and zero Python, the whole point of the
+    Bloom path. False positives are inherent and deterministic: callers
+    audit them with an exact join (see the dedup_bloom driver query)."""
+    arr = F.array(*[F.lit(int(wv)).cast("long") for wv in words])
+    fp = F.md5(text_col if isinstance(text_col, Column)
+               else F.col(text_col))
+    hits = []
+    for p in _bloom_positions(fp, m_bits, k):
+        word = F.call_function("div", p, F.lit(BLOOM_WORD_BITS))
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"),
+                               (p % BLOOM_WORD_BITS).cast("int"))
+        hits.append(F.element_at(arr, (word + 1).cast("int"))
+                    .bitwiseAND(mask) != 0)
+    out = hits[0]
+    for h in hits[1:]:
+        out = out & h
+    return out
+
+
+def bloom_snapshot_filter(corpus: DataFrame, snapshot: DataFrame,
+                          text_col: str = "text", m_bits: int = 480,
+                          k: int = 4,
+                          max_literal_words: int = 2048) -> DataFrame:
+    """Tag each corpus row with ``bloom_member``: does its text MAYBE
+    exist in the snapshot? The incremental-ingest pre-filter
+    snapshot_dedup's docstring promises: at 100 TB the distinct
+    snapshot fingerprint set is too big to equi-join per micro-batch,
+    so the filter is the first gate — misses (the common case for fresh
+    crawl content) never shuffle at all; only maybe-members go on to
+    the exact fingerprint join.
+
+    Two physical forms, same results:
+
+    * ``m_bits <= max_literal_words*60``: the packed words ride the plan
+      as a literal array — membership is a pure scan-side codegen
+      filter, zero shuffle, zero Python (bounded driver state builds
+      the literal, m/60 longs).
+    * larger filters: the (word, bits) table is broadcast-joined against
+      the exploded probe positions and bool_and-aggregated per row —
+      one broadcast + one combinable aggregate, still never a
+      corpus-vs-snapshot join. (Beyond broadcast range you would shard
+      the bitmap by word — the probe join key already is the word.)
+    """
+    n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
+    if n_words <= max_literal_words:
+        words = bloom_filter_words(snapshot, text_col, m_bits, k)
+        return corpus.withColumn(
+            "bloom_member", bloom_member_col(text_col, words, m_bits, k))
+    fp = F.md5(F.col(text_col))
+    word_df = (snapshot.select(F.explode(F.array(
+                   *_bloom_positions(fp, m_bits, k))).alias("p"))
+               .select(F.call_function("div", F.col("p"),
+                                       F.lit(BLOOM_WORD_BITS)).alias("w"),
+                       F.call_function(
+                           "shiftleft", F.lit(1).cast("long"),
+                           (F.col("p") % BLOOM_WORD_BITS).cast("int"))
+                       .alias("mask"))
+               .groupBy("w").agg(F.bit_or("mask").alias("bits")))
+    probe = corpus.select(
+        "*", F.posexplode(F.array(*_bloom_positions(fp, m_bits, k)))
+        .alias("_j", "_p"))
+    probe = (probe
+             .withColumn("_w", F.call_function("div", F.col("_p"),
+                                               F.lit(BLOOM_WORD_BITS)))
+             .join(F.broadcast(word_df), F.col("_w") == F.col("w"), "left")
+             .withColumn("_hit", F.coalesce(F.col("bits"), F.lit(0))
+                         .bitwiseAND(F.call_function(
+                             "shiftleft", F.lit(1).cast("long"),
+                             (F.col("_p") % BLOOM_WORD_BITS).cast("int")))
+                         != 0))
+    keys = [c for c in corpus.columns]
+    return (probe.groupBy(*keys)
+            .agg(F.bool_and("_hit").alias("bloom_member")))

@@ -1024,6 +1024,64 @@ FROM canon GROUP BY canonical_url ORDER BY canonical_url
 """
 
 
+def dedup_bloom(spark, sf_dir):
+    """Bloom-filter snapshot membership (the incremental-ingest
+    pre-filter snapshot_dedup's 100 TB story names): snapshot = every
+    doc_id %% 3 == 0 text; the 480-bit/4-hash filter is DELIBERATELY
+    undersized so the corpus exhibits real false positives, and the
+    query audits them against the exact fingerprint join — the
+    engineering tradeoff (miss-free, FP-quantified) is what the gate
+    pins. Filter words are md5-derived integers, so the DuckDB twin
+    rebuilds the identical bitmap."""
+    from .functions.dedup import bloom_snapshot_filter
+    d = _t(spark, sf_dir, "documents")
+    snap = d.filter(F.pmod("doc_id", F.lit(3)) == 0).select("text")
+    tagged = bloom_snapshot_filter(d, snap, m_bits=480, k=4)
+    snap_fp = (snap.select(F.md5("text").alias("fp")).distinct()
+               .withColumn("fp_hit", F.lit(True)))
+    exact = F.coalesce("fp_hit", F.lit(False))
+    return (tagged.select(F.col("doc_id").cast("long").alias("doc_id"),
+                          F.md5("text").alias("fp"), "bloom_member")
+            .join(F.broadcast(snap_fp), "fp", "left")
+            .select("doc_id", "bloom_member",
+                    exact.alias("exact_member"),
+                    (F.col("bloom_member") & ~exact)
+                    .alias("false_positive"))
+            .orderBy("doc_id"))
+
+
+DEDUP_BLOOM_SQL = """
+WITH snap AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 3 = 0
+), pos AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(j.k::VARCHAR || ':' || fp), 1, 8))::BIGINT
+           % 480 AS p
+  FROM snap, range(4) j(k)
+), words AS (
+  SELECT p // 60 AS w, bit_or(1::BIGINT << (p % 60)::INT) AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT d.doc_id,
+         ('0x' || substr(md5(j.k::VARCHAR || ':' || md5(d.text)), 1, 8))
+           ::BIGINT % 480 AS p
+  FROM documents d, range(4) j(k)
+), hit AS (
+  SELECT doc_id,
+         bool_and((COALESCE(w.bits, 0) >> (p % 60)::INT) & 1 = 1)
+           AS bloom_member
+  FROM probe LEFT JOIN words w ON probe.p // 60 = w.w
+  GROUP BY doc_id
+)
+SELECT d.doc_id, h.bloom_member,
+       md5(d.text) IN (SELECT fp FROM snap) AS exact_member,
+       h.bloom_member AND md5(d.text) NOT IN (SELECT fp FROM snap)
+         AS false_positive
+FROM documents d JOIN hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 URL_BLOCKLIST = ["bad.example", "tracker.example"]
 URL_NSFW_WEIGHTS = [("casino", 600000), ("poker", 500000), ("xxx", 900000)]
 
@@ -3629,6 +3687,7 @@ QUERIES = {
     "mm_frame_sample": mm_frame_sample,
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
+    "dedup_bloom": dedup_bloom,
     "url_filter": url_filter,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
@@ -3699,6 +3758,7 @@ ORACLES = {
     "mm_frame_sample": MM_FRAME_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
+    "dedup_bloom": DEDUP_BLOOM_SQL,
     "url_filter": URL_FILTER_SQL,
     "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,

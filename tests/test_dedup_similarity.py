@@ -707,3 +707,45 @@ def test_snapshot_dedup_string_ids_still_drop(spark):
         "doc_id string, text string")
     (r,) = dedup.snapshot_dedup(new, snap, threshold=0.2).collect()
     assert not r.keep and r.jaccard_milli > 0
+
+
+def test_bloom_snapshot_filter_no_false_negatives_and_paths_agree(spark):
+    """Bloom guarantee: every true snapshot member tests positive (no
+    false negatives ever); the literal-array and broadcast-join physical
+    forms produce identical verdicts; an undersized filter shows real,
+    deterministic false positives the exact join can audit."""
+    snap_rows = [(i, f"snapshot doc number {i}") for i in range(40)]
+    new_rows = ([(100 + i, f"snapshot doc number {i}") for i in range(0, 10)]
+                + [(200 + i, f"fresh unseen doc {i}") for i in range(60)])
+    snap = spark.createDataFrame(snap_rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    lit_form = {r.doc_id: r.bloom_member
+                for r in dedup.bloom_snapshot_filter(
+                    corpus, snap, m_bits=480, k=4).collect()}
+    join_form = {r.doc_id: r.bloom_member
+                 for r in dedup.bloom_snapshot_filter(
+                     corpus, snap, m_bits=480, k=4,
+                     max_literal_words=0).collect()}
+    assert lit_form == join_form
+    # no false negatives: every re-crawled duplicate is flagged
+    assert all(lit_form[100 + i] for i in range(10))
+    # severely undersized filter (120 bits / ~160 positions, ~75%
+    # density) -> real deterministic FPs, but never all-positive
+    dense = {r.doc_id: r.bloom_member
+             for r in dedup.bloom_snapshot_filter(
+                 corpus, snap, m_bits=120, k=4).collect()}
+    assert all(dense[100 + i] for i in range(10))
+    fps = [d for d in range(200, 260) if dense[d]]
+    assert 0 < len(fps) < 60
+
+
+def test_bloom_filter_words_bounded_and_word_packing(spark):
+    """The driver state is exactly ceil(m/60) longs, and every set bit
+    stays below bit 60 (the cross-engine shift-safety invariant)."""
+    snap = spark.createDataFrame(
+        [(f"text {i}",) for i in range(25)], "text string")
+    words = dedup.bloom_filter_words(snap, m_bits=480, k=4)
+    assert len(words) == 8
+    assert any(words)
+    assert all(0 <= w < (1 << 60) for w in words)
