@@ -107,3 +107,69 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     return out.withColumn(
         "pack_bin",
         F.call_function("div", cum_excl, F.lit(budget)).cast("long"))
+
+
+def dsir_sample(df: DataFrame, target: DataFrame, nbuckets: int = 1 << 20,
+                mult_milli: int = 1_000_000,
+                id_col: str = "doc_id", text_col: str = "text",
+                target_id_col: str | None = None) -> DataFrame:
+    """DSIR-shaped importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): select raw-corpus docs toward a small TARGET
+    domain sample by importance weights estimated from hashed bag-of-
+    n-gram statistics — the data-selection tier between heuristic
+    filters and full model scoring.
+
+    Exact-integer form (every value bit-identical to the DuckDB twin):
+
+    * features: the classifier's hashed unigram+bigram space
+      (text_stats.hashed_features — one shared definition);
+    * per-bucket smoothed probability ratio, evaluated in the FIXED
+      staged order ``stage1 = ((ct+1)*1e6) div (cr+1)`` then
+      ``ratio = (stage1*(Nr+B)) div (Nt+B)`` — millionths of
+      p_target(b)/p_raw(b) with add-1 smoothing. The paper's
+      log-likelihood-ratio SUM becomes a MEAN of these integer ratios:
+      same direction, no transcendentals (the ta_classifier trick). At
+      petabyte counts the first product needs DECIMAL(38) headroom;
+      at this width BIGINT is exact.
+    * resample: keep iff the doc's deterministic hash bucket falls
+      below ``min(1e6, importance*mult/1e6)`` — reproducible across
+      reruns and partitionings like every sampler here.
+
+    Scale shape: two combinable count aggregations (outputs bounded by
+    ``nbuckets``); the tiny count tables are persisted so their totals
+    (driver scalars, k-means-style bounded state) do not rescan the
+    corpus; the weight table broadcasts — the corpus never shuffles for
+    the join; one map-side-combined groupBy(id) for the doc mean.
+
+    Output: (id_col, n_features, importance_milli, keep).
+    """
+    from pyspark.storagelevel import StorageLevel
+    from .text_stats import hashed_features
+    div = lambda a, b: F.call_function("div", a, b)
+    feats = hashed_features(df, nbuckets, id_col, text_col)
+    tfeats = hashed_features(target, nbuckets, target_id_col or id_col,
+                             text_col)
+    cr = (feats.groupBy("bucket").agg(F.count("*").cast("long").alias("cr"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    ct = (tfeats.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    n_raw = cr.agg(F.sum("cr")).collect()[0][0] or 0
+    n_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
+    norm_num, norm_den = n_raw + nbuckets, n_tgt + nbuckets
+    default_ratio = (_MOD * norm_num) // norm_den   # unseen bucket: ct=cr=0
+    w = (cr.join(ct, "bucket", "full").select(
+            "bucket",
+            div(div((F.coalesce("ct", F.lit(0)) + 1) * _MOD,
+                    F.coalesce("cr", F.lit(0)) + 1) * F.lit(norm_num),
+                F.lit(norm_den)).alias("ratio_milli")))
+    scored = (feats.join(F.broadcast(w), "bucket", "left")
+              .select("id", F.coalesce("ratio_milli",
+                                       F.lit(default_ratio)).alias("r")))
+    agg = (scored.groupBy("id")
+           .agg(F.count("*").cast("long").alias("n_features"),
+                div(F.sum("r"), F.count("*")).alias("importance_milli")))
+    rate = F.least(F.lit(_MOD).cast("long"),
+                   div(F.col("importance_milli") * mult_milli, F.lit(_MOD)))
+    return agg.select(
+        F.col("id").alias(id_col), "n_features", "importance_milli",
+        (hash_bucket_col("id", salt="dsir") < rate).alias("keep"))

@@ -411,6 +411,28 @@ def classifier_bucket_col(feature: Column, nbuckets: int) -> Column:
             .cast("long") % nbuckets)
 
 
+def hashed_features(df, nbuckets: int, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """(id, bucket) rows: hashed unigram + bigram features WITH
+    multiplicity (the fastText counting), 2 rows per token. Shared by
+    the classifier inference and DSIR importance weighting so both
+    tiers score the exact same feature space."""
+    toks = F.split(F.col(text_col), " ")
+    nxt = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    # zip_with pads the shorter side with null and concat null-propagates,
+    # so the dangling last pair drops in the filter (args evaluate once —
+    # the pre-shifted-arrays pattern, never element_at in a lambda).
+    bigrams = F.filter(
+        F.zip_with(toks, nxt, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select("id", classifier_bucket_col(F.col("feat"), nbuckets)
+             .alias("bucket"))
+
+
 def quality_classifier(df, weights, nbuckets: int = 1 << 20,
                        threshold_milli: int = 0,
                        id_col: str = "doc_id", text_col: str = "text"):
@@ -436,20 +458,7 @@ def quality_classifier(df, weights, nbuckets: int = 1 << 20,
 
     Output: (doc_id, n_features, logit_sum, logit_milli, keep).
     """
-    toks = F.split(F.col(text_col), " ")
-    nxt = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-    # zip_with pads the shorter side with null and concat null-propagates,
-    # so the dangling last pair drops in the filter (args evaluate once —
-    # the pre-shifted-arrays pattern, never element_at in a lambda).
-    bigrams = F.filter(
-        F.zip_with(toks, nxt, lambda a, b: F.concat(a, F.lit(" "), b)),
-        lambda x: x.isNotNull(),
-    )
-    feats = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.concat(toks, bigrams)).alias("feat"),
-    ).select("id", classifier_bucket_col(F.col("feat"), nbuckets)
-             .alias("bucket"))
+    feats = hashed_features(df, nbuckets, id_col, text_col)
     scored = (
         feats.join(F.broadcast(weights), "bucket", "left")
         .select("id", F.coalesce(F.col("w"), F.lit(0)).cast("long")

@@ -862,6 +862,70 @@ GROUP BY source ORDER BY source
 """
 
 
+def sample_dsir(spark, sf_dir):
+    """DSIR importance resampling (sampling.dsir_sample, Xie et al.
+    2023): docs carry closed-form domain texts — physics vocabulary for
+    doc_id %% 7 in {0,1}, finance vocabulary otherwise, shared trailer
+    tokens for overlap — and the target sample is the %% 7 == 0 slice,
+    so in-domain docs (including the UNSEEN %%7==1 slice, the point of
+    importance weighting) score high and get resampled at ~750k
+    millionths while out-of-domain docs fall to ~4k. Every ratio is a
+    staged integer division, so the DuckDB twin is hash-exact."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(7))
+    text = F.concat(
+        F.when(m <= 1, F.lit("quark gluon boson lepton quark boson"))
+         .otherwise(F.lit("stock bond yield credit stock yield")),
+        F.lit(" common token here"))
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    text.alias("text"))
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return sampling.dsir_sample(
+        docs, target, nbuckets=4096, mult_milli=600000).orderBy("doc_id")
+
+
+SAMPLE_DSIR_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 <= 1
+               THEN 'quark gluon boson lepton quark boson'
+               ELSE 'stock bond yield credit stock yield' END)
+         || ' common token here' AS text
+  FROM documents
+), t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM docs),
+f AS (
+  SELECT doc_id,
+         unnest(tk || list_transform(range(1, len(tk)),
+                                     i -> tk[i] || ' ' || tk[i + 1])) AS feat
+  FROM t
+), b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096 AS bucket
+  FROM f
+), cr AS (SELECT bucket, count(*)::BIGINT AS cr FROM b GROUP BY 1),
+ct AS (SELECT bucket, count(*)::BIGINT AS ct FROM b
+       WHERE doc_id % 7 = 0 GROUP BY 1),
+tot AS (SELECT (SELECT sum(cr) FROM cr) AS nr,
+               (SELECT coalesce(sum(ct), 0) FROM ct) AS nt),
+w AS (
+  SELECT cr.bucket,
+         ((((coalesce(ct.ct, 0) + 1) * 1000000) // (cr.cr + 1))
+          * (tot.nr + 4096)) // (tot.nt + 4096) AS ratio_milli
+  FROM cr LEFT JOIN ct USING (bucket), tot
+), agg AS (
+  SELECT b.doc_id, count(*)::BIGINT AS n_features,
+         (sum(w.ratio_milli) // count(*))::BIGINT AS importance_milli
+  FROM b JOIN w USING (bucket) GROUP BY b.doc_id
+)
+SELECT doc_id, n_features, importance_milli,
+       ('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::BIGINT
+         % 1000000
+         < least(1000000::BIGINT, (importance_milli * 600000) // 1000000)
+         AS keep
+FROM agg ORDER BY doc_id
+"""
+
+
 def sample_stratified(spark, sf_dir):
     """Deterministic per-source sampling (training-mix construction):
     membership = md5 hash bucket < per-stratum rate, a pure filter at the
@@ -3714,6 +3778,7 @@ QUERIES = {
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
     "sample_mixture": sample_mixture,
+    "sample_dsir": sample_dsir,
     "pack_batches": pack_batches,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3785,6 +3850,7 @@ ORACLES = {
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
+    "sample_dsir": SAMPLE_DSIR_SQL,
     "pack_batches": PACK_BATCHES_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,

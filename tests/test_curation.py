@@ -409,3 +409,31 @@ def test_quality_classifier_closed_form(spark):
     assert got[3].logit_milli == 166666667 and got[3].keep
     assert (got[4].n_features, got[4].logit_sum) == (1, 0)
     assert got[4].logit_milli == 0 and got[4].keep
+
+
+def test_dsir_sample_upweights_unseen_in_domain_docs(spark):
+    """The point of DSIR: docs that LOOK like the target domain but were
+    never in the target sample score the same importance as target docs,
+    and out-of-domain docs score far lower; resampling is deterministic
+    (pure hash membership, rerun-identical)."""
+    from extract_text_spark.functions import sampling
+    rows = []
+    for i in range(60):
+        dom = ("proton neutron electron field theory" if i % 3 == 0
+               else "recipe butter flour sugar oven")
+        rows.append((i, dom + " shared tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # target = only EVEN in-domain docs; odd in-domain docs are unseen
+    target = docs.filter((F.col("doc_id") % 3 == 0)
+                         & (F.col("doc_id") % 2 == 0))
+    out = {r.doc_id: r for r in sampling.dsir_sample(
+        docs, target, nbuckets=2048, mult_milli=500000).collect()}
+    seen = out[0].importance_milli
+    unseen = out[3].importance_milli          # in-domain, not in target
+    outside = out[1].importance_milli
+    assert seen == unseen                     # same text -> same weight
+    assert unseen > 3 * outside
+    rerun = {r.doc_id: r.keep for r in sampling.dsir_sample(
+        docs, target, nbuckets=2048, mult_milli=500000).collect()}
+    assert rerun == {k: v.keep for k, v in out.items()}
+    assert all(r.n_features == 13 for r in out.values())  # 7 uni + 6 bi
