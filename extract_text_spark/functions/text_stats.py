@@ -521,3 +521,90 @@ def c4_cols(lines: str | Column = "lines") -> dict[str, Column]:
                  & ~has_lorem & ~has_brace),
         "text_kept": text_kept,
     }
+
+
+# ---------------------------------------------------------------------------
+# Real BPE encoding (Sennrich et al. 2016 / the GPT-2 merge loop)
+# ---------------------------------------------------------------------------
+
+def bpe_merge_word(word: str, ranks: dict) -> tuple:
+    """Greedy BPE for one pre-token: each round merges EVERY occurrence
+    of the lowest-rank adjacent pair (the GPT-2 `bpe()` loop), until no
+    known pair remains. Word-internal, plain characters (no end-of-word
+    marker — documented simplification vs Sennrich's </w>)."""
+    parts = tuple(word)
+    while len(parts) > 1:
+        best_rank, pair = None, None
+        for i in range(len(parts) - 1):
+            r = ranks.get((parts[i], parts[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, pair = r, (parts[i], parts[i + 1])
+        if pair is None:
+            break
+        out, i = [], 0
+        while i < len(parts):
+            if (i < len(parts) - 1
+                    and (parts[i], parts[i + 1]) == pair):
+                out.append(parts[i] + parts[i + 1])
+                i += 2
+            else:
+                out.append(parts[i])
+                i += 1
+        parts = tuple(out)
+    return parts
+
+
+def bpe_encode_df(df, merges: list, id_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Real BPE encoding as an Arrow kernel — the merge loop is
+    iterative per word, the documented Pandas-UDF seam (everything
+    expressible stays Catalyst; this is not). Pre-tokenization is
+    ``_BPE_TOKEN_RE``, the SAME regex ``bpe_token_count_col`` counts,
+    so ``n_pretokens`` here always equals that cheap column; leading
+    pre-token spaces are stripped before merging (the Ġ-less form).
+
+    Scale shape: ``merges`` rides the task closure — a production
+    50k-merge table is ~1 MB, exactly the payload Spark ships once per
+    executor; the per-batch word cache exploits crawl text's heavy
+    word repetition, so cost is ~O(distinct words) per batch, and rows
+    never shuffle (mapInPandas, partition-preserving).
+
+    Output: (id_col, n_pretokens, n_tokens, encoded) where ``encoded``
+    joins subtokens with spaces and pre-tokens with ``|``.
+    """
+    import re as _re
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (LongType as _L, StringType as _S,
+                                   StructField as _F, StructType as _T)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    pat = _re.compile(_BPE_TOKEN_RE)
+    schema = _T([
+        _F("id", _S(), False), _F("n_pretokens", _L()),
+        _F("n_tokens", _L()), _F("encoded", _S()),
+    ])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        cache: dict = {}
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["id"], b["text"]):
+                pre = pat.findall(text or "")
+                words, n_tok = [], 0
+                for w in pre:
+                    w = w.lstrip(" ")
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = bpe_merge_word(w, ranks)
+                        cache[w] = toks
+                    n_tok += len(toks)
+                    words.append(" ".join(toks))
+                rows.append((str(doc_id), len(pre), n_tok,
+                             "|".join(words)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "n_pretokens", "n_tokens", "encoded"])
+
+    src = df.select(F.col(id_col).cast("string").alias("id"),
+                    F.col(text_col).alias("text"))
+    return (src.mapInPandas(kernel, schema=schema)
+            .withColumnRenamed("id", id_col))

@@ -412,6 +412,49 @@ FROM agg ORDER BY doc_id
 """
 
 
+BPE_MERGES = [("l", "o"), ("lo", "w"), ("e", "s"), ("es", "t"),
+              ("e", "r"), ("n", "e"), ("ne", "w"), ("s", "t")]
+
+
+def ta_bpe(spark, sf_dir):
+    """Real BPE encoding (text_stats.bpe_encode_df): the greedy
+    lowest-rank merge loop over an 8-entry merges table, run as an
+    Arrow kernel on closed-form texts — doc_id %% 4 exercises merge
+    chaining (l+o -> lo+w), rank precedence (e+s before s+t claims the
+    's'), contraction/punctuation pre-tokens, and repeated words + digit
+    runs (the per-batch word cache path). Expected encodings are
+    precomputed constants, so the oracle pins the merge loop
+    byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(4))
+    text = (F.when(m == 0, F.lit("low lower"))
+            .when(m == 1, F.lit("newest lowest"))
+            .when(m == 2, F.lit("don't stop"))
+            .otherwise(F.lit("low low 42!")))
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    text.alias("text"))
+    out = text_stats.bpe_encode_df(docs, BPE_MERGES)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "n_pretokens", "n_tokens", "encoded")
+            .orderBy("doc_id"))
+
+
+TA_BPE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 2 WHEN 2 THEN 3
+            ELSE 4 END::BIGINT AS n_pretokens,
+       CASE doc_id % 4 WHEN 0 THEN 3 WHEN 1 THEN 4 WHEN 2 THEN 8
+            ELSE 5 END::BIGINT AS n_tokens,
+       CASE doc_id % 4
+         WHEN 0 THEN 'low|low er'
+         WHEN 1 THEN 'new est|low est'
+         WHEN 2 THEN 'd o n|'' t|st o p'
+         ELSE 'low|low|4 2|!'
+       END AS encoded
+FROM documents ORDER BY doc_id
+"""
+
+
 def ta_c4(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2, text_stats.c4_cols):
     terminal-punctuation line filter, 3-word minimum, javascript-line
@@ -3774,6 +3817,7 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
     "ta_classifier": ta_classifier,
+    "ta_bpe": ta_bpe,
     "ta_c4": ta_c4,
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
@@ -3846,6 +3890,7 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,
     "ta_classifier": TA_CLASSIFIER_SQL,
+    "ta_bpe": TA_BPE_SQL,
     "ta_c4": TA_C4_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,

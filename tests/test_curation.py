@@ -437,3 +437,33 @@ def test_dsir_sample_upweights_unseen_in_domain_docs(spark):
         docs, target, nbuckets=2048, mult_milli=500000).collect()}
     assert rerun == {k: v.keep for k, v in out.items()}
     assert all(r.n_features == 13 for r in out.values())  # 7 uni + 6 bi
+
+
+def test_bpe_merge_word_rank_precedence_and_rounds():
+    ranks = {("a", "b"): 0, ("ab", "c"): 1, ("b", "c"): 2}
+    # lowest rank wins even when a later pair appears first in the word
+    assert text_stats.bpe_merge_word("abc", ranks) == ("abc",)
+    # each round merges EVERY occurrence of the chosen pair
+    assert text_stats.bpe_merge_word("abab", {("a", "b"): 0}) == ("ab", "ab")
+    # no known pair -> untouched character split
+    assert text_stats.bpe_merge_word("xyz", ranks) == ("x", "y", "z")
+    assert text_stats.bpe_merge_word("", ranks) == ()
+
+
+def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
+    from extract_text_spark.queries import BPE_MERGES
+    docs = spark.createDataFrame(
+        [(0, "low lower"), (1, "don't stop now"), (2, ""), (3, "42!!")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           text_stats.bpe_encode_df(docs, BPE_MERGES).collect()}
+    # n_pretokens always equals the cheap Catalyst count column
+    counts = {str(r.doc_id): r.n for r in docs.select(
+        "doc_id", text_stats.bpe_token_count_col("text").alias("n")
+    ).collect()}
+    assert {k: v.n_pretokens for k, v in out.items()} == counts
+    assert out["0"].encoded == "low|low er"
+    assert out["1"].encoded == "d o n|' t|st o p|n o w"
+    assert (out["2"].n_pretokens, out["2"].n_tokens,
+            out["2"].encoded) == (0, 0, "")
+    assert out["3"].encoded == "4 2|! !"
