@@ -1179,3 +1179,25 @@ def make_warc(records: list[dict], gzip_members: bool = False,
             record = _gzip.compress(record, mtime=0)
         out.append(record)
     return b"".join(out)
+
+
+def make_flac(n_samples: int, rate: int = 44100) -> bytes:
+    """Minimal valid FLAC container: magic + last-metadata STREAMINFO
+    block (34 bytes) with the 20-bit rate / 3-bit channels / 36-bit
+    total-samples packed field; no audio frames (header decode needs
+    none). 42 bytes total."""
+    packed = (rate << 44) | (0 << 41) | (15 << 36) | n_samples
+    streaminfo = (struct.pack(">HH", 4096, 4096)
+                  + b"\x00\x00\x00" * 2                  # min/max frame
+                  + packed.to_bytes(8, "big")
+                  + b"\x00" * 16)                        # md5 signature
+    return b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big") + streaminfo
+
+
+def make_mp3(n_frames: int, with_id3: bool = False) -> bytes:
+    """CBR MPEG1 Layer III stream at 128 kbps / 44100 Hz: each frame is
+    144*128000/44100 = 417 bytes (no padding bit), header FF FB 90 00;
+    optional empty ID3v2 envelope (10-byte header, syncsafe size 0)."""
+    frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    head = b"ID3\x03\x00\x00\x00\x00\x00\x00" if with_id3 else b""
+    return head + frame * n_frames

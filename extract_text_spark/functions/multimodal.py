@@ -64,6 +64,8 @@ _MAGIC = [
     (b"II*\x00", "image/tiff"),
     (b"MM\x00*", "image/tiff"),
     (b"\x1a\x45\xdf\xa3", "video/webm"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
 ]
 
 
@@ -90,6 +92,10 @@ def sniff_mime(payload: bytes | None) -> str | None:
     for sig, mime in _MAGIC:
         if payload.startswith(sig):
             return mime
+    # bare MP3 stream: 11-bit frame sync (no ID3 envelope)
+    if (len(payload) >= 2 and payload[0] == 0xFF
+            and (payload[1] & 0xE0) == 0xE0):
+        return "audio/mpeg"
     return "application/octet-stream"
 
 
@@ -279,6 +285,56 @@ def decode_wav_header(payload: bytes) -> dict | None:
             "duration_ms": data_size * 1000 // byte_rate}
 
 
+def decode_flac_header(payload: bytes) -> dict | None:
+    """FLAC STREAMINFO (the spec-mandated first metadata block): 20-bit
+    sample rate, 3-bit channels, 36-bit total samples packed into the
+    8 bytes after the frame-size fields — duration is exact, not
+    estimated."""
+    if len(payload) < 8 + 34 or payload[:4] != b"fLaC":
+        return None
+    btype, blen = payload[4] & 0x7F, int.from_bytes(payload[5:8], "big")
+    if btype != 0 or blen < 34 or len(payload) < 8 + blen:
+        return None
+    packed = int.from_bytes(payload[18:26], "big")
+    rate = packed >> 44
+    total_samples = packed & ((1 << 36) - 1)
+    if not rate:
+        return None
+    return {"sample_rate": rate,
+            "duration_ms": total_samples * 1000 // rate}
+
+
+# MPEG1 Layer III side of the header tables (the common web case)
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def decode_mp3_header(payload: bytes) -> dict | None:
+    """First MPEG1 Layer III frame header after an optional ID3v2 tag
+    (syncsafe size). sample_rate is exact; duration_ms is the standard
+    CBR estimate audio_bytes*8/bitrate — the honest header-only answer
+    (VBR needs a Xing frame walk; a codec tier owns that)."""
+    off = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        off = 10 + ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
+                    | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+    if len(payload) < off + 4:
+        return None
+    b0, b1, b2 = payload[off], payload[off + 1], payload[off + 2]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
+        return None                     # not MPEG1 Layer III
+    bitrate = _MP3_BITRATES[b2 >> 4]
+    rate_idx = (b2 >> 2) & 0x3
+    if not bitrate or rate_idx == 3:
+        return None
+    return {"sample_rate": _MP3_RATES[rate_idx],
+            "duration_ms": (len(payload) - off) * 8 * 1000
+            // (bitrate * 1000)}
+
+
 _FMT_BY_MIME = {"image/jpeg": "JPEG", "image/png": "PNG", "image/gif": "GIF",
                 "image/bmp": "BMP", "image/tiff": "TIFF",
                 "image/webp": "WEBP"}
@@ -351,7 +407,11 @@ def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                    else decode_gif_header(payload)
                    if sniffed == "image/gif"
                    else decode_wav_header(payload)
-                   if sniffed == "audio/wav" else None)
+                   if sniffed == "audio/wav"
+                   else decode_flac_header(payload)
+                   if sniffed == "audio/flac"
+                   else decode_mp3_header(payload)
+                   if sniffed == "audio/mpeg" else None)
             if hdr is not None:
                 status = "decoded"
                 width, height = hdr.get("width"), hdr.get("height")

@@ -2867,6 +2867,64 @@ _OCR_GATE_SCHEMA = StructType([
 ])
 
 
+def mm_audio_headers(spark, sf_dir):
+    """Audio metadata from payload BYTES, widening the decoded-for-real
+    set beyond WAV: doc_id %% 3 builds (0) a FLAC whose STREAMINFO
+    packs the exact 36-bit total-sample count (duration exact), (1) an
+    ID3v2-wrapped CBR MP3 (syncsafe tag skip + frame-header tables,
+    duration = the standard header-only CBR estimate), (2) a bare MP3
+    stream recognized by frame sync alone. All sizes/durations are
+    integer closed forms of doc_id."""
+    from .bytecorpus import make_flac, make_mp3
+    from .functions.multimodal import MEDIA_SCHEMA, extract_media_features
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                m = doc_id % 3
+                if m == 0:
+                    payload = make_flac(((doc_id % 50) + 1) * 441)
+                elif m == 1:
+                    payload = make_mp3((doc_id % 20) + 1, with_id3=True)
+                else:
+                    payload = make_mp3((doc_id % 15) + 1)
+                rows.append((f"a://{doc_id}", payload,
+                             "application/octet-stream", None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "payload", "mime", "width", "height"])
+
+    media = d.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return extract_media_features(media).select(
+        "media_ref", "status", "sniffed_mime", "n_bytes",
+        "sample_rate", "duration_ms",
+    ).orderBy("media_ref")
+
+
+MM_AUDIO_SQL = """
+WITH f AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         ((doc_id % 50) + 1) * 441 AS ns,
+         (doc_id % 20) + 1 AS f1, (doc_id % 15) + 1 AS f2
+  FROM documents
+)
+SELECT concat('a://', doc_id::VARCHAR) AS media_ref,
+       'decoded' AS status,
+       CASE m WHEN 0 THEN 'audio/flac' ELSE 'audio/mpeg' END AS sniffed_mime,
+       CASE m WHEN 0 THEN 42
+              WHEN 1 THEN 10 + 417 * f1
+              ELSE 417 * f2 END::BIGINT AS n_bytes,
+       44100 AS sample_rate,
+       CASE m WHEN 0 THEN ns * 1000 // 44100
+              WHEN 1 THEN (417 * f1 * 8 * 1000) // 128000
+              ELSE (417 * f2 * 8 * 1000) // 128000 END::BIGINT AS duration_ms
+FROM f ORDER BY media_ref
+"""
+
+
 def mm_ocr_gates(spark, sf_dir):
     """E2/E22 pre-OCR validation on REAL header metadata
     (validate_image_for_ocr app/utils.py:639-682 check-for-check): the
@@ -3789,6 +3847,7 @@ QUERIES = {
     "ext_system_file_filter": ext_system_file_filter,
     "mm_media_features": mm_media_features,
     "mm_decode_headers": mm_decode_headers,
+    "mm_audio_headers": mm_audio_headers,
     "mm_ocr_gates": mm_ocr_gates,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
@@ -3862,6 +3921,7 @@ ORACLES = {
     "ext_system_file_filter": EXT_SYSFILE_SQL,
     "mm_media_features": MM_MEDIA_SQL,
     "mm_decode_headers": MM_DECODE_SQL,
+    "mm_audio_headers": MM_AUDIO_SQL,
     "mm_ocr_gates": MM_OCR_GATES_SQL,
     "mm_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,

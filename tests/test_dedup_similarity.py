@@ -749,3 +749,27 @@ def test_bloom_filter_words_bounded_and_word_packing(spark):
     assert len(words) == 8
     assert any(words)
     assert all(0 <= w < (1 << 60) for w in words)
+
+
+def test_flac_mp3_header_decode():
+    from extract_text_spark.bytecorpus import make_flac, make_mp3
+    from extract_text_spark.functions import multimodal as mm
+    f = make_flac(44100 * 2 + 441)          # exact: 2.01 s
+    assert mm.sniff_mime(f) == "audio/flac"
+    assert mm.decode_flac_header(f) == {
+        "sample_rate": 44100, "duration_ms": 2010}
+    m = make_mp3(4, with_id3=True)          # ID3 syncsafe skip
+    assert mm.sniff_mime(m) == "audio/mpeg"
+    hdr = mm.decode_mp3_header(m)
+    assert hdr["sample_rate"] == 44100
+    assert hdr["duration_ms"] == (len(m) - 10) * 8 * 1000 // 128000
+    bare = make_mp3(1)                      # frame-sync-only detection
+    assert mm.sniff_mime(bare) == "audio/mpeg"
+    assert mm.decode_mp3_header(bare)["duration_ms"] == 417 * 8 * 1000 // 128000
+    # truncated/corrupt payloads fail closed, not crash
+    assert mm.decode_flac_header(b"fLaC\x00\x00") is None
+    assert mm.decode_mp3_header(b"\xff\xfb") is None
+    assert mm.decode_mp3_header(b"ID3\x03\x00\x00\x00\x00\x00\x7f") is None
+    # a free-bitrate or reserved-rate header is rejected
+    assert mm.decode_mp3_header(b"\xff\xfb\x00\x00" + b"\x00" * 10) is None
+    assert mm.decode_mp3_header(b"\xff\xfb\x9c\x00" + b"\x00" * 10) is None
