@@ -27,7 +27,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType, TimestampType,
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+    TimestampType,
 )
 
 from ..pipeline import DOC_SCHEMA, OUT_SCHEMA, explode_archives_df, _extract_batches
@@ -205,6 +206,37 @@ def stream_extract_urls(
         resolver=resolver if resolver is not None else default_resolver)
     return _start_span_sink(ingested, output_path, checkpoint_path,
                             available_now)
+
+
+def stream_extract_warc(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming WARC ingestion: a crawl-delivery watch directory of
+    .warc / .warc.gz files -> record split + content routing
+    (warcsource.ingest_warc_df) -> JVM archive fan-out -> extraction
+    kernel -> parquet sink, exactly-once per WARC file (file-source
+    offset log + sink commit log) — the continuous CommonCrawl ingest
+    loop as a Structured Streaming job. Task granularity is one WARC
+    file per micro-batch row, the same unit as the batch path."""
+    from ..warcsource import ingest_warc_df
+    binary_schema = StructType([
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ])
+    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(input_path).select(
+        F.element_at(F.split("path", "/"), -1).alias("doc_id"), "content")
+    return _start_span_sink(ingest_warc_df(files), output_path,
+                            checkpoint_path, available_now)
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",

@@ -270,3 +270,49 @@ def test_stream_dedup_incremental(spark, tmp_path):
                              threshold=0.2).awaitTermination()
     rows = {r.doc_id: r for r in spark.read.parquet(out).collect()}
     assert len(rows) == n1 + 1 and rows[15].keep
+
+
+def test_stream_extract_warc(spark, tmp_path):
+    """WARC watch directory: drop .warc/.warc.gz crawl files, extracted
+    records come out exactly-once per file; new files picked up
+    incrementally."""
+    from extract_text_spark.bytecorpus import make_warc
+    from extract_text_spark.streaming.stream import stream_extract_warc
+
+    inp, out, ckpt = (str(tmp_path / d) for d in ["inw", "outw", "ckw"])
+    import os
+    os.makedirs(inp)
+    html = ("<html><body><nav>chrome</nav><p>Warc page body</p>"
+            "<footer>legal</footer></body></html>")
+    with open(f"{inp}/a.warc", "wb") as fh:
+        fh.write(make_warc([
+            {"type": "warcinfo", "body": b"software: cc"},
+            {"type": "response", "uri": "http://s/p.html",
+             "http_headers": {"Content-Type": "text/html"}, "body": html},
+        ]))
+    with open(f"{inp}/b.warc.gz", "wb") as fh:
+        fh.write(make_warc([
+            {"type": "response", "uri": "http://s/d.txt",
+             "http_headers": {"Content-Type": "text/plain"},
+             "body": b"warc stream text"}], gzip_members=True))
+
+    stream_extract_warc(spark, inp, out, ckpt).awaitTermination()
+    rows = {r["doc_id"]: (r["status"], [s["text"] for s in r["spans"]])
+            for r in spark.read.parquet(out).collect()}
+    assert rows["a.warc/1"] == ("ok", ["Warc page body"])
+    assert rows["b.warc.gz/0"] == ("ok", ["warc stream text"])
+
+    # exactly-once: rerun with the same checkpoint adds nothing
+    n1 = spark.read.parquet(out).count()
+    stream_extract_warc(spark, inp, out, ckpt).awaitTermination()
+    assert spark.read.parquet(out).count() == n1
+
+    # incremental pickup of a newly delivered crawl file
+    with open(f"{inp}/c.warc", "wb") as fh:
+        fh.write(make_warc([
+            {"type": "response", "uri": "http://s/e.txt",
+             "http_headers": {"Content-Type": "text/plain"},
+             "body": b"late delivery"}]))
+    stream_extract_warc(spark, inp, out, ckpt).awaitTermination()
+    rows2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert "c.warc/0" in rows2 and len(rows2) == n1 + 1
