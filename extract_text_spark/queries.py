@@ -3854,6 +3854,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
     "dedup_bloom": dedup_bloom,
+    "ta_bpe": ta_bpe,
+    "sample_dsir": sample_dsir,
     "url_filter": url_filter,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
@@ -3876,12 +3878,10 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
     "ta_classifier": ta_classifier,
-    "ta_bpe": ta_bpe,
     "ta_c4": ta_c4,
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
     "sample_mixture": sample_mixture,
-    "sample_dsir": sample_dsir,
     "pack_batches": pack_batches,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_orders": q3_top_orders,
@@ -3928,6 +3928,8 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_url": DEDUP_URL_SQL,
     "dedup_bloom": DEDUP_BLOOM_SQL,
+    "ta_bpe": TA_BPE_SQL,
+    "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,
     "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,
@@ -3950,12 +3952,10 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,
     "ta_classifier": TA_CLASSIFIER_SQL,
-    "ta_bpe": TA_BPE_SQL,
     "ta_c4": TA_C4_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "sample_mixture": SAMPLE_MIXTURE_SQL,
-    "sample_dsir": SAMPLE_DSIR_SQL,
     "pack_batches": PACK_BATCHES_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_top_orders": Q3_SQL,

@@ -198,8 +198,10 @@ def main():
         ("centroids broadcast for the rank scoring", r"BroadcastExchange"),
         ("ranked table persisted (self-join reads it twice)",
          r"InMemoryTableScan"),
-        ("best-match pick is a combinable max-struct aggregate",
-         r"partial_max|HashAggregate"),
+        ("best-match pick is a combinable min-struct aggregate "
+         "(partial before the exchange; sort-based since the struct "
+         "carries the type-agnostic id tie-break)",
+         r"partial_min|partial_max"),
         ("no Python anywhere",
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
@@ -377,6 +379,57 @@ def main():
         ("nested-member fan-out is JVM-only (Generate explode, no "
          "Python between kernels)",
          lambda t: "Generate" in t and "BatchEvalPython" not in t),
+    ])
+
+    from pyspark.sql import functions as Fn
+    from extract_text_spark.functions.dedup import bloom_snapshot_filter
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    snap = docs.filter(Fn.pmod("doc_id", Fn.lit(3)) == 0).select("text")
+    bl = bloom_snapshot_filter(docs, snap, m_bits=480, k=4)
+    add("bloom_snapshot_filter (literal form) — membership with ZERO "
+        "shuffle", bl, [
+        ("no Exchange anywhere: membership is a scan-side projection "
+         "over the literal packed-word array",
+         lambda t: "Exchange" not in t),
+        ("no Python stage (pure conv/md5/bitwise codegen)",
+         lambda t: "MapInPandas" not in t and "BatchEvalPython" not in t),
+        ("single scan of the corpus",
+         lambda t: len(set(re.findall(r"Scan parquet\s*\((\d+)\)",
+                                      t))) == 1),
+    ])
+
+    ds = QUERIES["sample_dsir"](spark, SF)
+    add("sample_dsir — broadcast weight table, combinable per-doc mean",
+        ds, [
+        ("weight join is broadcast (the corpus features never shuffle "
+         "for it)", lambda t: "BroadcastHashJoin" in t),
+        ("map-side partial aggregation before the per-doc shuffle",
+         lambda t: t.count("HashAggregate") >= 2),
+        ("no Python stage (feature hashing is codegen)",
+         lambda t: "MapInPandas" not in t and "BatchEvalPython" not in t),
+    ])
+
+    wq = QUERIES["ext_warc_source"](spark, SF)
+    add("ext_warc_source — WARC split + routing in the cached ingest "
+        "kernel; shared extraction tail", wq, [
+        ("4 MapInPandas nodes: fixture builder + WARC ingest (run once, "
+         "cached) + one extraction kernel per size path",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 4),
+        ("BOTH extraction paths read the cached ingest (WARC files "
+         "never decompress twice)",
+         lambda t: t.count("InMemoryTableScan") >= 2),
+        ("record fan-out happens inside the kernel — no Python between "
+         "kernels", lambda t: "BatchEvalPython" not in t),
+    ])
+
+    bp = QUERIES["ta_bpe"](spark, SF)
+    add("ta_bpe — one Arrow kernel, no shuffle before it", bp, [
+        ("exactly one MapInPandas (the merge loop)",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 1),
+        ("no Exchange before the kernel (partition-preserving encode; "
+         "the only exchange is the output orderBy's range partition)",
+         lambda t: len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)",
+                                      t))) == 1),
     ])
 
     header = (
