@@ -1201,3 +1201,33 @@ def make_mp3(n_frames: int, with_id3: bool = False) -> bytes:
     frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
     head = b"ID3\x03\x00\x00\x00\x00\x00\x00" if with_id3 else b""
     return head + frame * n_frames
+
+
+def make_mp4(duration_units: int, timescale: int = 1000,
+             width: int = 0, height: int = 0, v1: bool = False) -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov(mvhd [+ trak(tkhd) when dims
+    given]). mvhd carries timescale/duration (v0 or v1 layout); tkhd
+    carries 16.16-fixed presentation width/height. No media data —
+    header decode needs none."""
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512))
+    if v1:
+        mvhd_body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + struct.pack(">I", timescale)
+                     + struct.pack(">Q", duration_units)
+                     + b"\x00" * 80)
+    else:
+        mvhd_body = (b"\x00" * 4 + b"\x00" * 8
+                     + struct.pack(">II", timescale, duration_units)
+                     + b"\x00" * 80)
+    moov_children = box(b"mvhd", mvhd_body)
+    if width and height:
+        tkhd_body = (b"\x00" * 4 + b"\x00" * 8
+                     + struct.pack(">I", 1) + b"\x00" * 4
+                     + struct.pack(">I", duration_units)
+                     + b"\x00" * 52
+                     + struct.pack(">II", width << 16, height << 16))
+        moov_children += box(b"trak", box(b"tkhd", tkhd_body))
+    return ftyp + box(b"moov", moov_children)

@@ -92,6 +92,9 @@ def sniff_mime(payload: bytes | None) -> str | None:
     for sig, mime in _MAGIC:
         if payload.startswith(sig):
             return mime
+    # ISO-BMFF: the ftyp box type sits at offset 4, not a prefix
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "video/mp4"
     # bare MP3 stream: 11-bit frame sync (no ID3 envelope)
     if (len(payload) >= 2 and payload[0] == 0xFF
             and (payload[1] & 0xE0) == 0xE0):
@@ -335,6 +338,72 @@ def decode_mp3_header(payload: bytes) -> dict | None:
             // (bitrate * 1000)}
 
 
+def _mp4_boxes(payload: bytes, start: int, end: int):
+    """Iterate (type, body_start, body_end) over ISO-BMFF boxes in
+    [start, end); handles 64-bit largesize (size==1) and to-EOF
+    (size==0); stops on malformed framing."""
+    import struct
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        btype = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack_from(">Q", payload, pos + 8)
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            return
+        yield btype, body, pos + size
+        pos += size
+
+
+def decode_mp4_header(payload: bytes) -> dict | None:
+    """ISO-BMFF (MP4) metadata from the box tree: ``moov > mvhd`` gives
+    timescale + duration (exact, v0/v1 layouts), and the first
+    ``trak > tkhd`` with nonzero 16.16-fixed presentation size gives
+    width/height. Pure struct walking, no codec."""
+    import struct
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    out, dims = None, None
+    for btype, body, bend in _mp4_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cbody, cend in _mp4_boxes(payload, body, bend):
+            if ctype == b"mvhd" and cend - cbody >= 8:
+                ver = payload[cbody]
+                if ver == 1 and cend - cbody >= 32:
+                    timescale, = struct.unpack_from(">I", payload,
+                                                    cbody + 20)
+                    duration, = struct.unpack_from(">Q", payload,
+                                                   cbody + 24)
+                elif ver == 0 and cend - cbody >= 24:
+                    timescale, duration = struct.unpack_from(
+                        ">II", payload, cbody + 12)
+                else:
+                    continue
+                if timescale:
+                    out = {"duration_ms": duration * 1000 // timescale}
+            elif ctype == b"trak" and dims is None:
+                for t2, b2, e2 in _mp4_boxes(payload, cbody, cend):
+                    if t2 != b"tkhd" or e2 - b2 < 84:
+                        continue
+                    off = b2 + (88 if payload[b2] == 1 else 76)
+                    if e2 - off < 8:
+                        continue
+                    w, h = struct.unpack_from(">II", payload, off)
+                    if w and h:
+                        dims = (w >> 16, h >> 16)
+                        break
+    if out is not None and dims is not None:
+        out["width"], out["height"] = dims
+    return out
+
+
 _FMT_BY_MIME = {"image/jpeg": "JPEG", "image/png": "PNG", "image/gif": "GIF",
                 "image/bmp": "BMP", "image/tiff": "TIFF",
                 "image/webp": "WEBP"}
@@ -411,7 +480,9 @@ def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                    else decode_flac_header(payload)
                    if sniffed == "audio/flac"
                    else decode_mp3_header(payload)
-                   if sniffed == "audio/mpeg" else None)
+                   if sniffed == "audio/mpeg"
+                   else decode_mp4_header(payload)
+                   if sniffed == "video/mp4" else None)
             if hdr is not None:
                 status = "decoded"
                 width, height = hdr.get("width"), hdr.get("height")

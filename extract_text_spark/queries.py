@@ -2925,6 +2925,58 @@ FROM f ORDER BY media_ref
 """
 
 
+def mm_video_headers(spark, sf_dir):
+    """Video metadata from ISO-BMFF box walking (multimodal.
+    decode_mp4_header): doc_id %% 2 builds (0) a v0 mvhd + tkhd MP4 —
+    exact duration at the 1 kHz timescale plus 16.16-fixed presentation
+    dims, (1) a v1 mvhd at the 90 kHz broadcast timescale with no video
+    track (dims stay NULL). Sizes/durations are closed forms of
+    doc_id."""
+    from .bytecorpus import make_mp4
+    from .functions.multimodal import MEDIA_SCHEMA, extract_media_features
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    payload = make_mp4(((doc_id % 60) + 1) * 500,
+                                       timescale=1000,
+                                       width=((doc_id % 4) + 1) * 160,
+                                       height=((doc_id % 3) + 1) * 90)
+                else:
+                    payload = make_mp4(((doc_id % 120) + 1) * 90000,
+                                       timescale=90000, v1=True)
+                rows.append((f"v://{doc_id}", payload,
+                             "application/octet-stream", None, None))
+            yield pd.DataFrame(rows, columns=[
+                "media_ref", "payload", "mime", "width", "height"])
+
+    media = d.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    return extract_media_features(media).select(
+        "media_ref", "status", "sniffed_mime", "n_bytes",
+        "width", "height", "duration_ms",
+    ).orderBy("media_ref")
+
+
+MM_VIDEO_SQL = """
+SELECT concat('v://', doc_id::VARCHAR) AS media_ref,
+       'decoded' AS status,
+       'video/mp4' AS sniffed_mime,
+       CASE doc_id % 2 WHEN 0 THEN 232 ELSE 144 END::BIGINT AS n_bytes,
+       CASE doc_id % 2 WHEN 0 THEN ((doc_id % 4) + 1) * 160 END::INT
+         AS width,
+       CASE doc_id % 2 WHEN 0 THEN ((doc_id % 3) + 1) * 90 END::INT
+         AS height,
+       CASE doc_id % 2 WHEN 0 THEN ((doc_id % 60) + 1) * 500
+            ELSE ((doc_id % 120) + 1) * 1000 END::BIGINT AS duration_ms
+FROM documents ORDER BY media_ref
+"""
+
+
 def mm_ocr_gates(spark, sf_dir):
     """E2/E22 pre-OCR validation on REAL header metadata
     (validate_image_for_ocr app/utils.py:639-682 check-for-check): the
@@ -3848,6 +3900,7 @@ QUERIES = {
     "mm_media_features": mm_media_features,
     "mm_decode_headers": mm_decode_headers,
     "mm_audio_headers": mm_audio_headers,
+    "mm_video_headers": mm_video_headers,
     "mm_ocr_gates": mm_ocr_gates,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
@@ -3922,6 +3975,7 @@ ORACLES = {
     "mm_media_features": MM_MEDIA_SQL,
     "mm_decode_headers": MM_DECODE_SQL,
     "mm_audio_headers": MM_AUDIO_SQL,
+    "mm_video_headers": MM_VIDEO_SQL,
     "mm_ocr_gates": MM_OCR_GATES_SQL,
     "mm_resize": MM_RESIZE_SQL,
     "mm_frame_sample": MM_FRAME_SQL,

@@ -773,3 +773,24 @@ def test_flac_mp3_header_decode():
     # a free-bitrate or reserved-rate header is rejected
     assert mm.decode_mp3_header(b"\xff\xfb\x00\x00" + b"\x00" * 10) is None
     assert mm.decode_mp3_header(b"\xff\xfb\x9c\x00" + b"\x00" * 10) is None
+
+
+def test_mp4_header_decode():
+    from extract_text_spark.bytecorpus import make_mp4
+    from extract_text_spark.functions import multimodal as mm
+    v0 = make_mp4(90240, timescale=1000, width=640, height=360)
+    assert mm.sniff_mime(v0) == "video/mp4"
+    assert mm.decode_mp4_header(v0) == {
+        "duration_ms": 90240, "width": 640, "height": 360}
+    # v1 layout at the 90 kHz broadcast timescale, no video track
+    v1 = make_mp4(120 * 90000, timescale=90000, v1=True)
+    assert mm.decode_mp4_header(v1) == {"duration_ms": 120000}
+    # ftyp alone (no moov), truncated boxes, zero timescale: fail closed
+    assert mm.decode_mp4_header(b"\x00\x00\x00\x08ftypisom") is None
+    assert mm.decode_mp4_header(v0[:40]) is None
+    assert mm.decode_mp4_header(
+        make_mp4(500, timescale=0, v1=False)) is None
+    # a declared box size past EOF stops the walk instead of raising
+    bad = bytearray(v0)
+    bad[16:20] = (1 << 30).to_bytes(4, "big")      # moov size absurd
+    assert mm.decode_mp4_header(bytes(bad)) is None
