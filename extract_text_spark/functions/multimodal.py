@@ -329,10 +329,11 @@ def decode_mp3_header(payload: bytes) -> dict | None:
         return None
     if (b1 >> 3) & 0x3 != 0x3 or (b1 >> 1) & 0x3 != 0x1:
         return None                     # not MPEG1 Layer III
-    bitrate = _MP3_BITRATES[b2 >> 4]
+    br_idx = b2 >> 4
     rate_idx = (b2 >> 2) & 0x3
-    if not bitrate or rate_idx == 3:
-        return None
+    if br_idx in (0, 15) or rate_idx == 3:
+        return None                     # free/bad bitrate, reserved rate
+    bitrate = _MP3_BITRATES[br_idx]
     return {"sample_rate": _MP3_RATES[rate_idx],
             "duration_ms": (len(payload) - off) * 8 * 1000
             // (bitrate * 1000)}

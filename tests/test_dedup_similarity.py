@@ -772,6 +772,7 @@ def test_flac_mp3_header_decode():
     assert mm.decode_mp3_header(b"ID3\x03\x00\x00\x00\x00\x00\x7f") is None
     # a free-bitrate or reserved-rate header is rejected
     assert mm.decode_mp3_header(b"\xff\xfb\x00\x00" + b"\x00" * 10) is None
+    assert mm.decode_mp3_header(b"\xff\xfb\xf0\x00" + b"\x00" * 10) is None
     assert mm.decode_mp3_header(b"\xff\xfb\x9c\x00" + b"\x00" * 10) is None
 
 
