@@ -150,3 +150,164 @@ def harvest_outlinks(df: DataFrame, id_col: str = "doc_id",
                     F.col(url_col).alias("url"),
                     F.col(html_col).alias("html"))
     return src.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt compliance (RFC 9309) — the crawl-politeness gate
+# ---------------------------------------------------------------------------
+
+def parse_robots(content: str) -> list[tuple[list[str], list[tuple[bool, str]]]]:
+    """robots.txt -> [(user_agent_tokens, [(is_allow, path_pattern)])]
+    groups, per RFC 9309 §2.2: consecutive ``User-agent`` lines share
+    one group; comments stripped at ``#``; unknown directives ignored
+    (they do NOT break a group, matching the spec's extensibility
+    rule); a rule line before any user-agent line is ignored."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    collecting_agents = True
+    for raw in (content or "").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key, value = key.strip().lower(), value.strip()
+        if key == "user-agent":
+            if not collecting_agents and agents:
+                groups.append((agents, rules))
+                agents, rules = [], []
+            collecting_agents = True
+            agents.append(value.lower())
+        elif key in ("allow", "disallow"):
+            if not agents:
+                continue
+            collecting_agents = False
+            if value:
+                rules.append((key == "allow", value))
+            elif key == "disallow":
+                # "Disallow:" (empty) == allow everything: no rule
+                pass
+        # crawl-delay/sitemap/unknown: ignored, group stays open
+    if agents:
+        groups.append((agents, rules))
+    return groups
+
+
+def _robots_pattern_match(pattern: str, path: str) -> int | None:
+    """RFC 9309 §2.2.3 path matching: literal octets, ``*`` any span,
+    ``$`` end anchor. Returns the pattern's specificity (its length,
+    the longest-match tiebreak unit) or None."""
+    anchored = pattern.endswith("$")
+    pat = pattern[:-1] if anchored else pattern
+    parts = pat.split("*")
+    pos, first = 0, True
+    for part in parts:
+        if first:
+            if not path.startswith(part):
+                return None
+            pos = len(part)
+            first = False
+            continue
+        idx = path.find(part, pos)
+        if idx < 0:
+            return None
+        pos = idx + len(part)
+    if anchored and pos != len(path):
+        # the final literal must sit at the end; with a trailing "*"
+        # before "$" any tail is already consumed greedily
+        if parts[-1] == "":
+            pass
+        elif not path.endswith(parts[-1]) or len(path) < len(pat.replace("*", "")):
+            return None
+        else:
+            pos = len(path)
+    return len(pattern)
+
+
+def robots_decision(content: str, user_agent: str, path: str) -> bool:
+    """May ``user_agent`` fetch ``path``? RFC 9309 group selection (most
+    specific matching user-agent token, ``*`` fallback, no group =
+    allow) + longest-match rule evaluation (ties break to allow,
+    §2.2.2). Empty/unparseable robots.txt allows everything — the
+    fail-open the spec mandates for MISSING rules (a 5xx robots fetch
+    fails closed, but that is the fetch tier's call, not the parser's).
+    """
+    return _robots_decision_groups(parse_robots(content), user_agent,
+                                   path)
+
+
+def _robots_decision_groups(groups, user_agent: str, path: str) -> bool:
+    """robots_decision over pre-parsed groups (kernels parse each
+    distinct robots.txt once and evaluate many paths against it)."""
+    ua = (user_agent or "").lower()
+    best_group, best_ua_len = None, -1
+    for agents, rules in groups:
+        for token in agents:
+            if token == "*":
+                if best_ua_len < 0:
+                    best_group = rules
+            elif token and token in ua:
+                if len(token) > best_ua_len:
+                    best_group, best_ua_len = rules, len(token)
+    if best_group is None:
+        return True
+    best_len, allow = -1, True
+    for is_allow, pattern in best_group:
+        m = _robots_pattern_match(pattern, path)
+        if m is None:
+            continue
+        if m > best_len or (m == best_len and is_allow and not allow):
+            best_len, allow = m, is_allow
+    return allow if best_len >= 0 else True
+
+
+def robots_filter(df: DataFrame, robots: DataFrame, user_agent: str,
+                  url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Tag frontier URLs with the robots verdict: join each URL's host
+    to its robots.txt (the robots table is per-host and tiny next to
+    the frontier — it BROADCASTS; the frontier never shuffles), then
+    evaluate RFC 9309 in one Arrow kernel per row. Hosts with no
+    robots row allow everything (missing file = allow, §2.3.1.2).
+
+    Output: frontier columns + (host, path, robots_allowed)."""
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (BooleanType as _B, StringType as _S,
+                                   StructField as _F, StructType as _T)
+    src = df.select(
+        F.col(id_col).cast("string").alias("id"), F.col(url_col).alias("url"),
+        F.lower(F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")),
+                           F.lit(""))).alias("host"),
+        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                   F.lit("/")).alias("path"),
+    )
+    joined = src.join(F.broadcast(robots.select(
+        F.lower(F.col("host")).alias("host"),
+        F.col("robots_txt"))), "host", "left")
+
+    schema = _T([_F("id", _S(), False), _F("url", _S()),
+                 _F("host", _S()), _F("path", _S()),
+                 _F("robots_allowed", _B())])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        cache: dict = {}
+        for b in batches:
+            rows = []
+            for id_, url, host, path, txt in zip(
+                    b["id"], b["url"], b["host"], b["path"],
+                    b["robots_txt"]):
+                path = path or "/"
+                if txt is None:
+                    rows.append((id_, url, host, path, True))
+                    continue
+                groups = cache.get(txt)
+                if groups is None:
+                    groups = cache[txt] = parse_robots(txt)
+                rows.append((id_, url, host, path,
+                             _robots_decision_groups(groups, user_agent,
+                                                     path)))
+            yield pd.DataFrame(rows, columns=[
+                "id", "url", "host", "path", "robots_allowed"])
+
+    return (joined.mapInPandas(kernel, schema=schema)
+            .withColumnRenamed("id", id_col))

@@ -1257,6 +1257,70 @@ FROM f ORDER BY doc_id
 """
 
 
+_ROBOTS_H0 = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+_ROBOTS_H1 = ("User-agent: mybot\nDisallow: /tmp/*.json$\n"
+              "User-agent: *\nDisallow: /\n")
+
+
+def url_robots(spark, sf_dir):
+    """robots.txt compliance gate (graph.robots_filter, RFC 9309): the
+    frontier joins its host's robots.txt (broadcast) and each URL is
+    judged in one Arrow kernel. doc_id %% 4 picks the host — h0 has a
+    generic group (prefix disallow + longest-match allow carve-out), h1
+    has a SPECIFIC 'mybot' group (wildcard+anchor rule; the catch-all
+    Disallow: / must NOT apply to mybot), h2 serves an empty file and
+    h3 has no robots row (both allow-everything per the RFC) — and
+    doc_id %% 5 picks the path, exercising prefix match, the allow
+    carve-out, '*'/'$' matching and the anchored-miss tail."""
+    from .functions.graph import robots_filter
+    d = _t(spark, sf_dir, "documents")
+    h = F.pmod("doc_id", F.lit(4)).cast("string")
+    m = F.pmod("doc_id", F.lit(5))
+    k = F.col("doc_id").cast("string")
+    path = (F.when(m == 0, F.concat(F.lit("/public/a"), k))
+            .when(m == 1, F.concat(F.lit("/private/a"), k))
+            .when(m == 2, F.concat(F.lit("/private/ok/a"), k))
+            .when(m == 3, F.concat(F.lit("/tmp/f"), k, F.lit(".json")))
+            .otherwise(F.concat(F.lit("/tmp/f"), k, F.lit(".json.txt"))))
+    frontier = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("http://h"), h, F.lit(".example"), path)
+        .alias("url"))
+    robots = spark.createDataFrame(
+        [("h0.example", _ROBOTS_H0), ("h1.example", _ROBOTS_H1),
+         ("h2.example", "")],
+        "host string, robots_txt string")
+    return (robots_filter(frontier, robots, user_agent="mybot/1.0")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    "url", "host", "path", "robots_allowed")
+            .orderBy("doc_id"))
+
+
+URL_ROBOTS_SQL = """
+WITH f AS (
+  SELECT doc_id, doc_id % 4 AS h, doc_id % 5 AS m,
+         doc_id::VARCHAR AS k
+  FROM documents
+), p AS (
+  SELECT doc_id, h, m,
+         CASE m WHEN 0 THEN '/public/a' || k
+                WHEN 1 THEN '/private/a' || k
+                WHEN 2 THEN '/private/ok/a' || k
+                WHEN 3 THEN '/tmp/f' || k || '.json'
+                ELSE '/tmp/f' || k || '.json.txt' END AS path
+  FROM f
+)
+SELECT doc_id,
+       'http://h' || h::VARCHAR || '.example' || path AS url,
+       'h' || h::VARCHAR || '.example' AS host,
+       path,
+       CASE WHEN h = 0 AND m = 1 THEN FALSE
+            WHEN h = 1 AND m = 3 THEN FALSE
+            ELSE TRUE END AS robots_allowed
+FROM p ORDER BY doc_id
+"""
+
+
 def ext_outlinks(spark, sf_dir):
     """Outlink harvesting + RFC 3986 resolution (graph.harvest_outlinks,
     html.find_hrefs): absolute, relative-path, dot-segment, network-path
@@ -3910,6 +3974,7 @@ QUERIES = {
     "ta_bpe": ta_bpe,
     "sample_dsir": sample_dsir,
     "url_filter": url_filter,
+    "url_robots": url_robots,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
@@ -3985,6 +4050,7 @@ ORACLES = {
     "ta_bpe": TA_BPE_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,
+    "url_robots": URL_ROBOTS_SQL,
     "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,

@@ -795,3 +795,52 @@ def test_mp4_header_decode():
     bad = bytearray(v0)
     bad[16:20] = (1 << 30).to_bytes(4, "big")      # moov size absurd
     assert mm.decode_mp4_header(bytes(bad)) is None
+
+
+def test_robots_decision_rfc9309_semantics():
+    from extract_text_spark.functions.graph import (
+        parse_robots, robots_decision)
+    txt = ("# politeness\n"
+           "User-agent: MyBot\n"
+           "User-agent: otherbot\n"
+           "Disallow: /tmp/*.json$\n"
+           "Crawl-delay: 5\n"
+           "Allow: /tmp/public/\n"
+           "User-agent: *\n"
+           "Disallow: /\n")
+    # consecutive UA lines share a group; unknown directives don't split it
+    groups = parse_robots(txt)
+    assert [a for a, _ in groups] == [["mybot", "otherbot"], ["*"]]
+    assert len(groups[0][1]) == 2
+    # specific group wins over catch-all; matching is case-insensitive
+    assert robots_decision(txt, "MYBOT/2.1", "/anything")
+    assert not robots_decision(txt, "mybot", "/tmp/a.json")
+    assert robots_decision(txt, "mybot", "/tmp/a.json.txt")   # $ anchor
+    # equal specificity (both patterns are 12 octets): tie goes to allow
+    assert robots_decision(txt, "mybot", "/tmp/public/x.json")
+    # unmatched UA falls to *, which disallows everything
+    assert not robots_decision(txt, "randombot", "/anything")
+    # empty / no-groups / rule-before-group: allow
+    assert robots_decision("", "x", "/a")
+    assert robots_decision("Disallow: /\n", "x", "/a")
+    # empty Disallow means allow-all, not disallow-all
+    assert robots_decision("User-agent: *\nDisallow:\n", "x", "/a")
+
+
+def test_robots_filter_broadcast_join(spark):
+    from extract_text_spark.functions.graph import robots_filter
+    frontier = spark.createDataFrame(
+        [(1, "http://A.example/private/x"),
+         (2, "http://a.example/pub"),
+         (3, "http://noranking.example/anything"),
+         (4, "not a url at all")],
+        "doc_id long, url string")
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "host string, robots_txt string")
+    out = {r.doc_id: r for r in
+           robots_filter(frontier, robots, user_agent="bot").collect()}
+    assert not out["1"].robots_allowed        # host matched case-fold
+    assert out["2"].robots_allowed
+    assert out["3"].robots_allowed            # no robots row -> allow
+    assert out["4"].robots_allowed and out["4"].path == "/"  # unparseable
