@@ -1041,24 +1041,31 @@ def _bloom_positions(fp: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+def _bloom_word_table(snapshot: DataFrame, text_col: str,
+                      m_bits: int, k: int) -> DataFrame:
+    """(w, bits) packed-word table over the snapshot: explode k
+    positions per fingerprint, bit_or the masks per word — one
+    combinable aggregation, output bounded by m/60 rows. The ONE owner
+    of position packing for both physical forms."""
+    fp = F.md5(F.col(text_col))
+    return (snapshot.select(F.explode(F.array(
+                *_bloom_positions(fp, m_bits, k))).alias("p"))
+            .select(F.call_function("div", F.col("p"),
+                                    F.lit(BLOOM_WORD_BITS)).alias("w"),
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"),
+                        (F.col("p") % BLOOM_WORD_BITS).cast("int"))
+                    .alias("mask"))
+            .groupBy("w").agg(F.bit_or("mask").alias("bits")))
+
+
 def bloom_filter_words(snapshot: DataFrame, text_col: str = "text",
                        m_bits: int = 480, k: int = 4) -> list[int]:
     """Build the m-bit filter over the snapshot as ``m_bits/60`` packed
-    longs. One combinable aggregation: explode k positions per distinct
-    fingerprint, bit_or the masks per word — map-side partials absorb
-    hot fingerprints, and the result is bounded driver state (m/60
-    longs, the k-means-centroid shape), NOT a per-row collect."""
-    fp = F.md5(F.col(text_col))
+    longs — bounded driver state (m/60 longs, the k-means-centroid
+    shape), NOT a per-row collect."""
     n_words = (m_bits + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS
-    pos = (snapshot.select(F.explode(F.array(
-               *_bloom_positions(fp, m_bits, k))).alias("p"))
-           .select(F.call_function("div", F.col("p"),
-                                   F.lit(BLOOM_WORD_BITS)).alias("w"),
-                   F.call_function(
-                       "shiftleft", F.lit(1).cast("long"),
-                       (F.col("p") % BLOOM_WORD_BITS).cast("int"))
-                   .alias("mask")))
-    rows = pos.groupBy("w").agg(F.bit_or("mask").alias("bits")).collect()
+    rows = _bloom_word_table(snapshot, text_col, m_bits, k).collect()
     words = [0] * n_words
     for r in rows:
         words[r["w"]] = r["bits"]
@@ -1118,17 +1125,22 @@ def bloom_snapshot_filter(corpus: DataFrame, snapshot: DataFrame,
         return corpus.withColumn(
             "bloom_member", bloom_member_col(text_col, words, m_bits, k))
     fp = F.md5(F.col(text_col))
-    word_df = (snapshot.select(F.explode(F.array(
-                   *_bloom_positions(fp, m_bits, k))).alias("p"))
-               .select(F.call_function("div", F.col("p"),
-                                       F.lit(BLOOM_WORD_BITS)).alias("w"),
-                       F.call_function(
-                           "shiftleft", F.lit(1).cast("long"),
-                           (F.col("p") % BLOOM_WORD_BITS).cast("int"))
-                       .alias("mask"))
-               .groupBy("w").agg(F.bit_or("mask").alias("bits")))
-    probe = corpus.select(
-        "*", F.posexplode(F.array(*_bloom_positions(fp, m_bits, k)))
+    word_df = _bloom_word_table(snapshot, text_col, m_bits, k)
+    # A unique per-row key keeps duplicate corpus rows distinct through
+    # the explode/aggregate round-trip (grouping by the corpus columns
+    # would collapse identical rows — and maps are not even groupable).
+    # The whole row rides the aggregate as a struct, so this stays a
+    # single corpus pass with no join-back.
+    # _rid must be assigned BEFORE the explode (an id expression in the
+    # same select as a generator lands in the post-Generate project and
+    # would number every exploded position, not every row)
+    tagged = corpus.select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.struct(*corpus.columns).alias("_row"),
+        F.col(text_col if isinstance(text_col, str) else "text"))
+    probe = tagged.select(
+        "_rid", "_row",
+        F.posexplode(F.array(*_bloom_positions(fp, m_bits, k)))
         .alias("_j", "_p"))
     probe = (probe
              .withColumn("_w", F.call_function("div", F.col("_p"),
@@ -1139,6 +1151,7 @@ def bloom_snapshot_filter(corpus: DataFrame, snapshot: DataFrame,
                              "shiftleft", F.lit(1).cast("long"),
                              (F.col("_p") % BLOOM_WORD_BITS).cast("int")))
                          != 0))
-    keys = [c for c in corpus.columns]
-    return (probe.groupBy(*keys)
-            .agg(F.bool_and("_hit").alias("bloom_member")))
+    verdict = probe.groupBy("_rid").agg(
+        F.first("_row").alias("_row"),
+        F.bool_and("_hit").alias("bloom_member"))
+    return verdict.select("_row.*", "bloom_member")

@@ -161,12 +161,16 @@ def parse_robots(content: str) -> list[tuple[list[str], list[tuple[bool, str]]]]
     groups, per RFC 9309 §2.2: consecutive ``User-agent`` lines share
     one group; comments stripped at ``#``; unknown directives ignored
     (they do NOT break a group, matching the spec's extensibility
-    rule); a rule line before any user-agent line is ignored."""
+    rule); a rule line before any user-agent line is ignored. A
+    leading UTF-8 BOM is stripped — a BOM'd first User-agent line
+    otherwise goes unrecognized and the gate fails OPEN on the whole
+    host."""
+    content = (content or "").lstrip("\ufeff")
     groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[bool, str]] = []
     collecting_agents = True
-    for raw in (content or "").splitlines():
+    for raw in content.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
             continue
@@ -214,9 +218,12 @@ def _robots_pattern_match(pattern: str, path: str) -> int | None:
         pos = idx + len(part)
     if anchored and pos != len(path):
         # the final literal must sit at the end; with a trailing "*"
-        # before "$" any tail is already consumed greedily
+        # before "$" any tail is already consumed greedily — but only
+        # when a real "*" exists (bare "$" matches only the empty path)
         if parts[-1] == "":
-            pass
+            if len(parts) == 1:
+                return None          # bare "$": only the empty path
+            # else: real trailing "*$", any tail already consumed
         elif not path.endswith(parts[-1]) or len(path) < len(pat.replace("*", "")):
             return None
         else:
@@ -262,52 +269,52 @@ def _robots_decision_groups(groups, user_agent: str, path: str) -> bool:
 
 
 def robots_filter(df: DataFrame, robots: DataFrame, user_agent: str,
-                  url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+                  url_col: str = "url") -> DataFrame:
     """Tag frontier URLs with the robots verdict: join each URL's host
     to its robots.txt (the robots table is per-host and tiny next to
     the frontier — it BROADCASTS; the frontier never shuffles), then
     evaluate RFC 9309 in one Arrow kernel per row. Hosts with no
-    robots row allow everything (missing file = allow, §2.3.1.2).
+    robots row allow everything (missing file = allow, §2.3.1.2);
+    unparseable URLs default to path "/" and allow.
 
-    Output: frontier columns + (host, path, robots_allowed)."""
+    Output: ALL frontier columns (types preserved), plus (host, path,
+    robots_allowed). Each distinct robots.txt parses once per kernel
+    task. The frontier must not already carry host/path/robots_txt
+    columns (they are the operator's working names)."""
     from collections.abc import Iterator as _It
     from pyspark.sql.types import (BooleanType as _B, StringType as _S,
                                    StructField as _F, StructType as _T)
-    src = df.select(
-        F.col(id_col).cast("string").alias("id"), F.col(url_col).alias("url"),
-        F.lower(F.coalesce(F.try_parse_url(F.col(url_col), F.lit("HOST")),
-                           F.lit(""))).alias("host"),
-        F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
-                   F.lit("/")).alias("path"),
-    )
+    src = df.withColumns({
+        "host": F.lower(F.coalesce(
+            F.try_parse_url(F.col(url_col), F.lit("HOST")), F.lit(""))),
+        "path": F.coalesce(F.try_parse_url(F.col(url_col), F.lit("PATH")),
+                           F.lit("/")),
+    })
     joined = src.join(F.broadcast(robots.select(
         F.lower(F.col("host")).alias("host"),
         F.col("robots_txt"))), "host", "left")
-
-    schema = _T([_F("id", _S(), False), _F("url", _S()),
-                 _F("host", _S()), _F("path", _S()),
-                 _F("robots_allowed", _B())])
+    schema = _T([f for f in joined.schema.fields
+                 if f.name != "robots_txt"]
+                + [_F("robots_allowed", _B())])
 
     def kernel(batches: _It) -> _It:
-        import pandas as pd
         cache: dict = {}
-        for b in batches:
-            rows = []
-            for id_, url, host, path, txt in zip(
-                    b["id"], b["url"], b["host"], b["path"],
-                    b["robots_txt"]):
-                path = path or "/"
-                if txt is None:
-                    rows.append((id_, url, host, path, True))
-                    continue
-                groups = cache.get(txt)
-                if groups is None:
-                    groups = cache[txt] = parse_robots(txt)
-                rows.append((id_, url, host, path,
-                             _robots_decision_groups(groups, user_agent,
-                                                     path)))
-            yield pd.DataFrame(rows, columns=[
-                "id", "url", "host", "path", "robots_allowed"])
 
-    return (joined.mapInPandas(kernel, schema=schema)
-            .withColumnRenamed("id", id_col))
+        def decide(txt, path):
+            path = path or "/"
+            if txt is None:
+                return True
+            groups = cache.get(txt)
+            if groups is None:
+                groups = cache[txt] = parse_robots(txt)
+            return _robots_decision_groups(groups, user_agent, path)
+
+        for b in batches:
+            verdict = [decide(t, p)
+                       for t, p in zip(b["robots_txt"], b["path"])]
+            out = b.drop(columns=["robots_txt"])
+            out["path"] = [p or "/" for p in b["path"]]
+            out["robots_allowed"] = verdict
+            yield out
+
+    return joined.mapInPandas(kernel, schema=schema)

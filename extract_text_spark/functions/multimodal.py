@@ -95,10 +95,17 @@ def sniff_mime(payload: bytes | None) -> str | None:
     # ISO-BMFF: the ftyp box type sits at offset 4, not a prefix
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return "video/mp4"
-    # bare MP3 stream: 11-bit frame sync (no ID3 envelope)
-    if (len(payload) >= 2 and payload[0] == 0xFF
-            and (payload[1] & 0xE0) == 0xE0):
-        return "audio/mpeg"
+    # bare MP3 stream: full first-frame-header validity, not just the
+    # 11-bit sync — FF Ex also matches UTF-16LE BOMs and random binary
+    # (UTF-16 "\ufeff" is FF FE = a valid Layer I sync), so require the
+    # exact MPEG1-Layer-III + legal-bitrate/samplerate shape the decoder
+    # itself accepts
+    if len(payload) >= 3 and payload[0] == 0xFF:
+        b1, b2 = payload[1], payload[2]
+        if ((b1 & 0xE0) == 0xE0 and (b1 >> 3) & 0x3 == 0x3
+                and (b1 >> 1) & 0x3 == 0x1
+                and (b2 >> 4) not in (0, 15) and (b2 >> 2) & 0x3 != 3):
+            return "audio/mpeg"
     return "application/octet-stream"
 
 

@@ -112,7 +112,8 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
 def dsir_sample(df: DataFrame, target: DataFrame, nbuckets: int = 1 << 20,
                 mult_milli: int = 1_000_000,
                 id_col: str = "doc_id", text_col: str = "text",
-                target_id_col: str | None = None) -> DataFrame:
+                target_id_col: str | None = None,
+                cache_registry: list | None = None) -> DataFrame:
     """DSIR-shaped importance resampling (Xie et al. 2023,
     arXiv:2302.03169): select raw-corpus docs toward a small TARGET
     domain sample by importance weights estimated from hashed bag-of-
@@ -153,6 +154,10 @@ def dsir_sample(df: DataFrame, target: DataFrame, nbuckets: int = 1 << 20,
           .persist(StorageLevel.MEMORY_AND_DISK))
     ct = (tfeats.groupBy("bucket").agg(F.count("*").cast("long").alias("ct"))
           .persist(StorageLevel.MEMORY_AND_DISK))
+    if cache_registry is not None:
+        # the repo's loop-release convention (ingest.release_caches):
+        # per-shard drivers free each call's count tables after the action
+        cache_registry.extend([cr, ct])
     n_raw = cr.agg(F.sum("cr")).collect()[0][0] or 0
     n_tgt = ct.agg(F.sum("ct")).collect()[0][0] or 0
     norm_num, norm_den = n_raw + nbuckets, n_tgt + nbuckets

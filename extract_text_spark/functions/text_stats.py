@@ -562,12 +562,16 @@ def bpe_encode_df(df, merges: list, id_col: str = "doc_id",
     ``_BPE_TOKEN_RE``, the SAME regex ``bpe_token_count_col`` counts,
     so ``n_pretokens`` here always equals that cheap column; leading
     pre-token spaces are stripped before merging (the Ġ-less form).
+    The word cache is per-TASK (it outlives each Arrow batch — crawl
+    text repeats words across batches too) with a size cap, so a
+    high-lexical-diversity partition (hex ids, URLs) cannot grow it
+    without bound.
 
     Scale shape: ``merges`` rides the task closure — a production
     50k-merge table is ~1 MB, exactly the payload Spark ships once per
-    executor; the per-batch word cache exploits crawl text's heavy
-    word repetition, so cost is ~O(distinct words) per batch, and rows
-    never shuffle (mapInPandas, partition-preserving).
+    executor; the capped per-task word cache exploits crawl text's
+    heavy word repetition, so cost is ~O(distinct words) per task, and
+    rows never shuffle (mapInPandas, partition-preserving).
 
     Output: (id_col, n_pretokens, n_tokens, encoded) where ``encoded``
     joins subtokens with spaces and pre-tokens with ``|``.
@@ -595,6 +599,8 @@ def bpe_encode_df(df, merges: list, id_col: str = "doc_id",
                     w = w.lstrip(" ")
                     toks = cache.get(w)
                     if toks is None:
+                        if len(cache) >= 1_000_000:
+                            cache.clear()     # cap worker memory
                         toks = bpe_merge_word(w, ranks)
                         cache[w] = toks
                     n_tok += len(toks)

@@ -1291,8 +1291,7 @@ def url_robots(spark, sf_dir):
          ("h2.example", "")],
         "host string, robots_txt string")
     return (robots_filter(frontier, robots, user_agent="mybot/1.0")
-            .select(F.col("doc_id").cast("long").alias("doc_id"),
-                    "url", "host", "path", "robots_allowed")
+            .select("doc_id", "url", "host", "path", "robots_allowed")
             .orderBy("doc_id"))
 
 

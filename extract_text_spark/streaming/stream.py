@@ -100,6 +100,14 @@ def stream_extract_spans(
     return writer.start()
 
 
+_BINARY_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("modificationTime", TimestampType()),
+    StructField("length", LongType()),
+    StructField("content", BinaryType()),
+])
+
+
 def stream_extract_files(
     spark: SparkSession,
     input_path: str,
@@ -125,14 +133,7 @@ def stream_extract_files(
     watch directory is chunked across tasks instead of pinning one core.
     """
     from ..ingest import ingest_bytes_df
-    from pyspark.sql.types import BinaryType
-    binary_schema = StructType([
-        StructField("path", StringType()),
-        StructField("modificationTime", TimestampType()),
-        StructField("length", LongType()),
-        StructField("content", BinaryType()),
-    ])
-    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     from ..ingest import named_binary_df
@@ -222,19 +223,16 @@ def stream_extract_warc(
     kernel -> parquet sink, exactly-once per WARC file (file-source
     offset log + sink commit log) — the continuous CommonCrawl ingest
     loop as a Structured Streaming job. Task granularity is one WARC
-    file per micro-batch row, the same unit as the batch path."""
+    file per micro-batch row, the same unit as the batch path. doc_ids
+    are FULL file paths (the ingest.named_binary_df convention) — a
+    crawl delivery keeps same-named files in different segment
+    directories, and basenames would conflate their records."""
     from ..warcsource import ingest_warc_df
-    binary_schema = StructType([
-        StructField("path", StringType()),
-        StructField("modificationTime", TimestampType()),
-        StructField("length", LongType()),
-        StructField("content", BinaryType()),
-    ])
-    reader = spark.readStream.format("binaryFile").schema(binary_schema)
+    reader = spark.readStream.format("binaryFile").schema(_BINARY_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     files = reader.load(input_path).select(
-        F.element_at(F.split("path", "/"), -1).alias("doc_id"), "content")
+        F.col("path").alias("doc_id"), "content")
     return _start_span_sink(ingest_warc_df(files), output_path,
                             checkpoint_path, available_now)
 

@@ -825,6 +825,12 @@ def test_robots_decision_rfc9309_semantics():
     assert robots_decision("Disallow: /\n", "x", "/a")
     # empty Disallow means allow-all, not disallow-all
     assert robots_decision("User-agent: *\nDisallow:\n", "x", "/a")
+    # a UTF-8 BOM must not unrecognize the first User-agent line
+    # (that would fail OPEN on the whole host)
+    assert not robots_decision(
+        "﻿User-agent: *\nDisallow: /\n", "x", "/a")
+    # bare 'Disallow: $' matches only the empty path — never the site
+    assert robots_decision("User-agent: *\nDisallow: $\n", "x", "/a")
 
 
 def test_robots_filter_broadcast_join(spark):
@@ -840,7 +846,29 @@ def test_robots_filter_broadcast_join(spark):
         "host string, robots_txt string")
     out = {r.doc_id: r for r in
            robots_filter(frontier, robots, user_agent="bot").collect()}
-    assert not out["1"].robots_allowed        # host matched case-fold
-    assert out["2"].robots_allowed
-    assert out["3"].robots_allowed            # no robots row -> allow
-    assert out["4"].robots_allowed and out["4"].path == "/"  # unparseable
+    # frontier column types are preserved (doc_id stays a long)
+    assert not out[1].robots_allowed          # host matched case-fold
+    assert out[2].robots_allowed
+    assert out[3].robots_allowed              # no robots row -> allow
+    assert out[4].robots_allowed and out[4].path == "/"  # unparseable
+
+
+def test_bloom_broadcast_form_preserves_duplicate_rows(spark):
+    """The two physical forms must agree on CARDINALITY too: identical
+    corpus rows (a re-crawl feed before dedup — exactly this operator's
+    domain) stay distinct through the broadcast form's explode/aggregate
+    round-trip."""
+    snap = spark.createDataFrame([("seen text",)], "text string")
+    corpus = spark.createDataFrame(
+        [(1, "seen text"), (1, "seen text"), (2, "fresh text")],
+        "doc_id long, text string")
+    lit_rows = sorted((r.doc_id, r.bloom_member)
+                      for r in dedup.bloom_snapshot_filter(
+                          corpus, snap, m_bits=480, k=4).collect())
+    join_rows = sorted((r.doc_id, r.bloom_member)
+                       for r in dedup.bloom_snapshot_filter(
+                           corpus, snap, m_bits=480, k=4,
+                           max_literal_words=0).collect())
+    assert lit_rows == join_rows
+    assert len(join_rows) == 3
+    assert join_rows[0][1] and join_rows[1][1]

@@ -297,7 +297,10 @@ def test_stream_extract_warc(spark, tmp_path):
              "body": b"warc stream text"}], gzip_members=True))
 
     stream_extract_warc(spark, inp, out, ckpt).awaitTermination()
-    rows = {r["doc_id"]: (r["status"], [s["text"] for s in r["spans"]])
+    # doc_id = FULL file path + record ordinal (segment-collision-proof)
+    rows = {r["doc_id"].rsplit("/", 1)[-2].rsplit("/", 1)[-1]
+            + "/" + r["doc_id"].rsplit("/", 1)[-1]:
+            (r["status"], [s["text"] for s in r["spans"]])
             for r in spark.read.parquet(out).collect()}
     assert rows["a.warc/1"] == ("ok", ["Warc page body"])
     assert rows["b.warc.gz/0"] == ("ok", ["warc stream text"])
@@ -315,4 +318,5 @@ def test_stream_extract_warc(spark, tmp_path):
              "body": b"late delivery"}]))
     stream_extract_warc(spark, inp, out, ckpt).awaitTermination()
     rows2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
-    assert "c.warc/0" in rows2 and len(rows2) == n1 + 1
+    assert any(r.endswith("c.warc/0") for r in rows2)
+    assert len(rows2) == n1 + 1
