@@ -774,6 +774,10 @@ def test_flac_mp3_header_decode():
     assert mm.decode_mp3_header(b"\xff\xfb\x00\x00" + b"\x00" * 10) is None
     assert mm.decode_mp3_header(b"\xff\xfb\xf0\x00" + b"\x00" * 10) is None
     assert mm.decode_mp3_header(b"\xff\xfb\x9c\x00" + b"\x00" * 10) is None
+    # the sniffer is exactly as strict as the decoder: a UTF-16LE BOM
+    # (FF FE — a valid MPEG Layer I sync) must not classify as audio
+    assert mm.sniff_mime("﻿hello".encode("utf-16-le")) \
+        == "application/octet-stream"
 
 
 def test_mp4_header_decode():
