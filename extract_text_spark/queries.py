@@ -1320,6 +1320,82 @@ FROM p ORDER BY doc_id
 """
 
 
+def crawl_frontier(spark, sf_dir):
+    """The crawl-tier capstone: operators COMPOSE into a frontier
+    pipeline the way corpus_curation composes the curation side —
+    discovered links -> URL canonicalization (case/port/tracking/slash
+    variants collapse, dedup.canonical_url_col) -> in-link counting
+    (the frontier priority) -> robots.txt gate (per-host broadcast,
+    RFC 9309) -> domain blocklist -> composed keep. Every gate fires:
+    h1 is robots-disallowed entirely, h2 is blocklisted, h0's /private/
+    subtree is robots-blocked, and arms 0-2 collapse to one canonical
+    URL per (host, page) proving the dedup feeds the priority count."""
+    from .functions.dedup import canonical_url_col
+    from .functions.graph import robots_filter
+    d = _t(spark, sf_dir, "documents")
+    m = F.pmod("doc_id", F.lit(5))
+    t = F.pmod("doc_id", F.lit(3)).cast("string")
+    k = F.pmod(F.col("doc_id") / 5, F.lit(20)).cast("long").cast("string")
+    url = (F.when(m == 0, F.concat(F.lit("HTTP://H"), t,
+                                   F.lit(".Example:80/p"), k))
+           .when(m == 1, F.concat(F.lit("http://h"), t,
+                                  F.lit(".example/p"), k, F.lit("/")))
+           .when(m == 2, F.concat(F.lit("http://h"), t,
+                                  F.lit(".example/p"), k,
+                                  F.lit("?utm_source=x")))
+           .when(m == 3, F.concat(F.lit("http://h"), t,
+                                  F.lit(".example/q"), k, F.lit("?id=7")))
+           .otherwise(F.concat(F.lit("http://h"), t,
+                               F.lit(".example/private/p"), k)))
+    agg = (d.select(canonical_url_col(url).alias("canonical_url"))
+           .groupBy("canonical_url")
+           .agg(F.count("*").cast("long").alias("n_refs")))
+    robots = spark.createDataFrame(
+        [("h0.example", "User-agent: *\nDisallow: /private/\n"),
+         ("h1.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string")
+    gated = robots_filter(agg, robots, user_agent="mybot/1.0",
+                          url_col="canonical_url")
+    blocked = F.col("host") == "h2.example"
+    return (gated.select(
+        "canonical_url", "host", "path", "n_refs", "robots_allowed",
+        blocked.alias("blocklisted"),
+        (F.col("robots_allowed") & ~blocked).alias("keep"))
+        .orderBy("canonical_url"))
+
+
+CRAWL_FRONTIER_SQL = """
+WITH e AS (
+  SELECT doc_id, doc_id % 5 AS m, (doc_id % 3)::VARCHAR AS t,
+         ((doc_id // 5) % 20)::VARCHAR AS k
+  FROM documents
+), c AS (
+  SELECT CASE
+           WHEN m IN (0, 1, 2) THEN 'http://h' || t || '.example/p' || k
+           WHEN m = 3 THEN 'http://h' || t || '.example/q' || k || '?id=7'
+           ELSE 'http://h' || t || '.example/private/p' || k
+         END AS canonical_url,
+         'h' || t || '.example' AS host,
+         CASE WHEN m = 4 THEN '/private/p' || k
+              WHEN m = 3 THEN '/q' || k
+              ELSE '/p' || k END AS path
+  FROM e
+), g AS (
+  SELECT canonical_url, host, path, count(*)::BIGINT AS n_refs
+  FROM c GROUP BY 1, 2, 3
+)
+SELECT canonical_url, host, path, n_refs,
+       CASE WHEN host = 'h1.example' THEN FALSE
+            WHEN host = 'h0.example' AND path LIKE '/private/%' THEN FALSE
+            ELSE TRUE END AS robots_allowed,
+       host = 'h2.example' AS blocklisted,
+       (CASE WHEN host = 'h1.example' THEN FALSE
+             WHEN host = 'h0.example' AND path LIKE '/private/%' THEN FALSE
+             ELSE TRUE END) AND host <> 'h2.example' AS keep
+FROM g ORDER BY canonical_url
+"""
+
+
 def ext_outlinks(spark, sf_dir):
     """Outlink harvesting + RFC 3986 resolution (graph.harvest_outlinks,
     html.find_hrefs): absolute, relative-path, dot-segment, network-path
@@ -3974,6 +4050,7 @@ QUERIES = {
     "sample_dsir": sample_dsir,
     "url_filter": url_filter,
     "url_robots": url_robots,
+    "crawl_frontier": crawl_frontier,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
@@ -4050,6 +4127,7 @@ ORACLES = {
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,
     "url_robots": URL_ROBOTS_SQL,
+    "crawl_frontier": CRAWL_FRONTIER_SQL,
     "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,
