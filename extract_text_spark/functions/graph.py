@@ -318,3 +318,76 @@ def robots_filter(df: DataFrame, robots: DataFrame, user_agent: str,
             yield out
 
     return joined.mapInPandas(kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion (sitemaps.org protocol) — the frontier's other producer
+# ---------------------------------------------------------------------------
+
+def parse_sitemap(data: bytes) -> tuple[str, list[tuple[str, str | None]]]:
+    """sitemap.xml / sitemap.xml.gz bytes -> (kind, [(loc, lastmod)]).
+    kind is 'urlset' (page entries) or 'sitemapindex' (child sitemap
+    locs — the crawler enqueues those for another fetch round).
+    Namespace-tolerant (tag LOCAL names only); entries missing <loc>
+    are skipped; malformed XML raises ValueError (per-file quarantine,
+    the WARC/archive error contract)."""
+    import gzip
+    from xml.etree import ElementTree
+    if data[:2] == b"\x1f\x8b":
+        data = gzip.decompress(data)
+    try:
+        root = ElementTree.fromstring(data)
+    except ElementTree.ParseError as exc:
+        raise ValueError(f"invalid sitemap XML: {exc}") from None
+    local = root.tag.rsplit("}", 1)[-1].lower()
+    if local not in ("urlset", "sitemapindex"):
+        raise ValueError(f"not a sitemap document: <{local}>")
+    entries: list[tuple[str, str | None]] = []
+    for child in root:
+        loc, lastmod = None, None
+        for field in child:
+            name = field.tag.rsplit("}", 1)[-1].lower()
+            if name == "loc":
+                loc = (field.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (field.text or "").strip() or None
+        if loc:
+            entries.append((loc, lastmod))
+    return local, entries
+
+
+def sitemap_frontier(df: DataFrame, id_col: str = "doc_id",
+                     payload_col: str = "content") -> DataFrame:
+    """(sitemap_id, sitemap bytes) -> one row per discovered URL:
+    (sitemap_id, status, loc, lastmod, is_index). ``is_index`` rows are
+    child sitemaps to fetch next round (the sitemapindex recursion is
+    the FETCH tier's loop — this operator is one hop, like the WARC
+    source is one file). Malformed files quarantine as a single row
+    with the error status and NULL loc."""
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (BooleanType as _B, StringType as _S,
+                                   StructField as _F, StructType as _T)
+    src = df.select(F.col(id_col).cast("string").alias("sitemap_id"),
+                    F.col(payload_col).alias("payload"))
+    schema = _T([_F("sitemap_id", _S(), False), _F("status", _S()),
+                 _F("loc", _S()), _F("lastmod", _S()),
+                 _F("is_index", _B())])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for sid, payload in zip(b["sitemap_id"], b["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                try:
+                    kind, entries = parse_sitemap(payload)
+                except Exception as exc:
+                    rows.append((sid, f"error: {exc}", None, None, None))
+                    continue
+                for loc, lastmod in entries:
+                    rows.append((sid, "ok", loc, lastmod,
+                                 kind == "sitemapindex"))
+            yield pd.DataFrame(rows, columns=[
+                "sitemap_id", "status", "loc", "lastmod", "is_index"])
+
+    return src.mapInPandas(kernel, schema=schema)

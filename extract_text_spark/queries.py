@@ -1320,6 +1320,123 @@ FROM p ORDER BY doc_id
 """
 
 
+def ext_wet_roundtrip(spark, sf_dir):
+    """WET export/import invertibility: every document writes through
+    the engine's OWN WET sink (warcsource.wet_records_df — conversion
+    records, odd docs as gzip members) and reads back through the full
+    WARC source pipeline; the oracle is simply the documents table, so
+    the hash gate proves write(read(x)) == x byte-for-byte across the
+    record framing, the gzip-member packaging, the content routing and
+    the plain-text extraction kernel."""
+    from .warcsource import extract_from_warc, wet_records_df
+    d = _t(spark, sf_dir, "documents")
+    uri = F.concat(F.lit("http://c.example/doc"),
+                   F.col("doc_id").cast("string"))
+    plain = wet_records_df(
+        d.filter(F.col("doc_id") % 2 == 0).select(uri.alias("uri"), "text"),
+        gzip_members=False)
+    gz = wet_records_df(
+        d.filter(F.col("doc_id") % 2 == 1).select(uri.alias("uri"), "text"),
+        gzip_members=True)
+    wet = plain.unionByName(gz).select(
+        F.col("uri").alias("doc_id"), F.col("wet").alias("content"))
+    out = extract_from_warc(wet)
+    return out.select(
+        F.col("doc_id").alias("record_id"), "status",
+        F.try_element_at("spans", F.lit(1)).getField("text")
+         .alias("extracted"),
+    ).orderBy("record_id")
+
+
+EXT_WET_SQL = """
+SELECT 'http://c.example/doc' || doc_id::VARCHAR || '/0' AS record_id,
+       'ok' AS status, text AS extracted
+FROM documents ORDER BY record_id
+"""
+
+
+def ext_sitemap(spark, sf_dir):
+    """Sitemap ingestion (graph.sitemap_frontier, sitemaps.org
+    protocol): doc_id %% 4 builds (0) a namespaced urlset with a
+    lastmod on its first entry and a loc-less entry that must be
+    skipped, (1) a GZIPPED urlset (sitemap.xml.gz, the common
+    delivery), (2) a sitemapindex whose child locs come back flagged
+    is_index for the fetch tier's next round, (3) a non-sitemap XML
+    document quarantined per-file with a deterministic error."""
+    from .functions.graph import sitemap_frontier
+    d = _t(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator) -> Iterator:
+        import gzip
+        import pandas as pd
+        ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        for b in batches:
+            rows = []
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                m, k = doc_id % 4, str(doc_id)
+                if m == 0:
+                    urls = "".join(
+                        f"<url><loc>http://s{k}.example/p{j}</loc>"
+                        + (f"<lastmod>2024-01-0{doc_id % 9 + 1}"
+                           "</lastmod>" if j == 0 else "")
+                        + "</url>" for j in range(3))
+                    xml = (f"<urlset{ns}>{urls}"
+                           "<url><priority>0.5</priority></url>"
+                           "</urlset>").encode()
+                elif m == 1:
+                    urls = "".join(
+                        f"<url><loc> http://s{k}.example/g{j} </loc></url>"
+                        for j in range(2))
+                    xml = gzip.compress(
+                        f"<urlset{ns}>{urls}</urlset>".encode(), mtime=0)
+                elif m == 2:
+                    sm = "".join(
+                        f"<sitemap><loc>http://s{k}.example/child{j}.xml"
+                        "</loc></sitemap>" for j in range(2))
+                    xml = f"<sitemapindex{ns}>{sm}</sitemapindex>".encode()
+                else:
+                    xml = b"<html><body>not a sitemap</body></html>"
+                rows.append((f"s{k}", xml))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    schema = StructType([
+        StructField("doc_id", StringType(), False),
+        StructField("content", BinaryType()),
+    ])
+    maps = d.select("doc_id").mapInPandas(kernel, schema=schema)
+    out = sitemap_frontier(maps)
+    return out.orderBy("sitemap_id", F.coalesce("loc", F.lit("")))
+
+
+EXT_SITEMAP_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS m, doc_id::VARCHAR AS k FROM documents
+), r AS (
+  SELECT 's' || k AS sitemap_id, 'ok' AS status,
+         'http://s' || k || '.example/p' || j::VARCHAR AS loc,
+         CASE WHEN j = 0
+              THEN '2024-01-0' || ((doc_id % 9) + 1)::VARCHAR END AS lastmod,
+         FALSE AS is_index
+  FROM d, range(3) t(j) WHERE m = 0
+  UNION ALL
+  SELECT 's' || k, 'ok', 'http://s' || k || '.example/g' || j::VARCHAR,
+         NULL, FALSE
+  FROM d, range(2) t(j) WHERE m = 1
+  UNION ALL
+  SELECT 's' || k, 'ok',
+         'http://s' || k || '.example/child' || j::VARCHAR || '.xml',
+         NULL, TRUE
+  FROM d, range(2) t(j) WHERE m = 2
+  UNION ALL
+  SELECT 's' || k, 'error: not a sitemap document: <html>', NULL, NULL,
+         NULL
+  FROM d WHERE m = 3
+)
+SELECT * FROM r ORDER BY sitemap_id, coalesce(loc, '')
+"""
+
+
 def crawl_frontier(spark, sf_dir):
     """The crawl-tier capstone: operators COMPOSE into a frontier
     pipeline the way corpus_curation composes the curation side —
@@ -4051,6 +4168,8 @@ QUERIES = {
     "url_filter": url_filter,
     "url_robots": url_robots,
     "crawl_frontier": crawl_frontier,
+    "ext_sitemap": ext_sitemap,
+    "ext_wet_roundtrip": ext_wet_roundtrip,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
@@ -4128,6 +4247,8 @@ ORACLES = {
     "url_filter": URL_FILTER_SQL,
     "url_robots": URL_ROBOTS_SQL,
     "crawl_frontier": CRAWL_FRONTIER_SQL,
+    "ext_sitemap": EXT_SITEMAP_SQL,
+    "ext_wet_roundtrip": EXT_WET_SQL,
     "ext_outlinks": EXT_OUTLINKS_SQL,
     "host_pagerank": HOST_PAGERANK_SQL,
     "dedup_paragraphs": DEDUP_PARAGRAPHS_SQL,

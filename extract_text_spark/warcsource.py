@@ -215,3 +215,59 @@ def extract_from_warc(df: DataFrame, cache_registry: list | None = None,
     out = extract_spans_df(ing, **kwargs)
     out.ingest_cache = ing
     return out
+
+
+# ---------------------------------------------------------------------------
+# WET writer — the sink twin of the conversion-record source path
+# ---------------------------------------------------------------------------
+
+WET_DATE = "2024-01-01T00:00:00Z"
+
+
+def build_wet_record(uri: str, text: str, date: str = WET_DATE,
+                     gzip_member: bool = False) -> bytes:
+    """One extracted document -> a ``conversion`` record in the
+    CommonCrawl WET interchange shape (optionally as its own gzip
+    member, the CC packaging). ``parse_warc_records`` inverts this
+    exactly — the round-trip is gated hash-exact in ext_wet_roundtrip.
+    The record id derives from the URI and the date is pinned by the
+    caller, so output bytes are reproducible across reruns (idempotent
+    re-exports produce identical files)."""
+    import gzip
+    import hashlib
+    body = text.encode("utf-8")
+    rid = hashlib.md5(uri.encode("utf-8")).hexdigest()
+    hdr = [b"WARC/1.0", b"WARC-Type: conversion",
+           f"WARC-Record-ID: <urn:uuid:{rid}>".encode(),
+           f"WARC-Date: {date}".encode(),
+           f"WARC-Target-URI: {uri}".encode(),
+           b"Content-Type: text/plain",
+           f"Content-Length: {len(body)}".encode()]
+    record = b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+    return gzip.compress(record, mtime=0) if gzip_member else record
+
+
+def wet_records_df(df: DataFrame, uri_col: str = "uri",
+                   text_col: str = "text", date: str = WET_DATE,
+                   gzip_members: bool = True) -> DataFrame:
+    """(uri, text) rows -> (uri, wet: binary) conversion records, one
+    Arrow kernel, no shuffle. A sink task concatenates its partition's
+    records into one .warc.wet.gz (gzip members concatenate by
+    design), so export parallelism is the partition count."""
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    src = df.select(F.col(uri_col).cast("string").alias("uri"),
+                    F.col(text_col).alias("text"))
+    schema = StructType([StructField("uri", StringType(), False),
+                         StructField("wet", BinaryType())])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        for b in batches:
+            rows = [(uri, build_wet_record(uri, text or "", date=date,
+                                           gzip_member=gzip_members))
+                    for uri, text in zip(b["uri"], b["text"])]
+            yield pd.DataFrame(rows, columns=["uri", "wet"])
+
+    return src.mapInPandas(kernel, schema=schema)

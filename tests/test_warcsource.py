@@ -108,3 +108,46 @@ def test_extract_from_warc_end_to_end(spark):
     assert got["w1/0"]["spans"][0]["text"] == "doc two text"
     assert got["w2"]["status"].startswith("error: Error processing WARC")
     out.ingest_cache.unpersist()
+
+
+def test_wet_writer_roundtrip_and_packaging():
+    from extract_text_spark.warcsource import (
+        build_wet_record, parse_warc_records, warc_rows)
+    r = build_wet_record("http://a/d1", "text body one")
+    (rec,) = parse_warc_records(r)
+    assert rec["type"] == "conversion"
+    assert rec["uri"] == "http://a/d1" and rec["payload"] == b"text body one"
+    # gzip members concatenate into one multi-record file by design
+    two = (build_wet_record("http://a/d1", "one", gzip_member=True)
+           + build_wet_record("http://a/d2", "two", gzip_member=True))
+    rows = warc_rows(two, "f")
+    assert [(r[0], r[2][0]["text"]) for r in rows] == [
+        ("f/0", "one"), ("f/1", "two")]
+    # reproducible bytes (idempotent re-export)
+    assert build_wet_record("u", "t") == build_wet_record("u", "t")
+
+
+def test_sitemap_frontier_rows(spark):
+    import gzip
+    from extract_text_spark.functions.graph import sitemap_frontier
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    urlset = (f"<urlset{ns}><url><loc>http://a/p1</loc>"
+              "<lastmod>2024-02-03</lastmod></url>"
+              "<url><loc>http://a/p2</loc></url>"
+              "<url><priority>1</priority></url></urlset>").encode()
+    index = (f"<sitemapindex{ns}><sitemap><loc>http://a/s1.xml</loc>"
+             "</sitemap></sitemapindex>").encode()
+    df = spark.createDataFrame(
+        [("m1", gzip.compress(urlset, mtime=0)), ("m2", index),
+         ("m3", b"<html/>")],
+        "doc_id string, content binary")
+    rows = sitemap_frontier(df).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.sitemap_id, []).append(r)
+    assert [(r.loc, r.lastmod, r.is_index) for r in by_id["m1"]] == [
+        ("http://a/p1", "2024-02-03", False), ("http://a/p2", None, False)]
+    assert by_id["m2"][0].loc == "http://a/s1.xml"
+    assert by_id["m2"][0].is_index is True
+    assert by_id["m3"][0].status.startswith("error: not a sitemap")
+    assert by_id["m3"][0].loc is None
