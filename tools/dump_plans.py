@@ -432,6 +432,19 @@ def main():
                                       t))) == 1),
     ])
 
+    cf = QUERIES["crawl_frontier"](spark, SF)
+    add("crawl_frontier — canonicalize, dedup, robots-gate, compose", cf, [
+        ("canonicalization + dedup is one map-side-combined groupBy on "
+         "the canonical key", lambda t: t.count("HashAggregate") >= 2),
+        ("the robots table is broadcast (the frontier never shuffles "
+         "for the gate)", r"BroadcastExchange"),
+        ("one Arrow kernel for the RFC 9309 evaluation",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 1),
+        ("single scan of the documents table",
+         lambda t: len(set(re.findall(r"Scan parquet\s*\((\d+)\)",
+                                      t))) == 1),
+    ])
+
     header = (
         "# PLANS — physical-plan evidence (generated by tools/dump_plans.py)\n\n"
         "Each section asserts the plan properties the engine's scale story\n"
