@@ -1323,7 +1323,8 @@ FROM p ORDER BY doc_id
 def ext_wet_roundtrip(spark, sf_dir):
     """WET export/import invertibility: every document writes through
     the engine's OWN WET sink (warcsource.wet_records_df — conversion
-    records, odd docs as gzip members) and reads back through the full
+    records, odd docs as gzip members via the per-row flag — one
+    kernel, one scan) and reads back through the full
     WARC source pipeline; the oracle is simply the documents table, so
     the hash gate proves write(read(x)) == x byte-for-byte across the
     record framing, the gzip-member packaging, the content routing and
@@ -1332,14 +1333,11 @@ def ext_wet_roundtrip(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     uri = F.concat(F.lit("http://c.example/doc"),
                    F.col("doc_id").cast("string"))
-    plain = wet_records_df(
-        d.filter(F.col("doc_id") % 2 == 0).select(uri.alias("uri"), "text"),
-        gzip_members=False)
-    gz = wet_records_df(
-        d.filter(F.col("doc_id") % 2 == 1).select(uri.alias("uri"), "text"),
-        gzip_members=True)
-    wet = plain.unionByName(gz).select(
-        F.col("uri").alias("doc_id"), F.col("wet").alias("content"))
+    wet = wet_records_df(
+        d.select(uri.alias("uri"), "text",
+                 (F.col("doc_id") % 2 == 1).alias("gz")),
+        gzip_member_col="gz",
+    ).select(F.col("uri").alias("doc_id"), F.col("wet").alias("content"))
     out = extract_from_warc(wet)
     return out.select(
         F.col("doc_id").alias("record_id"), "status",

@@ -249,16 +249,22 @@ def build_wet_record(uri: str, text: str, date: str = WET_DATE,
 
 def wet_records_df(df: DataFrame, uri_col: str = "uri",
                    text_col: str = "text", date: str = WET_DATE,
-                   gzip_members: bool = True) -> DataFrame:
+                   gzip_members: bool = True,
+                   gzip_member_col: str | None = None) -> DataFrame:
     """(uri, text) rows -> (uri, wet: binary) conversion records, one
     Arrow kernel, no shuffle. A sink task concatenates its partition's
     records into one .warc.wet.gz (gzip members concatenate by
-    design), so export parallelism is the partition count."""
+    design), so export parallelism is the partition count.
+    ``gzip_member_col`` names a per-row boolean overriding the global
+    flag — mixed exports stay ONE kernel over ONE scan instead of a
+    filtered-branch union."""
     from collections.abc import Iterator as _It
-    from pyspark.sql.types import (BinaryType, StringType, StructField,
-                                   StructType)
+    from pyspark.sql.types import (BinaryType, BooleanType, StringType,
+                                   StructField, StructType)
+    gz = (F.col(gzip_member_col).cast("boolean")
+          if gzip_member_col else F.lit(bool(gzip_members)))
     src = df.select(F.col(uri_col).cast("string").alias("uri"),
-                    F.col(text_col).alias("text"))
+                    F.col(text_col).alias("text"), gz.alias("gz"))
     schema = StructType([StructField("uri", StringType(), False),
                          StructField("wet", BinaryType())])
 
@@ -266,8 +272,8 @@ def wet_records_df(df: DataFrame, uri_col: str = "uri",
         import pandas as pd
         for b in batches:
             rows = [(uri, build_wet_record(uri, text or "", date=date,
-                                           gzip_member=gzip_members))
-                    for uri, text in zip(b["uri"], b["text"])]
+                                           gzip_member=bool(g)))
+                    for uri, text, g in zip(b["uri"], b["text"], b["gz"])]
             yield pd.DataFrame(rows, columns=["uri", "wet"])
 
     return src.mapInPandas(kernel, schema=schema)
