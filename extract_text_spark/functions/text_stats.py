@@ -614,3 +614,95 @@ def bpe_encode_df(df, merges: list, id_col: str = "doc_id",
                     F.col(text_col).alias("text"))
     return (src.mapInPandas(kernel, schema=schema)
             .withColumnRenamed("id", id_col))
+
+
+# ---------------------------------------------------------------------------
+# Unicode text repair (the ftfy-shaped cleaning tier)
+# ---------------------------------------------------------------------------
+
+_MOJIBAKE_MARKERS = ("Ã", "Â", "â€", "Ð", "Ñ")
+
+
+def _sloppy_1252_encode(s: str) -> bytes:
+    """cp1252 encode with the latin-1 fallback for the five code points
+    cp1252 leaves unmapped (0x81/8D/8F/90/9D) — ftfy's "sloppy
+    windows-1252". A mis-decode of UTF-8 bytes as cp1252 passes those
+    bytes through as C1 controls, so strict cp1252 cannot re-encode its
+    own mojibake."""
+    out = bytearray()
+    for ch in s:
+        try:
+            out += ch.encode("cp1252")
+        except UnicodeEncodeError:
+            o = ord(ch)
+            if o < 256:
+                out.append(o)
+            else:
+                raise
+    return bytes(out)
+
+
+def fix_text(text: str) -> tuple[str, bool]:
+    """Deterministic unicode repair, the fixed-rule subset of what
+    pipelines run ftfy for -- returns (fixed, mojibake_repaired):
+
+    1. mojibake: when the text carries classic UTF-8-read-as-latin-1
+       markers (A-tilde / A-circumflex / a-circumflex+euro / the
+       Cyrillic-capital pair bytes) and the latin-1 -> utf-8 round-trip
+       decodes cleanly to something different, take the repaired form
+       (ONE pass -- the common single mis-decode; a double mis-decode
+       repairs again on the next corpus pass, deliberately not a loop
+       here). cp1252 fallback covers the 0x80-0x9F band (curly quotes
+       land there).
+    2. NFC normalization (combining sequences -> precomposed);
+    3. line endings: CRLF and bare CR -> LF;
+    4. other C0/C1 control characters stripped (except LF and TAB).
+    """
+    import unicodedata
+    fixed, repaired = text or "", False
+    if any(m in fixed for m in _MOJIBAKE_MARKERS):
+        candidate = None
+        for enc in ("latin-1", "sloppy-1252"):
+            try:
+                raw = (_sloppy_1252_encode(fixed) if enc == "sloppy-1252"
+                       else fixed.encode(enc))
+                candidate = raw.decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        if candidate is not None and candidate != fixed:
+            fixed, repaired = candidate, True
+    fixed = unicodedata.normalize("NFC", fixed)
+    fixed = fixed.replace("\r\n", "\n").replace("\r", "\n")
+    fixed = "".join(
+        ch for ch in fixed
+        if ch in "\n\t" or unicodedata.category(ch) != "Cc")
+    return fixed, repaired
+
+
+def fix_text_df(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Arrow kernel applying ``fix_text`` per row (the unicodedata
+    tables are the Python dependency -- Catalyst has no NFC).
+    Partition-preserving, no shuffle; output (id_col, text_fixed,
+    changed, mojibake_repaired)."""
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (BooleanType as _B, StringType as _S,
+                                   StructField as _F, StructType as _T)
+    schema = _T([_F("id", _S(), False), _F("text_fixed", _S()),
+                 _F("changed", _B()), _F("mojibake_repaired", _B())])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["id"], b["text"]):
+                fixed, rep = fix_text(text)
+                rows.append((str(doc_id), fixed, fixed != (text or ""),
+                             rep))
+            yield pd.DataFrame(rows, columns=[
+                "id", "text_fixed", "changed", "mojibake_repaired"])
+
+    src = df.select(F.col(id_col).cast("string").alias("id"),
+                    F.col(text_col).alias("text"))
+    return (src.mapInPandas(kernel, schema=schema)
+            .withColumnRenamed("id", id_col))

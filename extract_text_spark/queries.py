@@ -455,6 +455,43 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ta_fixtext(spark, sf_dir):
+    """Unicode text repair (text_stats.fix_text_df, the ftfy-shaped
+    cleaning tier): doc_id %% 4 exercises (0) latin-1 mojibake repair
+    (C3 A9 read as two latin-1 chars -> one e-acute), (1) NFC
+    precomposition of a combining acute, (2) CRLF/CR normalization,
+    (3) clean passthrough. Expected outputs are chr()-composed in the
+    oracle, so the repair itself is hash-gated."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(4))
+    text = (F.when(m == 0, F.concat(F.lit("cafÃ© arm "), k))
+            .when(m == 1, F.concat(F.lit("café arm "), k))
+            .when(m == 2, F.concat(F.lit("line1\r\nline2\rend arm "), k))
+            .otherwise(F.concat(F.lit("plain arm "), k)))
+    docs = d.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    text.alias("text"))
+    out = text_stats.fix_text_df(docs)
+    return (out.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       "text_fixed", "changed", "mojibake_repaired")
+            .orderBy("doc_id"))
+
+
+TA_FIXTEXT_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'caf' || chr(233) || ' arm ' || doc_id::VARCHAR
+         WHEN 1 THEN 'caf' || chr(233) || ' arm ' || doc_id::VARCHAR
+         WHEN 2 THEN 'line1' || chr(10) || 'line2' || chr(10)
+                     || 'end arm ' || doc_id::VARCHAR
+         ELSE 'plain arm ' || doc_id::VARCHAR
+       END AS text_fixed,
+       doc_id % 4 <> 3 AS changed,
+       doc_id % 4 = 0 AS mojibake_repaired
+FROM documents ORDER BY doc_id
+"""
+
+
 def ta_c4(spark, sf_dir):
     """C4 cleaning rules (Raffel et al. 2020 §2.2, text_stats.c4_cols):
     terminal-punctuation line filter, 3-word minimum, javascript-line
@@ -4189,6 +4226,7 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
     "ta_classifier": ta_classifier,
+    "ta_fixtext": ta_fixtext,
     "ta_c4": ta_c4,
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
@@ -4268,6 +4306,7 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,
     "ta_classifier": TA_CLASSIFIER_SQL,
+    "ta_fixtext": TA_FIXTEXT_SQL,
     "ta_c4": TA_C4_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,

@@ -467,3 +467,34 @@ def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
     assert (out["2"].n_pretokens, out["2"].n_tokens,
             out["2"].encoded) == (0, 0, "")
     assert out["3"].encoded == "4 2|! !"
+
+
+def test_fix_text_rules():
+    ft = text_stats.fix_text
+    # Byte-sensitive fixtures are constructed PROGRAMMATICALLY (source
+    # literals with C1 controls do not survive editing).
+    moji = "caf" + "é".encode("utf-8").decode("latin-1")
+    assert ft(moji) == ("café", True)          # latin-1 mojibake
+
+    def cp1252ish(bs):
+        # a cp1252 mis-decode with the latin-1 fallback real decoders
+        # apply to the five unmapped bytes (0x81/8D/8F/90/9D)
+        out = []
+        for b in bs:
+            try:
+                out.append(bytes([b]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(b))
+        return "".join(out)
+
+    curly = cp1252ish("“q”".encode("utf-8"))
+    assert ft(curly) == ("“q”", True)     # sloppy-1252 path
+    # NFC precomposition, no mojibake flag
+    assert ft("café") == ("café", False)
+    # EOL normalization + control strip, tab preserved
+    assert ft("a\x00b\rc\r\nd\te") == ("ab\nc\nd\te", False)
+    # marker present but not repairable (codepoints > 255): untouched
+    mixed = "Ã and 中文"
+    assert ft(mixed) == (mixed, False)
+    # idempotent on already-clean text
+    assert ft("plain text") == ("plain text", False)
