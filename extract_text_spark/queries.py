@@ -4199,6 +4199,7 @@ QUERIES = {
     "dedup_url": dedup_url,
     "dedup_bloom": dedup_bloom,
     "ta_bpe": ta_bpe,
+    "ta_fixtext": ta_fixtext,
     "sample_dsir": sample_dsir,
     "url_filter": url_filter,
     "url_robots": url_robots,
@@ -4226,7 +4227,6 @@ QUERIES = {
     "ta_pii_scrub": ta_pii_scrub,
     "ta_rarity": ta_rarity,
     "ta_classifier": ta_classifier,
-    "ta_fixtext": ta_fixtext,
     "ta_c4": ta_c4,
     "ta_langid_multi": ta_langid_multi,
     "sample_stratified": sample_stratified,
@@ -4279,6 +4279,7 @@ ORACLES = {
     "dedup_url": DEDUP_URL_SQL,
     "dedup_bloom": DEDUP_BLOOM_SQL,
     "ta_bpe": TA_BPE_SQL,
+    "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,
     "url_robots": URL_ROBOTS_SQL,
@@ -4306,7 +4307,6 @@ ORACLES = {
     "ta_pii_scrub": TA_PII_SCRUB_SQL,
     "ta_rarity": TA_RARITY_SQL,
     "ta_classifier": TA_CLASSIFIER_SQL,
-    "ta_fixtext": TA_FIXTEXT_SQL,
     "ta_c4": TA_C4_SQL,
     "ta_langid_multi": _langid_multi_sql(),
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
