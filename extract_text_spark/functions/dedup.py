@@ -409,9 +409,19 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
         .agg(F.min(F.struct((-F.col("pm")).alias("neg_pm"),
                             F.col("b_id"))).alias("top"))
         .select("vec_id",
-                F.col("top.b_id").cast("long").alias("dup_of"),
+                F.col("top.b_id").alias("dup_of"),
                 (-F.col("top.neg_pm")).alias("dup_milli"))
     )
+    # Sentinel is type-aware, mirroring snapshot_dedup: numeric ids keep
+    # the documented -1 contract (the oracle's shape); string ids carry
+    # the real duplicate id with NULL when absent — casting a string id
+    # to long would NULL it out and silently mark every dup keep=True.
+    from pyspark.sql.types import NumericType
+
+    if isinstance(vectors.schema[id_col].dataType, NumericType):
+        dup_out = F.coalesce(F.col("dup_of"), F.lit(-1)).cast("long")
+    else:
+        dup_out = F.col("dup_of")
     return (
         ranked.join(best, "vec_id", "left")
         .select(
@@ -419,8 +429,7 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
             F.col("cluster").cast("long").alias("cluster"),
             "cent_milli",
             F.col("dup_of").isNull().alias("keep"),
-            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long"))
-            .alias("dup_of"),
+            dup_out.alias("dup_of"),
             F.coalesce(F.col("dup_milli"), F.lit(0).cast("long"))
             .alias("dup_milli"),
         )

@@ -219,15 +219,16 @@ def _robots_pattern_match(pattern: str, path: str) -> int | None:
     if anchored and pos != len(path):
         # the final literal must sit at the end; with a trailing "*"
         # before "$" any tail is already consumed greedily — but only
-        # when a real "*" exists (bare "$" matches only the empty path)
+        # when a real "*" exists. A pattern with NO "*" (incl. bare
+        # "$") anchors the whole literal: path must equal it exactly
+        # (RFC 9309 §2.2.3 — "/fish$" must not match "/fish/fish").
+        if len(parts) == 1:
+            return None
         if parts[-1] == "":
-            if len(parts) == 1:
-                return None          # bare "$": only the empty path
-            # else: real trailing "*$", any tail already consumed
+            pass                     # real trailing "*$": tail consumed
         elif not path.endswith(parts[-1]) or len(path) < len(pat.replace("*", "")):
             return None
-        else:
-            pos = len(path)
+        pos = len(path)
     return len(pattern)
 
 

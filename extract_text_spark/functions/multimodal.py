@@ -329,6 +329,9 @@ def decode_mp3_header(payload: bytes) -> dict | None:
     if payload[:3] == b"ID3" and len(payload) >= 10:
         off = 10 + ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14
                     | (payload[8] & 0x7F) << 7 | (payload[9] & 0x7F))
+        if payload[5] & 0x10:
+            off += 10               # ID3v2.4 footer: 10 bytes after the
+            #                         tag, NOT counted in the syncsafe size
     if len(payload) < off + 4:
         return None
     b0, b1, b2 = payload[off], payload[off + 1], payload[off + 2]

@@ -361,7 +361,8 @@ def gopher_keep_col(stats: dict[str, Column]) -> Column:
 # Corpus-frequency rarity scoring (the CCNet perplexity-filter shape)
 # ---------------------------------------------------------------------------
 
-def rarity_score(df, id_col: str = "doc_id", text_col: str = "text"):
+def rarity_score(df, id_col: str = "doc_id", text_col: str = "text",
+                 broadcast_vocab: bool = True):
     """Corpus-frequency rarity scoring — the perplexity-filter shape
     (CCNet, Wenzek et al. 2020 scores docs with a KenLM model and keeps
     the unsurprising head/middle of the distribution). Here the language
@@ -387,8 +388,12 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text"):
                      F.explode(F.split(text_col, " ")).alias("tok"))
     counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    # broadcast_vocab=False is the documented web-scale fallback: a
+    # vocabulary that outgrows the driver takes the shuffle hash-join
+    # (uniform keys) instead of an unconditional broadcast collect.
+    vocab = F.broadcast(counts) if broadcast_vocab else counts
     scored = (
-        toks.join(F.broadcast(counts), "tok")
+        toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
         .select("id", F.call_function(
             "div", F.lit(1_000_000) * F.col("n_total"), F.col("cnt"))

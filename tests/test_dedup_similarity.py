@@ -511,6 +511,23 @@ def test_semantic_dedup_exemplar_rule(spark):
     assert got[0].cluster != got[1].cluster
 
 
+def test_semantic_dedup_string_ids(spark):
+    """String vec_ids must carry the REAL duplicate id (the engine's own
+    extraction outputs use string doc_ids): the old cast-to-long turned
+    every dup_of NULL and silently disabled the dedup."""
+    vecs = spark.createDataFrame(
+        [("a0", [1.0, 0.0]), ("a1", [0.0, 1.0]),
+         ("z9", [1.0, 0.0])],                   # exact copy of a0
+        "vec_id string, embedding array<float>")
+    got = {r.vec_id: r
+           for r in dedup.semantic_dedup(vecs, tau_milli=990000,
+                                         k=2, iters=2).collect()}
+    assert not got["z9"].keep and got["z9"].dup_of == "a0"
+    assert got["z9"].dup_milli == 1000000
+    assert got["a0"].keep and got["a0"].dup_of is None
+    assert got["a1"].keep and got["a1"].dup_of is None
+
+
 def test_resize_bmp_nearest_neighbour_pixels():
     """Real raster check the hash gate can't see: 4x2 -> 2x1 picks source
     pixels (0,0) and (2,0) with floor mapping; identity resize round-trips
@@ -778,6 +795,15 @@ def test_flac_mp3_header_decode():
     # (FF FE — a valid MPEG Layer I sync) must not classify as audio
     assert mm.sniff_mime("﻿hello".encode("utf-16-le")) \
         == "application/octet-stream"
+    # ID3v2.4 footer flag (header byte 5 bit 0x10): the 10-byte footer
+    # follows the tag and is NOT counted in the syncsafe size — the
+    # first frame sits 10 bytes later than the size alone says
+    frame = make_mp3(1)
+    footed = (b"ID3\x04\x00\x10" + b"\x00\x00\x00\x00"
+              + b"3DI\x04\x00\x10" + b"\x00\x00\x00\x00" + frame)
+    hdr = mm.decode_mp3_header(footed)
+    assert hdr is not None and hdr["sample_rate"] == 44100
+    assert hdr["duration_ms"] == len(frame) * 8 * 1000 // 128000
 
 
 def test_mp4_header_decode():
@@ -835,6 +861,24 @@ def test_robots_decision_rfc9309_semantics():
         "﻿User-agent: *\nDisallow: /\n", "x", "/a")
     # bare 'Disallow: $' matches only the empty path — never the site
     assert robots_decision("User-agent: *\nDisallow: $\n", "x", "/a")
+    # a $-anchored pattern with NO '*' is an EXACT path match (RFC 9309
+    # §2.2.3): '/fish$' must not match '/fish/fish' (starts-and-ends
+    # shortcut), and 'Allow: /public$' must not override 'Disallow: /'
+    # for a path that merely starts and ends with '/public'
+    assert robots_decision("User-agent: *\nDisallow: /fish$\n",
+                           "x", "/fish/fish")
+    assert not robots_decision("User-agent: *\nDisallow: /fish$\n",
+                               "x", "/fish")
+    assert not robots_decision(
+        "User-agent: *\nAllow: /public$\nDisallow: /\n",
+        "x", "/public/secret/public")
+    assert robots_decision(
+        "User-agent: *\nAllow: /public$\nDisallow: /\n", "x", "/public")
+    # '*...$' anchored matching is unchanged by the exact-match rule
+    assert not robots_decision("User-agent: *\nDisallow: /a*.js$\n",
+                               "x", "/a/deep/x.js")
+    assert robots_decision("User-agent: *\nDisallow: /a*.js$\n",
+                           "x", "/a/deep/x.json")
 
 
 def test_robots_filter_broadcast_join(spark):
