@@ -113,6 +113,13 @@ def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
 
 HEADLINE_CPUS = int(os.environ.get("SPARK_GRAFT_HEADLINE_CPUS", "8"))
 HEADLINE_LEGS = int(os.environ.get("SPARK_GRAFT_HEADLINE_LEGS", "5"))
+# One steady-state headline: the SAME 400k-doc seeded corpus the scaling
+# run (tools/scaling_run.py) measures, so bench docs/sec and scaling
+# docs/sec are the same experiment at the same leg length (~30 s) — the
+# r5 4,097-vs-12,720 "two headline numbers" gap was per-job fixed
+# overhead (~3.7 s JVM scheduling + worker wake) dominating a 5-second
+# leg, not engine variance. Override for quick local iteration.
+HEADLINE_DOCS = int(os.environ.get("SPARK_GRAFT_HEADLINE_DOCS", "400000"))
 
 
 def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
@@ -137,8 +144,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
     hspark = get_spark(app_name="bench-headline",
                        master=f"local[{HEADLINE_CPUS}]",
                        shuffle_partitions=max(HEADLINE_CPUS * 2, 32))
-    n_docs_tbl = hspark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    n_corpus = n_corpus_docs or max(4000, 4 * n_docs_tbl)
+    n_corpus = n_corpus_docs or HEADLINE_DOCS
     corpus_path = ensure_span_corpus(hspark, n_corpus)
 
     # Warmup excluded from the measurement: Python workers fork + import
@@ -261,5 +267,20 @@ if __name__ == "__main__":
     # note). 8 threads measures the engine; 32 measures host contention.
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
     result = run(sf_dir, cpus)
+    # The per-leg evidence trail ([sec, load_start, load_end,
+    # stolen_cores] per leg per query) goes to a FILE: r5's driver
+    # captured only the tail of stdout, and 42 leg arrays printed before
+    # the headline fields truncated them away. Stdout stays ONE compact
+    # JSON line — headline fields + per-query numbers, nothing that can
+    # push them past a tail-capture window.
+    legs_file = os.environ.get("SPARK_GRAFT_LEGS_FILE",
+                               "/root/repo/bench_legs.json")
+    try:
+        with open(legs_file, "w") as fh:
+            json.dump(result, fh)
+        result["legs_file"] = legs_file
+    except OSError:
+        pass
+    result.pop("legs", None)
     print(json.dumps(result))
     sys.stdout.flush()
