@@ -208,7 +208,9 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
         "dedup_substring", "dedup_incremental", "ta_rarity", "ta_c4",
         "sim_semdedup", "ta_classifier", "url_filter", "host_pagerank",
         "ext_outlinks", "ext_warc_source", "dedup_bloom", "sample_dsir",
-        "ta_bpe", "mm_audio_headers", "mm_video_headers", "url_robots", "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
+        "ta_bpe", "mm_audio_headers", "mm_video_headers", "url_robots",
+        "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
+        "ta_bm25", "sample_split", "mm_resize",
     ]
     # Best-of-3 per query, each leg load-gated and its start loadavg
     # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold

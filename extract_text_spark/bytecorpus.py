@@ -1194,13 +1194,33 @@ def make_flac(n_samples: int, rate: int = 44100) -> bytes:
     return b"fLaC" + b"\x80" + len(streaminfo).to_bytes(3, "big") + streaminfo
 
 
-def make_mp3(n_frames: int, with_id3: bool = False) -> bytes:
+def make_mp3(n_frames: int, with_id3: bool = False,
+             xing_frames: int | None = None,
+             vbri_frames: int | None = None) -> bytes:
     """CBR MPEG1 Layer III stream at 128 kbps / 44100 Hz: each frame is
     144*128000/44100 = 417 bytes (no padding bit), header FF FB 90 00;
-    optional empty ID3v2 envelope (10-byte header, syncsafe size 0)."""
+    optional empty ID3v2 envelope (10-byte header, syncsafe size 0).
+    ``xing_frames`` plants a Xing VBR header in the first frame (after
+    the 32-byte stereo side info: tag + flags bit 0 + frame count);
+    ``vbri_frames`` plants the Fraunhofer VBRI twin (fixed 32 bytes
+    after the frame header: tag, version, delay, quality, bytes,
+    frames at tag+14)."""
     frame = b"\xff\xfb\x90\x00" + b"\x00" * 413
+    first = frame
+    if xing_frames is not None:
+        b = bytearray(frame)
+        b[36:40] = b"Xing"
+        b[40:44] = (1).to_bytes(4, "big")           # FRAMES flag
+        b[44:48] = xing_frames.to_bytes(4, "big")
+        first = bytes(b)
+    elif vbri_frames is not None:
+        b = bytearray(frame)
+        b[36:40] = b"VBRI"
+        b[40:42] = (1).to_bytes(2, "big")           # version
+        b[50:54] = vbri_frames.to_bytes(4, "big")
+        first = bytes(b)
     head = b"ID3\x03\x00\x00\x00\x00\x00\x00" if with_id3 else b""
-    return head + frame * n_frames
+    return head + first + frame * (n_frames - 1)
 
 
 def make_mp4(duration_units: int, timescale: int = 1000,
@@ -1231,3 +1251,33 @@ def make_mp4(duration_units: int, timescale: int = 1000,
                      + struct.pack(">II", width << 16, height << 16))
         moov_children += box(b"trak", box(b"tkhd", tkhd_body))
     return ftyp + box(b"moov", moov_children)
+
+
+def make_webm(duration_ticks: int, scale: int = 1_000_000,
+              width: int = 0, height: int = 0,
+              streamed: bool = False) -> bytes:
+    """Minimal WebM/Matroska: EBML header (DocType webm) + Segment >
+    Info(TimecodeScale u32, Duration float64) [+ Tracks > TrackEntry >
+    Video(PixelWidth/PixelHeight u16)]. Fixed-width integer encodings
+    keep the container size closed-form: 41 bytes without dims, 58
+    with. ``streamed`` writes the Segment with an UNKNOWN size (the
+    1-byte all-ones vint streamed muxers emit, RFC 8794 §6.2)."""
+
+    def el(eid: int, body: bytes) -> bytes:
+        idb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        assert len(body) <= 126
+        return idb + bytes([0x80 | len(body)]) + body
+
+    info = el(0x1549A966,
+              el(0x2AD7B1, scale.to_bytes(4, "big"))
+              + el(0x4489, struct.pack(">d", float(duration_ticks))))
+    seg_body = info
+    if width and height:
+        video = el(0xE0, el(0xB0, width.to_bytes(2, "big"))
+                   + el(0xBA, height.to_bytes(2, "big")))
+        seg_body += el(0x1654AE6B, el(0xAE, video))
+    head = el(0x1A45DFA3, el(0x4282, b"webm"))
+    if streamed:
+        return (head + (0x18538067).to_bytes(4, "big") + b"\xff"
+                + seg_body)
+    return head + el(0x18538067, seg_body)

@@ -348,7 +348,8 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
 def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
                    k: int = 8, iters: int = 2,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup =
     k-means the embedding space, then prune near-identical pairs WITHIN
     each cluster only — the clustering turns an O(N^2) cosine sweep into
@@ -370,6 +371,20 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
     table is persisted because the self-join reads it twice. Exact
     cosines only: reported ``dup_milli`` is never approximate.
 
+    ``max_cluster_size`` ENFORCES the paper's k ∝ N sizing instead of
+    assuming it: a cluster larger than the cap is split into rank-
+    contiguous slices of at most ``max_cluster_size`` members (slice id
+    joins as part of the pair key), so one degenerate mega-cluster —
+    e.g. a near-duplicate-heavy crawl collapsing the embedding space —
+    can never become an O(c²) hot task: per-slice pair work is bounded
+    by cap², and slices shuffle independently. Rank-contiguous slicing
+    keeps recall high where it matters (near-identical points have
+    near-identical centroid cosine, so they land in the SAME slice);
+    the deterministic, oracle-expressible tradeoff is that a duplicate
+    pair straddling a slice boundary with no in-slice earlier twin is
+    kept — the same boundary loss the paper accepts when it splits
+    oversized clusters. Default None preserves the uncapped contract.
+
     Output, one row per input vector:
     (vec_id, cluster, cent_milli, keep, dup_of, dup_milli) with -1/0
     sentinels when nothing clears the threshold.
@@ -388,12 +403,17 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
         .withColumn("cent_milli",
                     score_milli_col(F.col("nv"), F.col("centroid")))
         .withColumn("rnk", F.row_number().over(w))
-        .select("cluster", "vec_id", "nv", "cent_milli", "rnk")
+        .withColumn("sub",
+                    F.floor((F.col("rnk") - 1) / max_cluster_size)
+                    .cast("long") if max_cluster_size
+                    else F.lit(0).cast("long"))
+        .select("cluster", "vec_id", "nv", "cent_milli", "rnk", "sub")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = ranked.alias("a"), ranked.alias("b")
     pairs = (
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
+               & (F.col("a.sub") == F.col("b.sub"))
                & (F.col("b.rnk") < F.col("a.rnk")))
         .withColumn("pm", score_milli_col(F.col("a.nv"), F.col("b.nv")))
         .filter(F.col("pm") >= tau_milli)

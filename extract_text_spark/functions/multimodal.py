@@ -344,7 +344,27 @@ def decode_mp3_header(payload: bytes) -> dict | None:
     if br_idx in (0, 15) or rate_idx == 3:
         return None                     # free/bad bitrate, reserved rate
     bitrate = _MP3_BITRATES[br_idx]
-    return {"sample_rate": _MP3_RATES[rate_idx],
+    rate = _MP3_RATES[rate_idx]
+    # VBR: a Xing/Info (LAME) or VBRI (Fraunhofer) header in the first
+    # frame carries the exact frame count — most real podcast/crawl MP3s
+    # are VBR, where the CBR estimate below is simply wrong. Xing sits
+    # after the MPEG1 side info (32 bytes stereo/joint/dual, 17 mono,
+    # ISO 11172-3 §2.4.1.7); VBRI sits at a fixed 32 bytes after the
+    # 4-byte frame header. duration = frames * 1152 samples / rate
+    # (1152 samples per MPEG1 Layer III frame).
+    frames = None
+    mode = payload[off + 3] >> 6 if len(payload) > off + 3 else 0
+    xo = off + 4 + (17 if mode == 3 else 32)
+    if payload[xo:xo + 4] in (b"Xing", b"Info") and len(payload) >= xo + 12:
+        flags = int.from_bytes(payload[xo + 4:xo + 8], "big")
+        if flags & 0x1:
+            frames = int.from_bytes(payload[xo + 8:xo + 12], "big")
+    elif payload[off + 36:off + 40] == b"VBRI" and len(payload) >= off + 54:
+        frames = int.from_bytes(payload[off + 50:off + 54], "big")
+    if frames:
+        return {"sample_rate": rate,
+                "duration_ms": frames * 1152 * 1000 // rate}
+    return {"sample_rate": rate,
             "duration_ms": (len(payload) - off) * 8 * 1000
             // (bitrate * 1000)}
 
@@ -411,6 +431,119 @@ def decode_mp4_header(payload: bytes) -> dict | None:
                         dims = (w >> 16, h >> 16)
                         break
     if out is not None and dims is not None:
+        out["width"], out["height"] = dims
+    return out
+
+
+def _ebml_vint(payload: bytes, pos: int,
+               keep_marker: bool) -> tuple[int, int, int] | None:
+    """One EBML variable-length integer at ``pos``: the count of leading
+    zero bits in the first byte gives the width (1-8 bytes). Element IDs
+    keep the marker bit (they are quoted WITH it in the Matroska spec:
+    0x1A45DFA3, 0xAE, ...); sizes strip it. Returns (value, width,
+    next_pos) or None on malformed/truncated input."""
+    if pos >= len(payload):
+        return None
+    first = payload[pos]
+    if first == 0:
+        return None                     # >8-byte vint: not valid EBML
+    width = 9 - first.bit_length()
+    if pos + width > len(payload):
+        return None
+    val = first if keep_marker else first & ((1 << (8 - width)) - 1)
+    for i in range(1, width):
+        val = (val << 8) | payload[pos + i]
+    return val, width, pos + width
+
+
+def _ebml_walk(payload: bytes, start: int, end: int):
+    """Iterate (element_id, body_start, body_end) over the EBML elements
+    in [start, end). An unknown-size element (all size VALUE bits set
+    for the vint's width) extends to the enclosing end, per the EBML
+    RFC 8794 §6.2 — streamed WebM writes its Segment that way. Stops on
+    malformed framing."""
+    pos = start
+    while pos < end:
+        got = _ebml_vint(payload, pos, keep_marker=True)
+        if got is None:
+            return
+        eid, _w, pos = got
+        got = _ebml_vint(payload, pos, keep_marker=False)
+        if got is None:
+            return
+        size, width, pos = got
+        unknown = size == (1 << (7 * width)) - 1
+        body_end = end if unknown else pos + size
+        if body_end > end:
+            return                      # declared size past the buffer
+        yield eid, pos, body_end
+        if body_end >= end:
+            return
+        pos = body_end
+
+
+# Matroska/WebM element ids (https://www.matroska.org/technical/elements)
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TIMECODE_SCALE = 0x2AD7B1
+_EBML_DURATION = 0x4489
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACK_ENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_PIXEL_W = 0xB0
+_EBML_PIXEL_H = 0xBA
+
+
+def decode_webm_header(payload: bytes) -> dict | None:
+    """WebM/Matroska metadata from the EBML element tree (pure varint
+    walking, no codec — the ISO-BMFF twin of decode_mp4_header):
+    ``Segment > Info`` gives TimecodeScale (ns per tick, default 10^6) +
+    Duration (float ticks); the first ``Tracks > TrackEntry > Video``
+    gives PixelWidth/PixelHeight. duration_ms floors
+    ticks * scale / 10^6."""
+    import struct
+
+    if len(payload) < 8 or not payload.startswith(b"\x1a\x45\xdf\xa3"):
+        return None
+    out, dims = None, None
+    for eid, body, bend in _ebml_walk(payload, 0, len(payload)):
+        if eid != _EBML_SEGMENT:
+            continue
+        for cid, cb, ce in _ebml_walk(payload, body, bend):
+            if cid == _EBML_INFO:
+                scale, dur = 1_000_000, None
+                for iid, ib, ie in _ebml_walk(payload, cb, ce):
+                    if iid == _EBML_TIMECODE_SCALE and ie > ib:
+                        scale = int.from_bytes(payload[ib:ie], "big")
+                    elif iid == _EBML_DURATION:
+                        if ie - ib == 4:
+                            (dur,) = struct.unpack(">f", payload[ib:ie])
+                        elif ie - ib == 8:
+                            (dur,) = struct.unpack(">d", payload[ib:ie])
+                if dur is not None and dur >= 0 and scale:
+                    out = {"duration_ms": int(dur * scale // 1_000_000)}
+            elif cid == _EBML_TRACKS and dims is None:
+                for tid, tb, te in _ebml_walk(payload, cb, ce):
+                    if tid != _EBML_TRACK_ENTRY:
+                        continue
+                    for vid, vb, ve in _ebml_walk(payload, tb, te):
+                        if vid != _EBML_VIDEO:
+                            continue
+                        w = h = None
+                        for pid, pb, pe in _ebml_walk(payload, vb, ve):
+                            if pid == _EBML_PIXEL_W and pe > pb:
+                                w = int.from_bytes(payload[pb:pe], "big")
+                            elif pid == _EBML_PIXEL_H and pe > pb:
+                                h = int.from_bytes(payload[pb:pe], "big")
+                        if w and h:
+                            dims = (w, h)
+                            break
+                    if dims:
+                        break
+    if out is None and dims is None:
+        return None
+    out = out or {}
+    if dims is not None:
         out["width"], out["height"] = dims
     return out
 
@@ -493,7 +626,9 @@ def _feature_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFram
                    else decode_mp3_header(payload)
                    if sniffed == "audio/mpeg"
                    else decode_mp4_header(payload)
-                   if sniffed == "video/mp4" else None)
+                   if sniffed == "video/mp4"
+                   else decode_webm_header(payload)
+                   if sniffed == "video/webm" else None)
             if hdr is not None:
                 status = "decoded"
                 width, height = hdr.get("width"), hdr.get("height")
@@ -602,6 +737,134 @@ def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     return bytes(out)
 
 
+_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}     # 8-bit channels per color type
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG raster decode with stdlib zlib only: chunk walk ->
+    concatenated IDAT inflate (stored AND Huffman deflate both land in
+    zlib.decompress) -> per-row filter reversal (RFC 2083 §6, the
+    bpp-aware general form of pdfbytes._png_unpredict, which fixes
+    bpp=1 for PDF xref streams). Returns (width, height, channels,
+    raw scanlines without filter bytes).
+
+    Supported: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), no interlace. Palette (needs PLTE indirection), 16-bit, and
+    Adam7 raise DecoderUnavailable — the documented plan-only seam."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise DecoderUnavailable("not a PNG")
+    if payload[12:16] != b"IHDR":
+        raise DecoderUnavailable("first chunk is not IHDR")
+    w, h = struct.unpack_from(">II", payload, 16)
+    depth, color, comp, filt, interlace = payload[24:29]
+    if depth != 8 or color not in _PNG_BPP or comp or filt or interlace:
+        raise DecoderUnavailable(
+            f"unsupported PNG shape depth={depth} color={color} "
+            f"interlace={interlace}")
+    if w == 0 or h == 0:
+        raise DecoderUnavailable("zero-dimension PNG")
+    bpp = _PNG_BPP[color]
+    # chunk walk: IDAT payloads form ONE zlib stream when concatenated
+    idat, pos = [], 8
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise DecoderUnavailable("truncated PNG chunk")
+        if tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen                # len + tag + body + crc
+    if not idat:
+        raise DecoderUnavailable("no IDAT data")
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise DecoderUnavailable(f"IDAT inflate failed: {exc}") from exc
+    stride = w * bpp
+    if len(data) != h * (stride + 1):
+        raise DecoderUnavailable("IDAT length != h*(stride+1)")
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        ft = data[y * (stride + 1)]
+        row = bytearray(data[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (
+                    up if pb <= pc else ul)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise DecoderUnavailable(f"bad PNG filter type {ft}")
+        out[y * stride:(y + 1) * stride] = row
+        prev = row
+    return w, h, bpp, bytes(out)
+
+
+def encode_png(width: int, height: int, channels: int,
+               raw: bytes) -> bytes:
+    """Deterministic PNG encode: filter-0 scanlines, IDAT stored-deflate
+    (zlib level 0) so the container size is CLOSED-FORM — with
+    L = height*(width*channels+1), size = 63 + 5*ceil(L/65535) + L —
+    which is what lets the resize arm sit under the DuckDB hash gate."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    stride = width * channels
+    scan = b"".join(b"\x00" + raw[y * stride:(y + 1) * stride]
+                    for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(scan, 0))
+            + chunk(b"IEND", b""))
+
+
+def resize_png(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbour PNG resize, pure stdlib: decode the actual
+    IDAT raster (stored or Huffman deflate), floor-map source pixels
+    (PIL NEAREST: src = dst*src_dim//dst_dim), re-encode filter-0 +
+    stored-deflate. Raises DecoderUnavailable for the shapes the decoder
+    documents as out of scope (palette/16-bit/interlaced)."""
+    src_w, src_h, ch, raw = decode_png_pixels(payload)
+    src_stride = src_w * ch
+    out = bytearray(dst_h * dst_w * ch)
+    for y in range(dst_h):
+        base = (y * src_h // dst_h) * src_stride
+        obase = y * dst_w * ch
+        for x in range(dst_w):
+            s = base + ch * (x * src_w // dst_w)
+            out[obase + ch * x:obase + ch * (x + 1)] = raw[s:s + ch]
+    return encode_png(dst_w, dst_h, ch, bytes(out))
+
+
 def _resize_batches(max_dim: int):
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -622,16 +885,20 @@ def _resize_batches(max_dim: int):
                     continue
                 w, h = hdr["width"], hdr["height"]
                 dw, dh, sm = plan_resize_dims(w, h, max_dim)
-                if sniffed == "image/bmp":
+                if sniffed in ("image/bmp", "image/png"):
                     try:
-                        rz = resize_bmp(payload, dw, dh)
+                        rz = (resize_bmp(payload, dw, dh)
+                              if sniffed == "image/bmp"
+                              else resize_png(payload, dw, dh))
                         rows.append((ref, "resized", w, h, dw, dh, sm,
                                      rz, len(rz)))
                         continue
                     except DecoderUnavailable:
                         pass
-                # compressed rasters: the PLAN (real header dims -> target
-                # dims) is emitted; pixel work stays behind the stub seam.
+                # compressed rasters outside the real-decode envelope
+                # (GIF/LZW, palette/16-bit/interlaced PNG): the PLAN
+                # (real header dims -> target dims) is emitted; pixel
+                # work stays behind the stub seam.
                 rows.append((ref, "planned", w, h, dw, dh, sm, None, None))
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in RESIZE_SCHEMA.fields])
@@ -643,10 +910,12 @@ def resize_media(df: DataFrame, max_dim: int,
     """Aspect-preserving image resize over binary media rows — the
     training-pipeline normalization pass. Same shape as
     ``extract_media_features``: validate -> salt-repartition -> Arrow
-    kernel. Uncompressed BMPs are resized for REAL (``resize_bmp``,
-    pure-stdlib nearest-neighbour); compressed rasters with decodable
-    headers emit the exact integer resize plan with pixels behind the
-    documented stub; unknown payloads are 'unsupported'."""
+    kernel. Uncompressed BMPs AND deflate-compressed PNGs (8-bit
+    gray/RGB/LA/RGBA, non-interlaced) are resized for REAL
+    (``resize_bmp`` / ``resize_png``, pure-stdlib nearest-neighbour);
+    other compressed rasters with decodable headers emit the exact
+    integer resize plan with pixels behind the documented stub; unknown
+    payloads are 'unsupported'."""
     valid = validate_media_df(df).filter("valid")
     if partitions:
         valid = valid.repartition(partitions, F.pmod(F.xxhash64("media_ref"),
@@ -673,7 +942,15 @@ def _frame_batches(interval_ms: int):
                                      (n - 1) * interval_ms))
                         continue
                 if sniffed in ("video/webm",):
-                    # container recognized, duration needs the codec layer
+                    hdr = decode_webm_header(payload)
+                    if hdr is not None and hdr.get("duration_ms") is not None:
+                        d = hdr["duration_ms"]
+                        n = int(d // interval_ms) + 1
+                        rows.append((ref, "sampled", d, n, 0,
+                                     (n - 1) * interval_ms))
+                        continue
+                    # container recognized, Info/Duration absent — the
+                    # codec layer would own a Cluster timestamp walk
                     rows.append((ref, "stubbed", None, None, None, None))
                     continue
                 rows.append((ref, "unsupported", None, None, None, None))

@@ -50,6 +50,33 @@ def stratified_sample(df: DataFrame, fracs_milli: dict[str, int],
     return df.where(bucket < rate)
 
 
+def split_assign(df: DataFrame, holdout_milli: dict[str, int],
+                 id_col: str = "doc_id", salt: str = "split",
+                 train_name: str = "train") -> DataFrame:
+    """Deterministic train/val/test assignment — the eval-split tier
+    every training pipeline needs BEFORE dedup/decontamination so the
+    held-out sets stay stable across reruns and corpus growth. Each
+    holdout split owns a cumulative range of the md5 hash-bucket space
+    (in millionths, insertion order); everything above the ranges is
+    ``train_name``. A document's split depends only on (salt, id): new
+    data never reshuffles old assignments, and re-running is a no-op.
+
+    Scale shape: the assignment is one in-row expression (a literal
+    CASE over the bucket) — no shuffle, no join, no driver state; at
+    10^12 docs the split column costs one md5 per row at the scan."""
+    bucket = hash_bucket_col(id_col, salt=salt)
+    cum, expr = 0, None
+    for name, milli in holdout_milli.items():
+        cum += milli
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    if cum > _MOD:
+        raise ValueError(f"holdout fractions sum past 1e6: {cum}")
+    split = (expr.otherwise(train_name) if expr is not None
+             else F.lit(train_name))
+    return df.withColumn("split", split)
+
+
 def mixture_sample(df: DataFrame, target_counts: dict[str, int],
                    source_col: str = "source",
                    id_col: str = "doc_id") -> DataFrame:

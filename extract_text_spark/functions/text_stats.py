@@ -409,6 +409,75 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def bm25_score(df, query_terms: list[str], id_col: str = "doc_id",
+               text_col: str = "text", k1_milli: int = 1_200_000,
+               b_milli: int = 750_000):
+    """BM25 relevance of every document against a fixed query — the
+    query-relevance curation tier (rank a crawl against a target topic,
+    keep the head; the retrieval-based cousin of DSIR's importance
+    weights). Robertson/Spärck Jones BM25 with the logarithm replaced by
+    the repo's log-free integer-inverse-frequency convention (same move
+    as rarity_score), so scores are bit-exact across engines.
+
+    Integer evaluation order (the oracle mirrors EVERY division):
+      idf_milli  = (1e6 * N) div df_t
+      rel_milli  = (1e6 * dl * N) div total_tokens        -- dl/avgdl
+      norm_milli = (1e6 - b) + (b * rel_milli) div 1e6    -- 1-b+b*rel
+      denom      = 1e6 * tf + (k1 * norm_milli) div 1e6
+      term_milli = (idf_milli * tf * (1e6 + k1)) div denom
+      bm25_milli = sum(term_milli)                         -- order-free
+
+    Scale shape (100 TB): doc length is in-row ``size(split())`` — no
+    explode for the length pass; the corpus explodes ONCE and filters to
+    the query terms immediately (a handful of tokens — the filter
+    prunes at the scan), so the tf aggregate shuffles only matching
+    (id, term) pairs; df and the two corpus scalars broadcast back. The
+    corpus itself never shuffles."""
+    div = lambda a, b: F.call_function("div", a, b)   # noqa: E731
+    dl = df.select(F.col(id_col).alias("id"),
+                   F.size(F.split(text_col, " ")).cast("long").alias("dl"))
+    tot = dl.agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum("dl").cast("long").alias("n_tokens"))
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.explode(F.split(text_col, " ")).alias("tok"))
+          .filter(F.col("tok").isin(list(query_terms)))
+          .groupBy("id", "tok").agg(F.count("*").cast("long").alias("tf")))
+    dfreq = tf.groupBy("tok").agg(F.count("*").cast("long").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("idf_milli",
+                    div(F.lit(1_000_000) * F.col("n_docs"), F.col("df")))
+        .withColumn("rel_milli",
+                    div(F.lit(1_000_000) * F.col("dl") * F.col("n_docs"),
+                        F.col("n_tokens")))
+        .withColumn("norm_milli",
+                    F.lit(1_000_000 - b_milli)
+                    + div(F.lit(b_milli) * F.col("rel_milli"),
+                          F.lit(1_000_000)))
+        .withColumn("denom",
+                    F.lit(1_000_000) * F.col("tf")
+                    + div(F.lit(k1_milli) * F.col("norm_milli"),
+                          F.lit(1_000_000)))
+        .withColumn("term_milli",
+                    div(F.col("idf_milli") * F.col("tf")
+                        * F.lit(1_000_000 + k1_milli), F.col("denom")))
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.sum("term_milli").cast("long").alias("bm25_milli"),
+        F.count("*").cast("long").alias("n_query_terms"))
+    return (
+        dl.join(per_doc, "id", "left")
+        .select(F.col("id").alias(id_col),
+                F.col("dl").alias("n_tokens"),
+                F.coalesce("n_query_terms", F.lit(0)).cast("long")
+                .alias("n_query_terms"),
+                F.coalesce("bm25_milli", F.lit(0)).cast("long")
+                .alias("bm25_milli"))
+    )
+
+
 def classifier_bucket_col(feature: Column, nbuckets: int) -> Column:
     """Hashed feature bucket: first 32 md5 bits mod nbuckets (fastText's
     hashing trick; md5 keeps it bit-exact across engines)."""

@@ -8,7 +8,7 @@ ta_gopher, ta_pii_scrub) hash-check them against DuckDB at sf0.01.
 
 from pyspark.sql import functions as F
 
-from extract_text_spark.functions import dedup, text_stats
+from extract_text_spark.functions import dedup, sampling, text_stats
 
 
 def test_word_chunks_cover_and_order(spark):
@@ -308,6 +308,66 @@ def test_rarity_score_inverse_frequency(spark):
     assert {r.doc_id: (r.rarity_sum, r.n_tokens)
             for r in shuf.collect()} == {
         k: (v.rarity_sum, v.n_tokens) for k, v in got.items()}
+
+
+def test_bm25_integer_exact(spark):
+    """BM25 closed form on a 3-doc corpus: hand-computed integer chain
+    (idf/rel/norm/denom/term all exact integral divisions)."""
+    df = spark.createDataFrame(
+        [(1, "join join filter"), (2, "join scan scan scan"),
+         (3, "scan scan")],
+        "doc_id long, text string")
+    got = {r.doc_id: r
+           for r in text_stats.bm25_score(df, ["join", "filter"]).collect()}
+    # corpus: N=3 docs, A=9 tokens. doc1 dl=3: rel=(1e6*3*3)//9=1000000,
+    # norm=250000+750000*1000000//1000000=1000000,
+    # k1norm=1200000*1000000//1000000=1200000
+    # join: df=2, idf=(3e6)//2=1500000, tf=2:
+    #   denom=2000000+1200000=3200000
+    #   term=1500000*2*2200000//3200000=2062500
+    # filter: df=1, idf=3000000, tf=1: denom=1000000+1200000=2200000
+    #   term=3000000*1*2200000//2200000=3000000
+    assert got[1].bm25_milli == 2062500 + 3000000
+    assert got[1].n_query_terms == 2 and got[1].n_tokens == 3
+    # doc2 dl=4: rel=(1e6*4*3)//9=1333333,
+    # norm=250000+750000*1333333//1000000=250000+999999=1249999
+    # k1norm=1200000*1249999//1000000=1499998
+    # join tf=1: denom=1000000+1499998=2499998
+    #   term=1500000*1*2200000//2499998=1320001
+    assert got[2].bm25_milli == 1320001 and got[2].n_query_terms == 1
+    # doc3: no query terms -> zero score, still present (LEFT join)
+    assert got[3].bm25_milli == 0 and got[3].n_query_terms == 0
+    assert got[3].n_tokens == 2
+
+
+def test_split_assign_deterministic(spark):
+    """Split assignment is a pure function of (salt, id): stable across
+    reruns, disjoint cumulative ranges, corpus growth never reassigns."""
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    out = sampling.split_assign(
+        df, {"test": 100000, "val": 150000}).collect()
+    by = {r.doc_id: r.split for r in out}
+    assert set(by.values()) == {"train", "val", "test"}
+    # growth invariance: the first 200 ids keep their assignment
+    small = {r.doc_id: r.split
+             for r in sampling.split_assign(
+                 df.filter("doc_id < 200"),
+                 {"test": 100000, "val": 150000}).collect()}
+    assert all(by[i] == small[i] for i in range(200))
+    # ranges are cumulative and exclusive: bucket<100k test, <250k val
+    from extract_text_spark.functions.sampling import hash_bucket_col
+    import pyspark.sql.functions as F
+    b = {r.doc_id: r.b for r in df.select(
+        "doc_id", hash_bucket_col("doc_id", salt="split").alias("b"))
+        .collect()}
+    for i, s in by.items():
+        want = ("test" if b[i] < 100000
+                else "val" if b[i] < 250000 else "train")
+        assert s == want
+    # over-allocated fractions are a loud error
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.split_assign(df, {"a": 900000, "b": 200000}).collect()
 
 
 def test_c4_cols_line_rules(spark):

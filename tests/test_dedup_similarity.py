@@ -528,6 +528,116 @@ def test_semantic_dedup_string_ids(spark):
     assert got["a1"].keep and got["a1"].dup_of is None
 
 
+def test_semantic_dedup_cluster_size_cap(spark):
+    """One planted mega-cluster (10 identical vectors): max_cluster_size
+    slices it rank-contiguously, so per-slice pair work is bounded by
+    cap² instead of one O(c²) hot task. Identical members rank by id, so
+    cap=3 slices [0,2,3][4,5,6][7,8,9][10]: each slice's first member
+    survives as its exemplar, later members dup onto it."""
+    rows = ([(0, [1.0, 0.0]), (1, [0.0, 1.0])]          # seed both clusters
+            + [(i, [1.0, 0.0]) for i in range(2, 11)]
+            + [(90, [0.0, 1.0])])
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = {r.vec_id: r
+              for r in dedup.semantic_dedup(vecs, tau_milli=990000,
+                                            k=2, iters=2,
+                                            max_cluster_size=3).collect()}
+    assert {i for i, r in capped.items() if r.keep} == {0, 4, 7, 10, 1}
+    assert all(capped[i].dup_of == 0 for i in (2, 3))
+    assert all(capped[i].dup_of == 4 for i in (5, 6))
+    assert all(capped[i].dup_of == 7 for i in (8, 9))
+    assert capped[90].dup_of == 1
+    # uncapped: the whole mega-cluster collapses onto one exemplar
+    plain = {r.vec_id: r
+             for r in dedup.semantic_dedup(vecs, tau_milli=990000,
+                                           k=2, iters=2).collect()}
+    assert {i for i, r in plain.items() if r.keep} == {0, 1}
+
+
+def test_resize_png_real_raster():
+    """Real PNG raster resize: decode the inflated IDAT, nearest-
+    neighbour floor mapping, re-encode — output pixels must re-decode to
+    exactly the floor-mapped source pixels (the same check the BMP arm
+    gets), across stored AND Huffman deflate and all five row filters."""
+    import struct
+    import zlib
+
+    from extract_text_spark.bytecorpus import make_png
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, decode_png_pixels, encode_png, resize_png)
+
+    # grayscale 4x2 -> 2x1: picks source pixels (0,0) and (2,0)
+    src = make_png(4, 2)
+    sw, sh, ch, raw = decode_png_pixels(src)
+    assert (sw, sh, ch) == (4, 2, 1)
+    assert raw == bytes((y * 4 + x) % 251 for y in range(2)
+                        for x in range(4))
+    out = resize_png(src, 2, 1)
+    ow, oh, och, oraw = decode_png_pixels(out)
+    assert (ow, oh, och) == (2, 1, 1)
+    assert oraw == bytes([raw[0], raw[2]])
+    assert len(out) == 63 + 5 * 1 + 1 * (2 + 1)   # closed form, L=3
+    # RGB identity resize round-trips the raster byte-identically
+    rgb = make_png(3, 3, color=2)
+    _, _, ch3, raw3 = decode_png_pixels(rgb)
+    assert ch3 == 3
+    assert decode_png_pixels(resize_png(rgb, 3, 3))[3] == raw3
+    # Huffman deflate (level 9) decodes identically to stored blocks
+    scan = b"".join(b"\x00" + raw3[y * 9:(y + 1) * 9] for y in range(3))
+    huff = (rgb[:8] + rgb[8:33]
+            + struct.pack(">I", len(zlib.compress(scan, 9))) + b"IDAT"
+            + zlib.compress(scan, 9)
+            + struct.pack(">I", zlib.crc32(
+                b"IDAT" + zlib.compress(scan, 9)))
+            + rgb[-12:])
+    assert decode_png_pixels(huff)[3] == raw3
+    # every filter type 1-4 inverts correctly: filter the known raster
+    # forward per RFC 2083 and check the decoder recovers it
+    for ft in (1, 2, 3, 4):
+        rows = []
+        prev = bytes(9)
+        for y in range(3):
+            row = raw3[y * 9:(y + 1) * 9]
+            enc = bytearray(row)
+            for i in range(9):
+                left = row[i - 3] if i >= 3 else 0
+                up = prev[i]
+                ul = prev[i - 3] if i >= 3 else 0
+                if ft == 1:
+                    enc[i] = (row[i] - left) & 0xFF
+                elif ft == 2:
+                    enc[i] = (row[i] - up) & 0xFF
+                elif ft == 3:
+                    enc[i] = (row[i] - (left + up) // 2) & 0xFF
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (left if pa <= pb and pa <= pc
+                            else up if pb <= pc else ul)
+                    enc[i] = (row[i] - pred) & 0xFF
+            rows.append(bytes([ft]) + bytes(enc))
+            prev = row
+        idat = zlib.compress(b"".join(rows), 6)
+        f_png = (rgb[:8] + rgb[8:33]
+                 + struct.pack(">I", len(idat)) + b"IDAT" + idat
+                 + struct.pack(">I", zlib.crc32(b"IDAT" + idat))
+                 + rgb[-12:])
+        assert decode_png_pixels(f_png)[3] == raw3, f"filter {ft}"
+    # out-of-envelope shapes stay behind the stub seam, never wrong
+    inter = bytearray(make_png(4, 2))
+    inter[28] = 1                       # IHDR interlace = Adam7
+    for bad in (bytes(inter), b"\x89PNG\r\n\x1a\n" + b"\x00" * 30):
+        try:
+            decode_png_pixels(bad)
+            raise AssertionError("expected DecoderUnavailable")
+        except DecoderUnavailable:
+            pass
+    # encode_png closed form holds at the multi-block boundary math
+    big_l = 2 * (70000 + 1)
+    assert (63 + 5 * ((big_l + 65534) // 65535) + big_l
+            == len(encode_png(70000, 2, 1, bytes(140000))))
+
+
 def test_resize_bmp_nearest_neighbour_pixels():
     """Real raster check the hash gate can't see: 4x2 -> 2x1 picks source
     pixels (0,0) and (2,0) with floor mapping; identity resize round-trips
@@ -546,14 +656,18 @@ def test_resize_bmp_nearest_neighbour_pixels():
 
 
 def test_resize_and_frame_sample_routing(spark):
-    """Mixed media route correctly: BMP resizes for real (and the output
-    re-decodes), PNG plans, WAV is unsupported for resize but samples
-    frames inclusively at both ends."""
+    """Mixed media route correctly: BMP and PNG resize for real (the
+    outputs re-decode), an out-of-envelope PNG (interlaced) plans, WAV
+    is unsupported for resize but samples frames inclusively at both
+    ends."""
     from extract_text_spark.bytecorpus import make_bmp, make_png, make_wav
     from extract_text_spark.functions.multimodal import (
-        decode_bmp_header, resize_media, sample_frames)
+        decode_bmp_header, decode_png_pixels, resize_media, sample_frames)
 
+    inter = bytearray(make_png(80, 8))
+    inter[28] = 1                            # IHDR interlace = Adam7
     rows = [("bmp", make_bmp(100, 40)), ("png", make_png(300, 20)),
+            ("png_i", bytes(inter)),
             ("wav", make_wav(4000)), ("junk", b"\x00\x01")]
     df = spark.createDataFrame(
         [(r, bytearray(p), "application/octet-stream", None, None)
@@ -568,8 +682,16 @@ def test_resize_and_frame_sample_routing(spark):
     got = decode_bmp_header(bytes(rz["bmp"].resized))
     assert (got["width"], got["height"]) == (50, 20)
     assert rz["bmp"].resized_n_bytes == 54 + 20 * ((3 * 50 + 3) // 4 * 4)
-    assert rz["png"].status == "planned" and rz["png"].resized is None
+    assert rz["png"].status == "resized"
     assert (rz["png"].dst_w, rz["png"].dst_h) == (50, 3)
+    pw, ph, pch, praw = decode_png_pixels(bytes(rz["png"].resized))
+    assert (pw, ph, pch) == (50, 3, 1)
+    src_raw = decode_png_pixels(make_png(300, 20))[3]
+    assert praw == bytes(src_raw[(y * 20 // 3) * 300 + (x * 300 // 50)]
+                         for y in range(3) for x in range(50))
+    # out-of-envelope PNG (Adam7) falls back to the exact integer plan
+    assert rz["png_i"].status == "planned" and rz["png_i"].resized is None
+    assert (rz["png_i"].dst_w, rz["png_i"].dst_h) == (50, 5)
     assert rz["wav"].status == "unsupported"
     assert rz["junk"].status == "unsupported"
 
@@ -804,6 +926,53 @@ def test_flac_mp3_header_decode():
     hdr = mm.decode_mp3_header(footed)
     assert hdr is not None and hdr["sample_rate"] == 44100
     assert hdr["duration_ms"] == len(frame) * 8 * 1000 // 128000
+    # VBR: a Xing (or Info/VBRI) header carries the exact frame count —
+    # duration is frames*1152/rate, NOT the CBR byte estimate
+    xing = make_mp3(2, xing_frames=7350)       # 7350 frames = 192.0 s
+    assert mm.decode_mp3_header(xing)["duration_ms"] \
+        == 7350 * 1152 * 1000 // 44100
+    vbri = make_mp3(2, vbri_frames=441)
+    assert mm.decode_mp3_header(vbri)["duration_ms"] \
+        == 441 * 1152 * 1000 // 44100
+    # a Xing header with the FRAMES flag clear falls back to CBR
+    noflag = bytearray(make_mp3(2, xing_frames=7350))
+    noflag[40:44] = b"\x00\x00\x00\x00"
+    assert mm.decode_mp3_header(bytes(noflag))["duration_ms"] \
+        == 834 * 8 * 1000 // 128000
+    # ID3 + Xing compose: tag skip first, then the VBR walk
+    assert mm.decode_mp3_header(
+        b"ID3\x03\x00\x00\x00\x00\x00\x00" + xing)["duration_ms"] \
+        == 7350 * 1152 * 1000 // 44100
+
+
+def test_webm_header_decode():
+    from extract_text_spark.bytecorpus import make_webm
+    from extract_text_spark.functions import multimodal as mm
+
+    v = make_webm(90500, width=640, height=360)
+    assert len(v) == 58                        # the closed-form size
+    assert mm.sniff_mime(v) == "video/webm"
+    assert mm.decode_webm_header(v) == {
+        "duration_ms": 90500, "width": 640, "height": 360}
+    # no video track -> dims stay absent; 25 fps timecode scale
+    # (40 ms/tick): 250 ticks = 10 s
+    a = make_webm(250, scale=40_000_000)
+    assert len(a) == 41
+    assert mm.decode_webm_header(a) == {"duration_ms": 10000}
+    # streamed Segment (unknown-size vint) walks to end-of-buffer
+    s = make_webm(1234, width=320, height=240, streamed=True)
+    assert mm.decode_webm_header(s) == {
+        "duration_ms": 1234, "width": 320, "height": 240}
+    # truncated / bare-magic / garbage payloads fail closed, not crash
+    assert mm.decode_webm_header(v[:20]) is None
+    assert mm.decode_webm_header(b"\x1a\x45\xdf\xa3" + b"x" * 16) is None
+    assert mm.decode_webm_header(b"\x1a\x45\xdf\xa3") is None
+    assert mm.decode_webm_header(b"RIFFxxxx") is None
+    # a declared element size past the buffer stops the walk
+    bad = bytearray(v)
+    bad[16] = 0xFE                             # Segment size absurd (126
+    #                                            bytes declared, 41 real)
+    assert mm.decode_webm_header(bytes(bad)) is None
 
 
 def test_mp4_header_decode():

@@ -202,6 +202,37 @@ def main():
          "(partial before the exchange; sort-based since the struct "
          "carries the type-agnostic id tie-break)",
          r"partial_min|partial_max"),
+        ("cluster-size cap rides the pair-join key (sub = rank slice): "
+         "a degenerate mega-cluster can never form one O(c²) task",
+         lambda t: "sub" in t and ("CartesianProduct" not in t)),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
+    bm = QUERIES["ta_bm25"](spark, SF)
+    add("ta_bm25 — query-term filter at the scan, stats broadcast back", bm, [
+        ("df/doc-length/corpus scalars broadcast back onto matches "
+         "(the corpus itself never shuffles for the stats join)",
+         r"BroadcastExchange"),
+        ("tf aggregate is map-side partial before its exchange",
+         r"partial_count|HashAggregate"),
+        ("query-term membership filters BEFORE the tf aggregate "
+         "(only matching tokens shuffle)",
+         r"tok#\d+ IN \(join,filter,window\)"),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian (the two scalar cross joins are broadcast "
+         "single-row)", lambda t: "CartesianProduct" not in t),
+    ])
+
+    sp = QUERIES["sample_split"](spark, SF)
+    add("sample_split — in-row assignment, zero joins", sp, [
+        ("split assignment is pure row-local expression work: no join "
+         "anywhere in the plan",
+         lambda t: "Join" not in t),
+        ("single exchange total (the verification groupBy) — the "
+         "assignment itself adds none",
+         lambda t: len(re.findall(r"Exchange \(\d+\)", t)) <= 2),
         ("no Python anywhere",
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
