@@ -111,6 +111,24 @@ def ensure_span_corpus(spark, n_docs: int, seed: int = 42,
     return path
 
 
+# Registry headliners benched at $SPARK_GRAFT_CPUS (module-level so the
+# contract test can assert every name still exists in the registry).
+HEADLINERS = [
+    "extract_flagship", "q1_pricing_summary", "q3_top_orders",
+    "events_sessions", "ta_quality", "dedup_minhash_lsh",
+    "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
+    "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
+    "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
+    "ext_url_source", "ext_url_images", "ext_mail_bytes",
+    "dedup_url", "ta_vocab", "ext_main_content",
+    "dedup_substring", "dedup_incremental", "ta_rarity", "ta_c4",
+    "sim_semdedup", "ta_classifier", "url_filter", "host_pagerank",
+    "ext_outlinks", "ext_warc_source", "dedup_bloom", "sample_dsir",
+    "ta_bpe", "mm_audio_headers", "mm_video_headers", "url_robots",
+    "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
+    "ta_bm25", "sample_split", "mm_resize",
+]
+
 HEADLINE_CPUS = int(os.environ.get("SPARK_GRAFT_HEADLINE_CPUS", "8"))
 HEADLINE_LEGS = int(os.environ.get("SPARK_GRAFT_HEADLINE_LEGS", "5"))
 # One steady-state headline: the SAME 400k-doc seeded corpus the scaling
@@ -197,21 +215,7 @@ def run(sf_dir: str, cpus: int, n_corpus_docs: int | None = None) -> dict:
                       shuffle_partitions=max(cpus * 2, 32))
 
     # 2. Registry headliners on the sf tables.
-    headliners = [
-        "extract_flagship", "q1_pricing_summary", "q3_top_orders",
-        "events_sessions", "ta_quality", "dedup_minhash_lsh",
-        "dedup_ngram_pairs", "sim_cosine_topk", "dedup_simhash",
-        "dedup_simhash_pairs", "ext_zip_fanout", "sim_ann_kmeans",
-        "dedup_paragraphs", "ta_gopher", "ta_pii_scrub", "pack_batches",
-        "ext_url_source", "ext_url_images", "ext_mail_bytes",
-        "dedup_url", "ta_vocab", "ext_main_content",
-        "dedup_substring", "dedup_incremental", "ta_rarity", "ta_c4",
-        "sim_semdedup", "ta_classifier", "url_filter", "host_pagerank",
-        "ext_outlinks", "ext_warc_source", "dedup_bloom", "sample_dsir",
-        "ta_bpe", "mm_audio_headers", "mm_video_headers", "url_robots",
-        "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
-        "ta_bm25", "sample_split", "mm_resize",
-    ]
+    headliners = HEADLINERS
     # Best-of-3 per query, each leg load-gated and its start loadavg
     # recorded (legs): this host is oversubscribed (CLAUDE.md) — a cold
     # first run folds Python-worker forks + codegen into one query's
@@ -281,8 +285,10 @@ if __name__ == "__main__":
         with open(legs_file, "w") as fh:
             json.dump(result, fh)
         result["legs_file"] = legs_file
-    except OSError:
-        pass
-    result.pop("legs", None)
+        result.pop("legs", None)
+    except OSError as exc:
+        # keep the evidence ON stdout if the file write fails — losing
+        # the per-leg trail silently would defeat the whole artifact
+        result["legs_file_error"] = str(exc)
     print(json.dumps(result))
     sys.stdout.flush()

@@ -1220,6 +1220,8 @@ def make_mp3(n_frames: int, with_id3: bool = False,
         b[50:54] = vbri_frames.to_bytes(4, "big")
         first = bytes(b)
     head = b"ID3\x03\x00\x00\x00\x00\x00\x00" if with_id3 else b""
+    if n_frames <= 0:
+        return head                      # tag-only / empty stream
     return head + first + frame * (n_frames - 1)
 
 

@@ -322,9 +322,10 @@ _MP3_RATES = (44100, 48000, 32000)
 
 def decode_mp3_header(payload: bytes) -> dict | None:
     """First MPEG1 Layer III frame header after an optional ID3v2 tag
-    (syncsafe size). sample_rate is exact; duration_ms is the standard
-    CBR estimate audio_bytes*8/bitrate — the honest header-only answer
-    (VBR needs a Xing frame walk; a codec tier owns that)."""
+    (syncsafe size; v2.4 footer flag adds 10). sample_rate is exact;
+    duration_ms is EXACT for VBR files carrying a Xing/Info or VBRI
+    frame count in the first frame, else the standard CBR estimate
+    audio_bytes*8/bitrate — the honest header-only answer."""
     off = 0
     if payload[:3] == b"ID3" and len(payload) >= 10:
         off = 10 + ((payload[6] & 0x7F) << 21 | (payload[7] & 0x7F) << 14

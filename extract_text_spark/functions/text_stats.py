@@ -432,7 +432,15 @@ def bm25_score(df, query_terms: list[str], id_col: str = "doc_id",
     the query terms immediately (a handful of tokens — the filter
     prunes at the scan), so the tf aggregate shuffles only matching
     (id, term) pairs; df and the two corpus scalars broadcast back. The
-    corpus itself never shuffles."""
+    corpus itself never shuffles.
+
+    int64 headroom: the worst intermediate is idf_milli * tf * 2.2e6
+    with idf_milli up to 1e6*N (a df=1 term), so the integer chain is
+    exact while N * tf_max stays under ~4.2e6 — past that (web-scale N
+    with a singleton query term) lift idf_milli/term_milli to DECIMAL
+    on both engines (HUGEINT side is free in DuckDB; same plan), the
+    same documented lift rarity_score prescribes for its 1e6*N_total
+    product."""
     div = lambda a, b: F.call_function("div", a, b)   # noqa: E731
     dl = df.select(F.col(id_col).alias("id"),
                    F.size(F.split(text_col, " ")).cast("long").alias("dl"))

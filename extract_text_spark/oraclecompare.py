@@ -52,9 +52,15 @@ def duckdb_views(con, sf_dir: str):
     return con
 
 
-def compare_query(spark, con, fn, sql, sf_dir: str) -> dict:
+def compare_query(spark, con, fn, sql, sf_dir: str,
+                  keep_rows: bool = False) -> dict:
     """Run one queries() entry on Spark and its oracle on DuckDB; return
-    the driver-shaped result dict. ``sql`` may be None (rows-only)."""
+    the driver-shaped result dict. ``sql`` may be None (rows-only).
+    ``keep_rows`` additionally returns the exact collected rows/columns
+    under "_spark"/"_oracle" so a caller diagnosing a mismatch diffs the
+    VERY rows that were hashed instead of re-executing the query (a
+    second run of an unstable query could contradict the failing
+    hash)."""
     out = {"rows_match": None, "schema_match": None, "hash_match": None,
            "spark_rows": None, "oracle_rows": None, "err": None}
     try:
@@ -65,6 +71,8 @@ def compare_query(spark, con, fn, sql, sf_dir: str) -> dict:
     except Exception as exc:            # noqa: BLE001 — report, don't die
         out["err"] = f"SPARK ERROR {exc}"
         return out
+    if keep_rows:
+        out["_spark"] = (scols, srows)
     if sql is None:
         out["rows_match"] = len(srows) >= 0
         return out
@@ -76,6 +84,8 @@ def compare_query(spark, con, fn, sql, sf_dir: str) -> dict:
     except Exception as exc:            # noqa: BLE001
         out["err"] = f"DUCKDB ERROR {exc}"
         return out
+    if keep_rows:
+        out["_oracle"] = (dcols, drows)
     out["rows_match"] = len(srows) == len(drows)
     out["schema_match"] = sorted(scols) == sorted(dcols)
     out["hash_match"] = (out["schema_match"]

@@ -1094,8 +1094,9 @@ def sample_split(spark, sf_dir):
     each holdout split owns a cumulative md5 bucket range, train takes
     the rest — stable under reruns and corpus growth (a doc's split
     depends only on its id), zero shuffles. Verified per split by
-    count + id-sum; every row keeps its assignment under the hash gate
-    via the per-doc rows of the two smallest splits."""
+    count/id-sum/min/max aggregates (per-doc assignment equality is
+    pinned by test_split_assign_deterministic, which recomputes every
+    bucket)."""
     d = _t(spark, sf_dir, "documents")
     s = sampling.split_assign(d, {"test": 20000, "val": 30000})
     return (s.groupBy("split").agg(

@@ -943,6 +943,9 @@ def test_flac_mp3_header_decode():
     assert mm.decode_mp3_header(
         b"ID3\x03\x00\x00\x00\x00\x00\x00" + xing)["duration_ms"] \
         == 7350 * 1152 * 1000 // 44100
+    # n_frames=0 stays an empty / tag-only stream, never a 1-frame MP3
+    assert make_mp3(0) == b""
+    assert mm.decode_mp3_header(make_mp3(0, with_id3=True)) is None
 
 
 def test_webm_header_decode():

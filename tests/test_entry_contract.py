@@ -74,3 +74,15 @@ def test_gate_corpus_text_never_sniffs_as_media():
         assert rows and all(
             sniff_mime(t.encode("utf-8")) == "application/octet-stream"
             for (t,) in rows)
+
+
+def test_bench_headliners_exist_in_registry():
+    """bench.py's headliner list must stay a subset of the registry — a
+    renamed/removed query would otherwise only fail at bench time (the
+    driver's per-round run), not in CI."""
+    import bench
+    from extract_text_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINERS if n not in QUERIES]
+    assert not missing, f"bench headliners not in registry: {missing}"
+    assert len(set(bench.HEADLINERS)) == len(bench.HEADLINERS)

@@ -35,7 +35,8 @@ def main():
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        res = compare_query(spark, con, fn, oracles.get(name), sf_dir)
+        res = compare_query(spark, con, fn, oracles.get(name), sf_dir,
+                            keep_rows=True)
         if res["err"]:
             failures.append((name, res["err"]))
             print(f"{name:24s} {res['err'][:220]}")
@@ -53,12 +54,11 @@ def main():
         if not ok:
             failures.append((name, "mismatch"))
             if res["schema_match"] and not res["hash_match"]:
-                sdf = fn(spark, sf_dir)
-                scols = sdf.columns
-                srows = [tuple(r) for r in sdf.collect()]
-                dres = con.execute(oracles[name])
-                dcols = [d[0] for d in dres.description]
-                drows = dres.fetchall()
+                # diff the EXACT rows that were hashed (no re-run: a
+                # second execution of an unstable query could contradict
+                # the failing hash)
+                scols, srows = res["_spark"]
+                dcols, drows = res["_oracle"]
                 so = sorted(range(len(scols)), key=lambda i: scols[i])
                 do = sorted(range(len(dcols)), key=lambda i: dcols[i])
                 sset = {tuple(_norm(r[i]) for i in so) for r in srows}
