@@ -840,13 +840,21 @@ def make_bmp(width: int, height: int) -> bytes:
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def make_png(width: int, height: int, color: int = 0) -> bytes:
+_PNG_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def make_png(width: int, height: int, color: int = 0,
+             interlace: int = 0) -> bytes:
     """Valid 8-bit PNG with real CRCs; IDAT deflate level 0 (stored
     blocks) so total size is closed-form for the default grayscale:
     8 + 25 + 12 + (height*(width+1) + 11) + 12 for height*(width+1) <=
-    65535. ``color`` is the IHDR color type (0 grayscale, 2 RGB, 4
-    gray+alpha — the mode PIL reports as LA, which the reference's OCR
-    mode whitelist rejects). Pixel bytes deterministic."""
+    65535. ``color`` is the IHDR color type (0 grayscale, 2 RGB,
+    3 palette — adds a deterministic 256-entry PLTE, 4 gray+alpha —
+    the mode PIL reports as LA, which the reference's OCR mode
+    whitelist rejects). ``interlace=1`` writes the raster as the seven
+    Adam7 filtered sub-images. Pixel bytes deterministic: the full
+    raster is (y*width*ch + x) % 251 regardless of interlacing."""
     import struct
     import zlib
 
@@ -854,14 +862,36 @@ def make_png(width: int, height: int, color: int = 0) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+                       interlace)
     ch = _PNG_CHANNELS[color]
-    raw = b"".join(
-        b"\x00" + bytes((y * width * ch + x) % 251
-                        for x in range(width * ch))
-        for y in range(height)
-    )
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    stride = width * ch
+
+    def px_row(y, xs=0, xstep=1):
+        # one scanline of the (possibly sub-sampled) raster, filter 0
+        return b"\x00" + bytes(
+            (y * stride + (xs + i * xstep) * ch + c) % 251
+            for i in range((width - xs + xstep - 1) // xstep)
+            for c in range(ch))
+
+    if interlace == 0:
+        raw = b"".join(px_row(y) for y in range(height))
+    else:
+        parts = []
+        for xs, ys, xstep, ystep in _PNG_ADAM7:
+            pw = (width - xs + xstep - 1) // xstep
+            ph = (height - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            parts += [px_row(ys + j * ystep, xs, xstep)
+                      for j in range(ph)]
+        raw = b"".join(parts)
+    body = chunk(b"IHDR", ihdr)
+    if color == 3:
+        body += chunk(b"PLTE", bytes(
+            b for i in range(256)
+            for b in (i, i * 3 % 251, i * 7 % 253)))
+    return (b"\x89PNG\r\n\x1a\n" + body
             + chunk(b"IDAT", zlib.compress(raw, 0)) + chunk(b"IEND", b""))
 
 
@@ -900,15 +930,92 @@ def make_webp_vp8x(width: int, height: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def make_gif(width: int, height: int, comment_len: int = 0) -> bytes:
+def _gif_lzw_encode(min_code: int, pixels: bytes) -> bytes:
+    """GIF-variant LZW encode (GIF89a appendix F): LSB-first packing,
+    width starts min_code+1 and bumps when the next free slot passes a
+    power of two (one code LATER than the decoder's bump — the decoder
+    table lags the encoder by exactly one entry), CLEAR+reset when the
+    4096-entry table fills."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+    width = min_code + 1
+
+    def emit(code):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    s = b""
+    for px in pixels:
+        c = bytes([px])
+        if s + c in table:
+            s += c
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[s + c] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        s = c
+    if s:
+        emit(table[s])
+    emit(end)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def make_gif(width: int, height: int, comment_len: int = 0,
+             raster: bool = False, interlaced: bool = False) -> bytes:
     """Minimal GIF89a: logical screen descriptor + optional comment
     extension (deterministic bytes) + trailer. Size = 14 + (4 +
-    comment_len if comment_len else 0)."""
+    comment_len if comment_len else 0) for the default header-only
+    form. ``raster=True`` appends a 128-color global palette + a
+    full-frame image descriptor + REAL LZW-compressed index data
+    (deterministic pixels idx(y,x) = (y*width+x) % 128), optionally in
+    4-pass interlaced row order."""
     import struct
-    out = b"GIF89a" + struct.pack("<HHBBB", width, height, 0, 0, 0)
+    gct_flag = 0x86 if raster else 0    # GCT present, 2<<6 = 128 colors
+    out = b"GIF89a" + struct.pack("<HHBBB", width, height, gct_flag, 0, 0)
+    if raster:
+        out += bytes(b for i in range(128)
+                     for b in (i * 2 % 251, i * 3 % 253, i * 5 % 241))
     if comment_len:
         out += (b"\x21\xfe" + bytes([comment_len])
                 + bytes(i % 251 for i in range(comment_len)) + b"\x00")
+    if raster:
+        iflags = 0x40 if interlaced else 0
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                     iflags)
+        idx = bytes((y * width + x) % 128
+                    for y in range(height) for x in range(width))
+        if interlaced:
+            idx = b"".join(idx[y * width:(y + 1) * width]
+                           for start, step in _GIF_INTERLACE_PASSES
+                           for y in range(start, height, step))
+        data = _gif_lzw_encode(7, idx)
+        out += b"\x07"
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
     return out + b"\x3b"
 
 

@@ -738,63 +738,29 @@ def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     return bytes(out)
 
 
-_PNG_BPP = {0: 1, 2: 3, 4: 2, 6: 4}     # 8-bit channels per color type
+_PNG_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # 8-bit channels per color type
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) — PNG spec
+# §8.2; the decompressed stream is the 7 filtered sub-images in order.
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
-    """REAL PNG raster decode with stdlib zlib only: chunk walk ->
-    concatenated IDAT inflate (stored AND Huffman deflate both land in
-    zlib.decompress) -> per-row filter reversal (RFC 2083 §6, the
-    bpp-aware general form of pdfbytes._png_unpredict, which fixes
-    bpp=1 for PDF xref streams). Returns (width, height, channels,
-    raw scanlines without filter bytes).
-
-    Supported: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), no interlace. Palette (needs PLTE indirection), 16-bit, and
-    Adam7 raise DecoderUnavailable — the documented plan-only seam."""
-    import struct
-    import zlib
-
-    if len(payload) < 33 or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
-        raise DecoderUnavailable("not a PNG")
-    if payload[12:16] != b"IHDR":
-        raise DecoderUnavailable("first chunk is not IHDR")
-    w, h = struct.unpack_from(">II", payload, 16)
-    depth, color, comp, filt, interlace = payload[24:29]
-    if depth != 8 or color not in _PNG_BPP or comp or filt or interlace:
-        raise DecoderUnavailable(
-            f"unsupported PNG shape depth={depth} color={color} "
-            f"interlace={interlace}")
-    if w == 0 or h == 0:
-        raise DecoderUnavailable("zero-dimension PNG")
-    bpp = _PNG_BPP[color]
-    # chunk walk: IDAT payloads form ONE zlib stream when concatenated
-    idat, pos = [], 8
-    while pos + 8 <= len(payload):
-        (clen,) = struct.unpack_from(">I", payload, pos)
-        tag = payload[pos + 4:pos + 8]
-        body = payload[pos + 8:pos + 8 + clen]
-        if len(body) < clen:
-            raise DecoderUnavailable("truncated PNG chunk")
-        if tag == b"IDAT":
-            idat.append(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + clen                # len + tag + body + crc
-    if not idat:
-        raise DecoderUnavailable("no IDAT data")
-    try:
-        data = zlib.decompress(b"".join(idat))
-    except zlib.error as exc:
-        raise DecoderUnavailable(f"IDAT inflate failed: {exc}") from exc
+def _png_unfilter(data: bytes, pos: int, w: int, h: int,
+                  bpp: int) -> tuple[bytearray, int]:
+    """Reverse PNG row filters over one (sub-)image of ``w`` x ``h``
+    pixels starting at ``pos`` in the decompressed stream (RFC 2083 §6,
+    the bpp-aware general form of pdfbytes._png_unpredict, which fixes
+    bpp=1 for PDF xref streams). Returns (raw pixels, next position)."""
     stride = w * bpp
-    if len(data) != h * (stride + 1):
-        raise DecoderUnavailable("IDAT length != h*(stride+1)")
+    if len(data) < pos + h * (stride + 1):
+        raise DecoderUnavailable("IDAT shorter than the scanline layout")
     out = bytearray(h * stride)
     prev = bytes(stride)
     for y in range(h):
-        ft = data[y * (stride + 1)]
-        row = bytearray(data[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + stride])
+        pos += stride + 1
         if ft == 0:
             pass
         elif ft == 1:
@@ -821,7 +787,239 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             raise DecoderUnavailable(f"bad PNG filter type {ft}")
         out[y * stride:(y + 1) * stride] = row
         prev = row
+    return out, pos
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL PNG raster decode with stdlib zlib only: chunk walk ->
+    concatenated IDAT inflate (stored AND Huffman deflate both land in
+    zlib.decompress) -> per-row filter reversal, Adam7 deinterlace,
+    PLTE palette expansion. Returns (width, height, channels, raw
+    scanlines without filter bytes); palette images come back as RGB.
+
+    Supported: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
+    gray+alpha, RGBA), interlace 0 or 1 (Adam7). 16-bit and sub-byte
+    depths raise DecoderUnavailable — the documented plan-only seam."""
+    import struct
+    import zlib
+
+    if len(payload) < 33 or not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise DecoderUnavailable("not a PNG")
+    if payload[12:16] != b"IHDR":
+        raise DecoderUnavailable("first chunk is not IHDR")
+    w, h = struct.unpack_from(">II", payload, 16)
+    depth, color, comp, filt, interlace = payload[24:29]
+    if depth != 8 or color not in _PNG_BPP or comp or filt \
+            or interlace > 1:
+        raise DecoderUnavailable(
+            f"unsupported PNG shape depth={depth} color={color} "
+            f"interlace={interlace}")
+    if w == 0 or h == 0:
+        raise DecoderUnavailable("zero-dimension PNG")
+    bpp = _PNG_BPP[color]
+    # chunk walk: IDAT payloads form ONE zlib stream when concatenated
+    idat, plte, pos = [], None, 8
+    while pos + 8 <= len(payload):
+        (clen,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise DecoderUnavailable("truncated PNG chunk")
+        if tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"PLTE":
+            plte = body
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen                # len + tag + body + crc
+    if not idat:
+        raise DecoderUnavailable("no IDAT data")
+    if color == 3 and (not plte or len(plte) % 3):
+        raise DecoderUnavailable("palette image without a valid PLTE")
+    try:
+        data = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise DecoderUnavailable(f"IDAT inflate failed: {exc}") from exc
+    stride = w * bpp
+    if interlace == 0:
+        if len(data) != h * (stride + 1):
+            raise DecoderUnavailable("IDAT length != h*(stride+1)")
+        out, _ = _png_unfilter(data, 0, w, h, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # back onto the full raster by each pass's start/step grid
+        out = bytearray(h * stride)
+        dpos = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, dpos = _png_unfilter(data, dpos, pw, ph, bpp)
+            for j in range(ph):
+                oy = ys + j * ystep
+                for i in range(pw):
+                    ox = (xs + i * xstep) * bpp
+                    out[oy * stride + ox:oy * stride + ox + bpp] = \
+                        sub[(j * pw + i) * bpp:(j * pw + i + 1) * bpp]
+        if dpos != len(data):
+            raise DecoderUnavailable("Adam7 stream length mismatch")
+    if color == 3:
+        # palette expansion: indices -> RGB (normalizes to channels=3)
+        n = len(plte) // 3
+        rgb = bytearray(w * h * 3)
+        for k, idx in enumerate(out):
+            if idx >= n:
+                raise DecoderUnavailable("palette index out of range")
+            rgb[3 * k:3 * k + 3] = plte[3 * idx:3 * idx + 3]
+        return w, h, 3, bytes(rgb)
     return w, h, bpp, bytes(out)
+
+
+def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (GIF89a spec appendix F): LSB-first bit
+    packing, code width starts min_code+1 and grows when the next free
+    slot crosses a power of two, capped at 12 bits until a CLEAR;
+    deferred clear (full table, no reset) tolerated."""
+    if not 2 <= min_code <= 11:
+        raise DecoderUnavailable(f"bad LZW min code size {min_code}")
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[int, bytes] = {}
+    next_code = width = 0
+
+    def reset():
+        nonlocal table, next_code, width
+        table = {i: bytes([i]) for i in range(clear)}
+        next_code = end + 1
+        width = min_code + 1
+
+    reset()
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    prev_entry = None
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise DecoderUnavailable("LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            prev_entry = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev_entry is not None:
+            entry = prev_entry + prev_entry[:1]     # the KwKwK case
+        else:
+            raise DecoderUnavailable(f"bad LZW code {code}")
+        out += entry
+        if prev_entry is not None and next_code < 4096:
+            table[next_code] = prev_entry + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev_entry = entry
+    if len(out) < n_pixels:
+        raise DecoderUnavailable("LZW ended before the declared raster")
+    return bytes(out[:n_pixels])
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL GIF raster decode, pure stdlib: container walk (extensions
+    skipped by their sub-block framing) to the first image descriptor,
+    GIF-LZW decompression of its index stream, palette lookup
+    (local-over-global), 4-pass row deinterlace when flagged. Returns
+    (width, height, 3, RGB bytes) — GIF always normalizes to RGB.
+
+    Scope: the first full-frame image (left/top 0, image dims == canvas
+    dims) — the shape every single-image web GIF has; partial-frame or
+    canvas-composited animations raise DecoderUnavailable (compositing
+    needs disposal-method state, an animation tier's job)."""
+    import struct
+
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise DecoderUnavailable("not a GIF")
+    w, h = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x7)
+        gct = payload[pos:pos + 3 * n]
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                   # trailer
+            break
+        if b == 0x21:                   # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise DecoderUnavailable(f"bad GIF block 0x{b:02x}")
+        left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        pal = gct
+        if iflags & 0x80:
+            n = 2 << (iflags & 0x7)
+            pal = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        if left or top or iw != w or ih != h or not iw or not ih:
+            raise DecoderUnavailable("partial-frame GIF")
+        if pal is None:
+            raise DecoderUnavailable("GIF image without a palette")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while pos < len(payload) and payload[pos] != 0:
+            n = payload[pos]
+            chunks.append(payload[pos + 1:pos + 1 + n])
+            pos += 1 + n
+        idx = _gif_lzw_decode(min_code, b"".join(chunks), iw * ih)
+        if iflags & 0x40:               # interlaced: rows 0:8,4:8,2:4,1:2
+            rows = bytearray(iw * ih)
+            src = 0
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                for y in range(start, ih, step):
+                    rows[y * iw:(y + 1) * iw] = idx[src:src + iw]
+                    src += iw
+            idx = bytes(rows)
+        npal = len(pal) // 3
+        rgb = bytearray(iw * ih * 3)
+        for k, i in enumerate(idx):
+            if i >= npal:
+                raise DecoderUnavailable("palette index out of range")
+            rgb[3 * k:3 * k + 3] = pal[3 * i:3 * i + 3]
+        return iw, ih, 3, bytes(rgb)
+    raise DecoderUnavailable("GIF has no image data")
+
+
+def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbour GIF resize: LZW-decode the first frame,
+    floor-map source pixels, re-encode as a filter-0 stored-deflate PNG
+    (``encode_png``) — the training-pipeline normalization choice: one
+    deterministic, closed-form output container for every compressed
+    raster instead of re-implementing an LZW *encoder* tier."""
+    src_w, src_h, ch, raw = decode_gif_pixels(payload)
+    src_stride = src_w * ch
+    out = bytearray(dst_h * dst_w * ch)
+    for y in range(dst_h):
+        base = (y * src_h // dst_h) * src_stride
+        obase = y * dst_w * ch
+        for x in range(dst_w):
+            s = base + ch * (x * src_w // dst_w)
+            out[obase + ch * x:obase + ch * (x + 1)] = raw[s:s + ch]
+    return encode_png(dst_w, dst_h, ch, bytes(out))
 
 
 def encode_png(width: int, height: int, channels: int,
@@ -852,8 +1050,10 @@ def resize_png(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     """REAL nearest-neighbour PNG resize, pure stdlib: decode the actual
     IDAT raster (stored or Huffman deflate), floor-map source pixels
     (PIL NEAREST: src = dst*src_dim//dst_dim), re-encode filter-0 +
-    stored-deflate. Raises DecoderUnavailable for the shapes the decoder
-    documents as out of scope (palette/16-bit/interlaced)."""
+    stored-deflate. Palette sources come back from the decoder as RGB
+    (channel expansion is part of the decode) and interlaced sources as
+    a plain raster, so both resize for real; 16-bit depth still raises
+    DecoderUnavailable — the documented out-of-scope shape."""
     src_w, src_h, ch, raw = decode_png_pixels(payload)
     src_stride = src_w * ch
     out = bytearray(dst_h * dst_w * ch)
@@ -886,18 +1086,19 @@ def _resize_batches(max_dim: int):
                     continue
                 w, h = hdr["width"], hdr["height"]
                 dw, dh, sm = plan_resize_dims(w, h, max_dim)
-                if sniffed in ("image/bmp", "image/png"):
+                resizer = {"image/bmp": resize_bmp,
+                           "image/png": resize_png,
+                           "image/gif": resize_gif}.get(sniffed)
+                if resizer is not None:
                     try:
-                        rz = (resize_bmp(payload, dw, dh)
-                              if sniffed == "image/bmp"
-                              else resize_png(payload, dw, dh))
+                        rz = resizer(payload, dw, dh)
                         rows.append((ref, "resized", w, h, dw, dh, sm,
                                      rz, len(rz)))
                         continue
                     except DecoderUnavailable:
                         pass
                 # compressed rasters outside the real-decode envelope
-                # (GIF/LZW, palette/16-bit/interlaced PNG): the PLAN
+                # (16-bit PNG, header-only/partial-frame GIF): the PLAN
                 # (real header dims -> target dims) is emitted; pixel
                 # work stays behind the stub seam.
                 rows.append((ref, "planned", w, h, dw, dh, sm, None, None))

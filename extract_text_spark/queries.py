@@ -3113,14 +3113,16 @@ MM_FRAME_INTERVAL_MS = 250
 
 
 def mm_resize(spark, sf_dir):
-    """Image resize plumbing (multimodal.resize_media): uncompressed BMPs
-    AND deflate-compressed PNGs resized for REAL (stdlib nearest-
-    neighbour over the inflated IDAT raster — resized_n_bytes verifies
-    the emitted container against the encode_png closed form), GIF
-    (LZW raster) emits the exact integer resize plan from real header
-    dims, WAV/opaque payloads route to 'unsupported'. The aspect-
-    preserving dimension math is pure floor division, so the whole plan
-    is under the value-hash gate."""
+    """Image resize plumbing (multimodal.resize_media): uncompressed
+    BMPs, deflate-compressed PNGs (alternating plain / Adam7-interlaced
+    / palette shapes), AND real-LZW GIFs (plain and interlaced) all
+    resized for REAL — stdlib nearest-neighbour over the
+    actually-decoded raster; resized_n_bytes verifies the emitted
+    container against the BMP / encode_png closed forms (GIF and
+    palette PNG normalize to RGB PNG, so their byte size proves the
+    channel expansion ran). WAV/opaque payloads route to 'unsupported'.
+    The aspect-preserving dimension math is pure floor division, so the
+    whole plan is under the value-hash gate."""
     from .bytecorpus import make_bmp, make_gif, make_png, make_wav
     from .functions.multimodal import MEDIA_SCHEMA, resize_media
     d = _t(spark, sf_dir, "documents")
@@ -3137,9 +3139,13 @@ def mm_resize(spark, sf_dir):
                 elif m == 1:
                     payload = make_wav(((doc_id % 50) + 1) * 800)
                 elif m == 3:
-                    payload = make_png((doc_id % 300) + 3, (doc_id % 200) + 2)
+                    payload = make_png((doc_id % 300) + 3, (doc_id % 200) + 2,
+                                       color=3 if doc_id % 10 < 3 else 0,
+                                       interlace=1 if doc_id % 4 < 2 else 0)
                 elif m == 4:
-                    payload = make_gif((doc_id % 500) + 1, (doc_id % 300) + 1)
+                    payload = make_gif((doc_id % 100) + 3, (doc_id % 60) + 2,
+                                       raster=True,
+                                       interlaced=doc_id % 3 == 1)
                 else:
                     # NUL prefix: corpus-proof opaque bytes — no text can
                     # accidentally start with an image magic signature
@@ -3161,14 +3167,21 @@ WITH f AS (
   SELECT doc_id, doc_id % 5 AS m,
          CASE doc_id % 5 WHEN 0 THEN (doc_id % 200) + 1
               WHEN 3 THEN (doc_id % 300) + 3
-              WHEN 4 THEN (doc_id % 500) + 1 END AS w,
+              WHEN 4 THEN (doc_id % 100) + 3 END AS w,
          CASE doc_id % 5 WHEN 0 THEN (doc_id % 140) + 1
               WHEN 3 THEN (doc_id % 200) + 2
-              WHEN 4 THEN (doc_id % 300) + 1 END AS h
+              WHEN 4 THEN (doc_id % 60) + 2 END AS h,
+         -- output channels of the re-encoded container: BMP stays BGR
+         -- (counted separately below); PNG keeps its decoded channel
+         -- count (palette fixtures expand to RGB, grayscale stays 1);
+         -- GIF always normalizes to RGB
+         CASE doc_id % 5 WHEN 3 THEN CASE WHEN doc_id % 10 < 3
+                                          THEN 3 ELSE 1 END
+              WHEN 4 THEN 3 END AS ch
   FROM documents
 ),
 p AS (
-  SELECT doc_id, m, w::INT AS w, h::INT AS h,
+  SELECT doc_id, m, ch, w::INT AS w, h::INT AS h,
          CASE WHEN w IS NULL THEN NULL
               WHEN greatest(w, h) <= {MM_RESIZE_MAX_DIM} THEN w
               ELSE greatest(1, (w * {MM_RESIZE_MAX_DIM}) // greatest(w, h))
@@ -3185,14 +3198,15 @@ p AS (
 )
 SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
        CASE m WHEN 0 THEN 'resized' WHEN 3 THEN 'resized'
-              WHEN 4 THEN 'planned' ELSE 'unsupported' END AS status,
+              WHEN 4 THEN 'resized' ELSE 'unsupported' END AS status,
        w AS src_w, h AS src_h, dw AS dst_w, dh AS dst_h, sm AS scale_milli,
-       -- BMP: header + padded BGR rows. PNG: the encode_png closed form
-       -- 63 + 5*ceil(L/65535) + L with L = dh*(dw*channels+1), ch=1
-       -- (grayscale fixtures) — filter-0 scanlines in stored-deflate.
+       -- BMP: header + padded BGR rows. PNG and GIF re-encode through
+       -- encode_png: closed form 63 + 5*ceil(L/65535) + L with
+       -- L = dh*(dw*ch+1) filter-0 scanlines in stored-deflate; ch
+       -- carries the decode-side channel expansion (palette/GIF -> 3).
        CASE m WHEN 0 THEN CAST(54 + dh * (((3 * dw + 3) // 4) * 4) AS BIGINT)
-              WHEN 3 THEN CAST(63 + 5 * ((dh * (dw + 1) + 65534) // 65535)
-                                + dh * (dw + 1) AS BIGINT)
+              ELSE CAST(63 + 5 * ((dh * (dw * ch + 1) + 65534) // 65535)
+                          + dh * (dw * ch + 1) AS BIGINT)
               END AS resized_n_bytes
 FROM p ORDER BY media_ref
 """

@@ -623,7 +623,17 @@ def test_resize_png_real_raster():
                  + struct.pack(">I", zlib.crc32(b"IDAT" + idat))
                  + rgb[-12:])
         assert decode_png_pixels(f_png)[3] == raw3, f"filter {ft}"
-    # out-of-envelope shapes stay behind the stub seam, never wrong
+    # REAL Adam7: the seven-pass stream decodes to the same raster as
+    # the plain layout, for grayscale and palette (palette -> RGB)
+    assert decode_png_pixels(make_png(13, 7, interlace=1))[3] == \
+        decode_png_pixels(make_png(13, 7))[3]
+    pw_, ph_, pch_, praw_ = decode_png_pixels(
+        make_png(9, 5, color=3, interlace=1))
+    assert (pw_, ph_, pch_) == (9, 5, 3)
+    assert (praw_ == decode_png_pixels(make_png(9, 5, color=3))[3]
+            and len(praw_) == 9 * 5 * 3)
+    # a FORGED interlace flag over a plain-layout stream still fails
+    # closed (pass arithmetic can't consume the stream), as does garbage
     inter = bytearray(make_png(4, 2))
     inter[28] = 1                       # IHDR interlace = Adam7
     for bad in (bytes(inter), b"\x89PNG\r\n\x1a\n" + b"\x00" * 30):
@@ -655,19 +665,73 @@ def test_resize_bmp_nearest_neighbour_pixels():
     assert resize_bmp(src, 4, 2) == src    # identity resize is byte-exact
 
 
+def test_gif_lzw_decode_and_resize():
+    """REAL GIF decode: the fixture's LZW stream (encoder bumps code
+    width one slot after the decoder — the off-by-one every codec pair
+    must agree on) decodes to the known palette-expanded raster, plain
+    and 4-pass interlaced agree, the 4096-entry CLEAR/reset path
+    round-trips, and out-of-scope shapes fail closed."""
+    from extract_text_spark.bytecorpus import make_gif
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, decode_gif_pixels, decode_png_pixels,
+        resize_gif)
+
+    pal = bytes(b for i in range(128)
+                for b in (i * 2 % 251, i * 3 % 253, i * 5 % 241))
+    for w, h in ((7, 3), (103, 62)):    # 103x62 = 6386 px > 4096: the
+        plain = decode_gif_pixels(make_gif(w, h, raster=True))  # CLEAR
+        inter = decode_gif_pixels(            # path actually executes
+            make_gif(w, h, raster=True, interlaced=True))
+        assert plain == inter
+        gw, gh, gch, raw = plain
+        assert (gw, gh, gch) == (w, h, 3)
+        assert raw == bytes(
+            b for y in range(h) for x in range(w)
+            for b in pal[3 * ((y * w + x) % 128):
+                         3 * ((y * w + x) % 128) + 3])
+    # resize normalizes to an RGB PNG whose pixels are the floor map
+    out = resize_gif(make_gif(10, 4, raster=True), 5, 2)
+    ow, oh, och, oraw = decode_png_pixels(out)
+    assert (ow, oh, och) == (5, 2, 3)
+    src = decode_gif_pixels(make_gif(10, 4, raster=True))[3]
+    assert oraw == b"".join(
+        src[3 * ((y * 4 // 2) * 10 + (x * 10 // 5)):
+            3 * ((y * 4 // 2) * 10 + (x * 10 // 5)) + 3]
+        for y in range(2) for x in range(5))
+    # fail-closed shapes: header-only (no image), partial frame,
+    # truncated LZW data
+    full = make_gif(6, 4, raster=True)
+    partial = bytearray(full)
+    # descriptor sits at 13 (header+LSD) + 384 (128-entry GCT); 0x2c
+    # also occurs INSIDE the palette, so index() would mislocate it
+    assert partial[397] == 0x2C
+    partial[398] = 1                         # image left offset = 1
+    for bad in (make_gif(6, 4), bytes(partial), full[:len(full) - 6]):
+        try:
+            decode_gif_pixels(bad)
+            raise AssertionError("expected DecoderUnavailable")
+        except DecoderUnavailable:
+            pass
+
+
 def test_resize_and_frame_sample_routing(spark):
-    """Mixed media route correctly: BMP and PNG resize for real (the
-    outputs re-decode), an out-of-envelope PNG (interlaced) plans, WAV
-    is unsupported for resize but samples frames inclusively at both
-    ends."""
-    from extract_text_spark.bytecorpus import make_bmp, make_png, make_wav
+    """Mixed media route correctly: BMP, PNG (plain AND real Adam7) and
+    GIF resize for real (the outputs re-decode), a corrupt PNG (forged
+    interlace flag over a plain stream) degrades to the integer plan,
+    WAV is unsupported for resize but samples frames inclusively at
+    both ends."""
+    from extract_text_spark.bytecorpus import (
+        make_bmp, make_gif, make_png, make_wav)
     from extract_text_spark.functions.multimodal import (
         decode_bmp_header, decode_png_pixels, resize_media, sample_frames)
 
     inter = bytearray(make_png(80, 8))
-    inter[28] = 1                            # IHDR interlace = Adam7
+    inter[28] = 1                            # forged Adam7 flag
     rows = [("bmp", make_bmp(100, 40)), ("png", make_png(300, 20)),
             ("png_i", bytes(inter)),
+            ("png_a", make_png(80, 8, interlace=1)),
+            ("gif", make_gif(120, 30, raster=True)),
+            ("gif_h", make_gif(60, 20)),     # header-only: no raster
             ("wav", make_wav(4000)), ("junk", b"\x00\x01")]
     df = spark.createDataFrame(
         [(r, bytearray(p), "application/octet-stream", None, None)
@@ -689,9 +753,25 @@ def test_resize_and_frame_sample_routing(spark):
     src_raw = decode_png_pixels(make_png(300, 20))[3]
     assert praw == bytes(src_raw[(y * 20 // 3) * 300 + (x * 300 // 50)]
                          for y in range(3) for x in range(50))
-    # out-of-envelope PNG (Adam7) falls back to the exact integer plan
+    # forged interlace flag = undecodable stream -> exact integer plan
     assert rz["png_i"].status == "planned" and rz["png_i"].resized is None
     assert (rz["png_i"].dst_w, rz["png_i"].dst_h) == (50, 5)
+    # REAL Adam7 resizes; raster == the plain-layout 80x8 source
+    assert rz["png_a"].status == "resized"
+    aw, ah, ach, araw = decode_png_pixels(bytes(rz["png_a"].resized))
+    assert (aw, ah, ach) == (50, 5, 1)
+    plain8 = decode_png_pixels(make_png(80, 8))[3]
+    assert araw == bytes(plain8[(y * 8 // 5) * 80 + (x * 80 // 50)]
+                         for y in range(5) for x in range(50))
+    # GIF LZW-decodes and resizes; output normalizes to RGB PNG
+    assert rz["gif"].status == "resized"
+    gw, gh, gch, _ = decode_png_pixels(bytes(rz["gif"].resized))
+    assert (gw, gh, gch) == (50, 12, 3)
+    gl = 12 * (50 * 3 + 1)
+    assert rz["gif"].resized_n_bytes == 63 + 5 * ((gl + 65534) // 65535) + gl
+    # header-only GIF has dims but no image data -> plan, not wrong
+    assert rz["gif_h"].status == "planned"
+    assert (rz["gif_h"].dst_w, rz["gif_h"].dst_h) == (50, 16)
     assert rz["wav"].status == "unsupported"
     assert rz["junk"].status == "unsupported"
 
