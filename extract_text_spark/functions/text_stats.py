@@ -698,6 +698,113 @@ def bpe_encode_df(df, merges: list, id_col: str = "doc_id",
             .withColumnRenamed("id", id_col))
 
 
+_BPE_RS = "\x1e"      # symbol delimiter for the merge-by-replace encoding
+
+
+def _bpe_words(df, text_col: str = "text"):
+    """The one corpus scan of BPE training: pre-tokenize with the shared
+    GPT-2 regex, strip leading spaces (the Ġ-less form), exclude
+    delimiter-bearing words, and aggregate to the distinct-word
+    frequency table with each word encoded as a ``\\x1e``-delimited
+    symbol string (delimiter doubled between symbols)."""
+    rs = _BPE_RS
+    return (
+        df.select(F.explode(F.regexp_extract_all(
+            F.col(text_col), F.lit(_BPE_TOKEN_RE), F.lit(0))).alias("w"))
+        .select(F.ltrim("w").alias("w"))
+        .where(F.instr("w", rs) == 0)
+        .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.concat(
+            F.lit(rs),
+            F.array_join(F.regexp_extract_all(
+                "w", F.lit("."), F.lit(0)), rs + rs),
+            F.lit(rs)).alias("s"))
+    )
+
+
+def _bpe_pairs(cur):
+    """One training round's frequency-weighted adjacent-pair counts
+    (overlap-inclusive ``get_stats`` semantics) over the working word
+    table — a single map-side-combined groupBy."""
+    rs = _BPE_RS
+    syms = F.split(F.expr(f"trim(BOTH '{rs}' FROM s)"), rs + rs)
+    return (
+        cur.select("freq", syms.alias("a"))
+        .where(F.size("a") >= 2)
+        .select("freq", F.explode(F.arrays_zip(
+            F.slice("a", 1, F.size("a") - 1).alias("l"),
+            F.slice("a", 2, F.size("a") - 1).alias("r"),
+        )).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(df, n_merges: int, id_col: str = "doc_id",
+              text_col: str = "text", min_count: int = 2):
+    """Learn a BPE merge table from the corpus — the distributed form of
+    Sennrich et al. 2016 ``learn_bpe`` (word-internal symbols, no </w>
+    marker, matching ``bpe_merge_word``'s convention so train->encode
+    composes). Entirely Catalyst: no Python runs on any executor.
+
+    Per round: (1) adjacent symbol pairs are counted naively (every
+    adjacent index, overlaps included — ``get_stats`` semantics),
+    weighted by word frequency, in ONE map-side-combined groupBy over
+    the *distinct-word* table; (2) the argmax pair (ties broken by
+    lexicographically smallest (left, right) — a pinned, deterministic
+    refinement of the reference's arbitrary dict-order tie) is taken
+    with TakeOrderedAndProject; (3) the merge is applied as a pure
+    string projection: each word rides as ``\\x1e a \\x1e\\x1e b \\x1e``
+    (every symbol delimited on BOTH sides, delimiter doubled BETWEEN
+    symbols so adjacent matches never share bytes) and ``replace()``'s
+    left-to-right non-overlapping semantics — identical in the JVM and
+    DuckDB — IS greedy BPE application. Words containing \\x1e (U+001E
+    record separator) are excluded up front on both sides.
+
+    Training stops early when the best pair's count falls below
+    ``min_count`` (the reference's min-frequency guard).
+
+    Scale shape: the corpus is scanned ONCE (pre-tokenize -> word
+    frequency groupBy); every later round touches only the distinct-word
+    table, which Zipf caps at millions of rows regardless of corpus
+    bytes. Driver state is one (pair, count) row per round — the merge
+    table itself, bounded by the vocabulary size being learned (the
+    kmeans-centroid pattern). The working table is re-persisted per
+    round and the previous round released, so round r never replays
+    rounds 1..r-1.
+
+    Returns (merge_rank, pair_left, pair_right, pair_count) with ranks
+    1..n_merges in learn order — feed ``[(l, r), ...]`` straight into
+    ``bpe_encode_df``.
+    """
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    rs = _BPE_RS
+    out_schema = ("merge_rank int, pair_left string, pair_right string, "
+                  "pair_count long")
+    cur = _bpe_words(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list = []
+    try:
+        for rank in range(1, n_merges + 1):
+            best = (_bpe_pairs(cur).orderBy(F.desc("cnt"), "l", "r")
+                    .limit(1).collect())
+            if not best or best[0]["cnt"] < min_count:
+                break
+            a, b, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+            merges.append((rank, a, b, cnt))
+            nxt = cur.withColumn("s", F.replace(
+                "s", F.lit(rs + a + rs + rs + b + rs),
+                F.lit(rs + a + b + rs),
+            )).persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()                       # materialize, then release
+            cur.unpersist(blocking=False)     # the superseded round
+            cur = nxt
+    finally:
+        cur.unpersist(blocking=False)
+    return spark.createDataFrame(merges, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Unicode text repair (the ftfy-shaped cleaning tier)
 # ---------------------------------------------------------------------------

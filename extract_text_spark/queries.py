@@ -505,6 +505,76 @@ FROM documents ORDER BY doc_id
 """
 
 
+BPE_TRAIN_MERGES = 6
+
+
+def ta_bpe_train(spark, sf_dir):
+    """Distributed BPE merge LEARNING (text_stats.bpe_train, Sennrich
+    et al. 2016 learn_bpe) over the real documents corpus: one corpus
+    scan builds the word-frequency table, then each round counts
+    adjacent symbol pairs (overlap-inclusive get_stats semantics,
+    frequency-weighted) with a map-side-combined groupBy, takes the
+    argmax pair (ties to the lexicographically smallest pair — both
+    engines compare UTF-8 bytes), and applies the merge as a pure
+    replace() projection over double-delimited symbol strings. The
+    oracle unrolls the six training rounds as chained CTEs (the kmeans
+    trick), so an ITERATIVE tokenizer-training algorithm sits
+    hash-exact under the value gate."""
+    d = _t(spark, sf_dir, "documents")
+    return (text_stats.bpe_train(d, BPE_TRAIN_MERGES)
+            .orderBy("merge_rank"))
+
+
+def _bpe_train_ctes(n_rounds: int, src: str = "documents") -> str:
+    """Unrolled learn_bpe rounds for DuckDB. Words ride as
+    chr(30)-delimited symbol strings — chr(30) wrapped around every
+    symbol and DOUBLED between symbols, so replace()'s left-to-right
+    non-overlapping scan is exactly greedy BPE merge application and
+    adjacent matches never share delimiter bytes (mirrors
+    text_stats.bpe_train's encoding choice byte-for-byte)."""
+    re_lit = text_stats._BPE_TOKEN_RE.replace("'", "''")
+    ctes = [f"""bt_w0 AS (
+  SELECT count(*)::BIGINT AS freq,
+         chr(30) || array_to_string(regexp_extract_all(w, '.'),
+                                    chr(30) || chr(30)) || chr(30) AS s
+  FROM (SELECT ltrim(tok, ' ') AS w
+        FROM (SELECT unnest(regexp_extract_all(text, '{re_lit}')) AS tok
+              FROM {src}))
+  WHERE strpos(w, chr(30)) = 0
+  GROUP BY w
+)"""]
+    for r in range(1, n_rounds + 1):
+        ctes.append(f"""bt_p{r} AS (
+  SELECT a, b, sum(freq)::BIGINT AS cnt
+  FROM (SELECT q.freq, q.l[t.i] AS a, q.l[t.i + 1] AS b
+        FROM (SELECT freq,
+                     string_split(trim(s, chr(30)),
+                                  chr(30) || chr(30)) AS l
+              FROM bt_w{r - 1}) q,
+             unnest(range(1, len(q.l))) AS t(i))
+  GROUP BY a, b
+),
+bt_b{r} AS (SELECT a, b, cnt FROM bt_p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+bt_w{r} AS (
+  SELECT q.freq,
+         replace(q.s, chr(30) || m.a || chr(30) || chr(30) || m.b
+                      || chr(30),
+                 chr(30) || m.a || m.b || chr(30)) AS s
+  FROM bt_w{r - 1} q, bt_b{r} m
+)""")
+    return ",\n".join(ctes)
+
+
+TA_BPE_TRAIN_SQL = (
+    "WITH " + _bpe_train_ctes(BPE_TRAIN_MERGES) + "\nSELECT * FROM (\n"
+    + "\n  UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS pair_left, b AS pair_right, "
+        f"cnt AS pair_count FROM bt_b{r}"
+        for r in range(1, BPE_TRAIN_MERGES + 1))
+    + "\n) ORDER BY merge_rank"
+)
+
+
 def ta_fixtext(spark, sf_dir):
     """Unicode text repair (text_stats.fix_text_df, the ftfy-shaped
     cleaning tier): doc_id %% 4 exercises (0) latin-1 mojibake repair
@@ -4331,7 +4401,6 @@ QUERIES = {
     "extract_multi_format": extract_multi_format,
     "ext_source_header": ext_source_header,
     "ext_validate_mime": ext_validate_mime,
-    "ext_sanitize_filename": ext_sanitize_filename,
     "mm_media_features": mm_media_features,
     "mm_audio_headers": mm_audio_headers,
     "mm_video_headers": mm_video_headers,
@@ -4342,6 +4411,7 @@ QUERIES = {
     "dedup_url": dedup_url,
     "dedup_bloom": dedup_bloom,
     "ta_bpe": ta_bpe,
+    "ta_bpe_train": ta_bpe_train,
     "ta_fixtext": ta_fixtext,
     "sample_dsir": sample_dsir,
     "url_filter": url_filter,
@@ -4383,6 +4453,7 @@ QUERIES = {
     "crawl_frontier": crawl_frontier,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
+    "ext_sanitize_filename": ext_sanitize_filename,
     "ext_sanitize_paths": ext_sanitize_paths,
     "ext_base64_source": ext_base64_source,
     "ext_extension_infer": ext_extension_infer,
@@ -4443,6 +4514,7 @@ ORACLES = {
     "dedup_url": DEDUP_URL_SQL,
     "dedup_bloom": DEDUP_BLOOM_SQL,
     "ta_bpe": TA_BPE_SQL,
+    "ta_bpe_train": TA_BPE_TRAIN_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

@@ -537,6 +537,75 @@ def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
     assert out["3"].encoded == "4 2|! !"
 
 
+def test_bpe_train_matches_sennrich_replica(spark):
+    """bpe_train == a pure-Python learn_bpe (overlap-inclusive pair
+    counts, greedy left-to-right merge application, lexicographic
+    tie-break, min_count stop), and the learned table feeds
+    bpe_encode_df directly (train -> encode composes)."""
+    import collections
+    import re
+
+    texts = ["low lower lowest", "newest newer new",
+             "low low low cost!", "don't stop the test",
+             "aaaa aaaa baa", "", "\x1ewe ird\x1e kept"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = [(r.merge_rank, r.pair_left, r.pair_right, r.pair_count)
+           for r in text_stats.bpe_train(docs, 8)
+           .orderBy("merge_rank").collect()]
+
+    pat = re.compile(text_stats._BPE_TOKEN_RE)
+    vocab = collections.Counter()
+    for t in texts:
+        for w in pat.findall(t):
+            w = w.lstrip(" ")
+            if "\x1e" not in w:           # delimiter words are excluded
+                vocab[tuple(w)] += 1
+    exp = []
+    for rank in range(1, 9):
+        stats = collections.Counter()
+        for syms, fq in vocab.items():
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += fq
+        if not stats:
+            break
+        (a, b), cnt = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        exp.append((rank, a, b, cnt))
+        nxt = collections.Counter()
+        for syms, fq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += fq
+        vocab = nxt
+    assert got == exp and len(got) == 8
+    # 'aaaa': overlap-inclusive counting (3 pairs/word) but greedy
+    # non-overlapping application ('aa','aa') — the pair (a,a) must win
+    # an early round and ('aa','aa') must appear in a later one
+    assert ("a", "a") in {(l, r) for _, l, r, _ in got}
+    assert ("aa", "aa") in {(l, r) for _, l, r, _ in got}
+    # train -> encode: the learned merges drive the encoder unchanged
+    merges = [(l, r) for _, l, r, _ in got]
+    enc = {r.doc_id: r for r in text_stats.bpe_encode_df(
+        docs, merges).collect()}
+    assert enc["0"].encoded.startswith("low|low")
+    # min_count stop: a corpus where no pair repeats learns nothing
+    # at min_count=2 but does learn at min_count=1
+    single = spark.createDataFrame([(0, "ab cd")], "doc_id long, t string")
+    assert text_stats.bpe_train(single, 4, text_col="t").count() == 0
+    one = text_stats.bpe_train(single, 1, text_col="t",
+                               min_count=1).collect()
+    assert [(r.pair_left, r.pair_right, r.pair_count)
+            for r in one] == [("a", "b", 1)]
+
+
 def test_fix_text_rules():
     ft = text_stats.fix_text
     # Byte-sensitive fixtures are constructed PROGRAMMATICALLY (source

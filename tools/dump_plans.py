@@ -463,6 +463,25 @@ def main():
                                       t))) == 1),
     ])
 
+    from extract_text_spark.functions import text_stats as _ts
+    from pyspark.sql import functions as _F
+    _bw = _ts._bpe_words(spark.read.parquet(SF + "/documents.parquet"), "text")
+    bt = (_ts._bpe_pairs(_bw).orderBy(_F.desc("cnt"), "l", "r").limit(1))
+    add("ta_bpe_train — one training round (pair count + argmax)", bt, [
+        ("the corpus is scanned once (everything later touches only "
+         "the distinct-word table)",
+         lambda t: len(set(re.findall(r"Scan parquet\s*\((\d+)\)",
+                                      t))) == 1),
+        ("pair counts are map-side partial aggregates before their "
+         "exchange (both the word-freq and the pair groupBy)",
+         lambda t: t.count("partial_count") + t.count("partial_sum") >= 2),
+        ("the argmax pair is TakeOrderedAndProject — no global sort of "
+         "the pair table ever materializes",
+         r"TakeOrderedAndProject"),
+        ("no Python anywhere in training",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     cf = QUERIES["crawl_frontier"](spark, SF)
     add("crawl_frontier — canonicalize, dedup, robots-gate, compose", cf, [
         ("canonicalization + dedup is one map-side-combined groupBy on "
