@@ -983,14 +983,19 @@ _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
 def make_gif(width: int, height: int, comment_len: int = 0,
-             raster: bool = False, interlaced: bool = False) -> bytes:
+             raster: bool = False, interlaced: bool = False,
+             frames: int = 1, delay_cs: int = 0) -> bytes:
     """Minimal GIF89a: logical screen descriptor + optional comment
     extension (deterministic bytes) + trailer. Size = 14 + (4 +
     comment_len if comment_len else 0) for the default header-only
-    form. ``raster=True`` appends a 128-color global palette + a
-    full-frame image descriptor + REAL LZW-compressed index data
+    form. ``raster=True`` appends a 128-color global palette +
+    full-frame image descriptor(s) + REAL LZW-compressed index data
     (deterministic pixels idx(y,x) = (y*width+x) % 128), optionally in
-    4-pass interlaced row order."""
+    4-pass interlaced row order. ``frames`` > 1 repeats the full-frame
+    image that many times as an animation; a Graphic Control Extension
+    carrying ``delay_cs`` centiseconds precedes every frame whenever
+    frames > 1 or delay_cs > 0, so total duration = frames * delay_cs
+    cs (the spec-level sum decode_gif_animation computes)."""
     import struct
     gct_flag = 0x86 if raster else 0    # GCT present, 2<<6 = 128 colors
     out = b"GIF89a" + struct.pack("<HHBBB", width, height, gct_flag, 0, 0)
@@ -1002,8 +1007,6 @@ def make_gif(width: int, height: int, comment_len: int = 0,
                 + bytes(i % 251 for i in range(comment_len)) + b"\x00")
     if raster:
         iflags = 0x40 if interlaced else 0
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
-                                     iflags)
         idx = bytes((y * width + x) % 128
                     for y in range(height) for x in range(width))
         if interlaced:
@@ -1011,11 +1014,17 @@ def make_gif(width: int, height: int, comment_len: int = 0,
                            for start, step in _GIF_INTERLACE_PASSES
                            for y in range(start, height, step))
         data = _gif_lzw_encode(7, idx)
-        out += b"\x07"
+        packed = b"\x07"
         for i in range(0, len(data), 255):
             chunk = data[i:i + 255]
-            out += bytes([len(chunk)]) + chunk
-        out += b"\x00"
+            packed += bytes([len(chunk)]) + chunk
+        packed += b"\x00"
+        for _ in range(max(1, frames)):
+            if frames > 1 or delay_cs:
+                out += (b"\x21\xf9\x04\x00"
+                        + struct.pack("<H", delay_cs) + b"\x00\x00")
+            out += (b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height,
+                                          iflags) + packed)
     return out + b"\x3b"
 
 

@@ -1004,6 +1004,60 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     raise DecoderUnavailable("GIF has no image data")
 
 
+def decode_gif_animation(payload: bytes) -> tuple[int, int] | None:
+    """Animation metadata from a GIF container without touching pixel
+    data: walks EVERY block, counting image descriptors (frames) and
+    summing Graphic Control Extension delays (GIF89a §23: 0x21 0xF9,
+    delay in centiseconds at block bytes 2-3). Returns (n_frames,
+    duration_ms) — spec-level arithmetic, no browser minimum-delay
+    clamping — or None when the container is malformed or has no image
+    data. LZW payloads are skipped by their sub-block framing, never
+    decoded, so this is O(blocks) however large the rasters are."""
+    import struct
+
+    if len(payload) < 14 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x7))
+    frames, delay_cs = 0, 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(payload) and payload[p] != 0:
+            p += 1 + payload[p]
+        return p + 1
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:                   # trailer
+            break
+        if b == 0x21:                   # extension
+            if pos + 2 > len(payload):
+                return None
+            label = payload[pos + 1]
+            body = pos + 2
+            if (label == 0xF9 and body < len(payload)
+                    and payload[body] >= 4 and body + 4 <= len(payload)):
+                delay_cs += struct.unpack_from("<H", payload, body + 2)[0]
+            pos = skip_subblocks(body)
+            continue
+        if b != 0x2C:
+            return None
+        if pos + 10 > len(payload):
+            return None
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x7))
+        pos += 1                        # LZW minimum code size
+        pos = skip_subblocks(pos)
+        frames += 1
+    if frames == 0:
+        return None
+    return frames, delay_cs * 10
+
+
 def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     """REAL nearest-neighbour GIF resize: LZW-decode the first frame,
     floor-map source pixels, re-encode as a filter-0 stored-deflate PNG
@@ -1155,6 +1209,17 @@ def _frame_batches(interval_ms: int):
                     # codec layer would own a Cluster timestamp walk
                     rows.append((ref, "stubbed", None, None, None, None))
                     continue
+                if sniffed == "image/gif":
+                    # animations have a REAL timeline (GCE delay sum);
+                    # a single still frame is a 0 ms timeline with one
+                    # sample at t=0
+                    anim = decode_gif_animation(payload)
+                    if anim is not None:
+                        d = anim[1]
+                        n = int(d // interval_ms) + 1
+                        rows.append((ref, "sampled", d, n, 0,
+                                     (n - 1) * interval_ms))
+                        continue
                 rows.append((ref, "unsupported", None, None, None, None))
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in FRAME_SCHEMA.fields])
@@ -1166,10 +1231,13 @@ def sample_frames(df: DataFrame, interval_ms: int = 1000,
     """Fixed-interval frame/segment sampling over time-based media — the
     plan every audio/video featurization pass starts from. Timestamps are
     integer arithmetic over REAL header durations (WAV's is exact:
-    data_bytes / byte_rate); frame i samples at i*interval_ms, inclusive
-    of t=0, so n_frames = duration // interval + 1. WebM containers are
-    recognized but their duration lives in the codec layer (stub seam);
-    other payloads are 'unsupported'."""
+    data_bytes / byte_rate; animated GIF's is the Graphic Control
+    Extension delay sum via ``decode_gif_animation``); frame i samples
+    at i*interval_ms, inclusive of t=0, so n_frames = duration //
+    interval + 1. WebM containers are recognized and sample when the
+    Info Duration is present (otherwise the stub seam — a Cluster
+    timestamp walk belongs to the codec layer); other payloads are
+    'unsupported'."""
     valid = validate_media_df(df).filter("valid")
     if partitions:
         valid = valid.repartition(partitions, F.pmod(F.xxhash64("media_ref"),

@@ -3284,11 +3284,14 @@ FROM p ORDER BY media_ref
 
 def mm_frame_sample(spark, sf_dir):
     """Frame/segment sampling plumbing (multimodal.sample_frames): WAV
-    durations are REAL header arithmetic (data_bytes*1000 // byte_rate),
-    frame count/timestamps are integer arithmetic over them; WebM is
-    recognized-but-stubbed (duration lives in the codec layer); images
-    route to 'unsupported'."""
-    from .bytecorpus import make_bmp, make_wav
+    durations are REAL header arithmetic (data_bytes*1000 // byte_rate);
+    animated GIF durations are the REAL Graphic Control Extension delay
+    sum over a real multi-frame LZW container
+    (multimodal.decode_gif_animation); frame count/timestamps are
+    integer arithmetic over them. A WebM container with no Info
+    Duration is recognized-but-stubbed (a Cluster timestamp walk lives
+    in the codec layer); still images route to 'unsupported'."""
+    from .bytecorpus import make_bmp, make_gif, make_wav
     from .functions.multimodal import MEDIA_SCHEMA, sample_frames
     d = _t(spark, sf_dir, "documents")
 
@@ -3298,11 +3301,16 @@ def mm_frame_sample(spark, sf_dir):
             rows = []
             for doc_id in b["doc_id"]:
                 doc_id = int(doc_id)
-                m = doc_id % 3
+                m = doc_id % 4
                 if m == 0:
                     payload = make_wav(((doc_id % 79) + 1) * 400)
                 elif m == 1:
                     payload = b"\x1a\x45\xdf\xa3" + b"x" * 16
+                elif m == 3:
+                    payload = make_gif((doc_id % 40) + 2,
+                                       (doc_id % 30) + 2, raster=True,
+                                       frames=(doc_id % 7) + 2,
+                                       delay_cs=(doc_id % 20) + 1)
                 else:
                     payload = make_bmp((doc_id % 30) + 1, (doc_id % 20) + 1)
                 rows.append((f"m://{doc_id}", payload,
@@ -3316,19 +3324,23 @@ def mm_frame_sample(spark, sf_dir):
 
 MM_FRAME_SQL = f"""
 WITH f AS (
-  SELECT doc_id, doc_id % 3 AS m,
-         -- make_wav(n): 16-bit mono at 8000 Hz -> duration = n // 8 ms
-         (((doc_id % 79) + 1) * 400) // 8 AS d
+  SELECT doc_id, doc_id % 4 AS m,
+         CASE doc_id % 4
+           -- make_wav(n): 16-bit mono at 8000 Hz -> duration = n // 8 ms
+           WHEN 0 THEN (((doc_id % 79) + 1) * 400) // 8
+           -- animated GIF: frames * delay_cs * 10 ms (GCE per frame)
+           WHEN 3 THEN ((doc_id % 7) + 2) * ((doc_id % 20) + 1) * 10
+         END AS d
   FROM documents
 )
 SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
-       CASE m WHEN 0 THEN 'sampled' WHEN 1 THEN 'stubbed'
-              ELSE 'unsupported' END AS status,
-       CASE m WHEN 0 THEN d END::BIGINT AS duration_ms,
-       CASE m WHEN 0 THEN d // {MM_FRAME_INTERVAL_MS} + 1 END::INT
+       CASE m WHEN 0 THEN 'sampled' WHEN 3 THEN 'sampled'
+              WHEN 1 THEN 'stubbed' ELSE 'unsupported' END AS status,
+       d::BIGINT AS duration_ms,
+       CASE WHEN m IN (0, 3) THEN d // {MM_FRAME_INTERVAL_MS} + 1 END::INT
          AS n_frames,
-       CASE m WHEN 0 THEN 0 END::BIGINT AS first_ts_ms,
-       CASE m WHEN 0 THEN (d // {MM_FRAME_INTERVAL_MS})
+       CASE WHEN m IN (0, 3) THEN 0 END::BIGINT AS first_ts_ms,
+       CASE WHEN m IN (0, 3) THEN (d // {MM_FRAME_INTERVAL_MS})
               * {MM_FRAME_INTERVAL_MS} END::BIGINT AS last_ts_ms
 FROM f ORDER BY media_ref
 """

@@ -731,6 +731,8 @@ def test_resize_and_frame_sample_routing(spark):
             ("png_i", bytes(inter)),
             ("png_a", make_png(80, 8, interlace=1)),
             ("gif", make_gif(120, 30, raster=True)),
+            ("gif_a", make_gif(100, 40, raster=True,
+                               frames=4, delay_cs=30)),
             ("gif_h", make_gif(60, 20)),     # header-only: no raster
             ("wav", make_wav(4000)), ("junk", b"\x00\x01")]
     df = spark.createDataFrame(
@@ -772,6 +774,9 @@ def test_resize_and_frame_sample_routing(spark):
     # header-only GIF has dims but no image data -> plan, not wrong
     assert rz["gif_h"].status == "planned"
     assert (rz["gif_h"].dst_w, rz["gif_h"].dst_h) == (50, 16)
+    # an animation's FIRST frame resizes (full-frame descriptor)
+    assert rz["gif_a"].status == "resized"
+    assert (rz["gif_a"].dst_w, rz["gif_a"].dst_h) == (50, 20)
     assert rz["wav"].status == "unsupported"
     assert rz["junk"].status == "unsupported"
 
@@ -781,6 +786,16 @@ def test_resize_and_frame_sample_routing(spark):
     assert fr["wav"].status == "sampled" and fr["wav"].duration_ms == 500
     assert (fr["wav"].n_frames, fr["wav"].first_ts_ms,
             fr["wav"].last_ts_ms) == (3, 0, 500)
+    # animated GIF: 4 frames x 300 ms GCE delay = 1200 ms timeline
+    assert fr["gif_a"].status == "sampled"
+    assert (fr["gif_a"].duration_ms, fr["gif_a"].n_frames,
+            fr["gif_a"].last_ts_ms) == (1200, 5, 1000)
+    # a still raster GIF is a 0 ms timeline with one sample at t=0
+    assert fr["gif"].status == "sampled"
+    assert (fr["gif"].duration_ms, fr["gif"].n_frames,
+            fr["gif"].first_ts_ms, fr["gif"].last_ts_ms) == (0, 1, 0, 0)
+    # header-only GIF (no image data) cannot sample
+    assert fr["gif_h"].status == "unsupported"
     assert fr["bmp"].status == "unsupported"
 
 
