@@ -845,16 +845,19 @@ _PNG_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 
 
 def make_png(width: int, height: int, color: int = 0,
-             interlace: int = 0) -> bytes:
-    """Valid 8-bit PNG with real CRCs; IDAT deflate level 0 (stored
+             interlace: int = 0, depth: int = 8) -> bytes:
+    """Valid PNG with real CRCs; IDAT deflate level 0 (stored
     blocks) so total size is closed-form for the default grayscale:
     8 + 25 + 12 + (height*(width+1) + 11) + 12 for height*(width+1) <=
     65535. ``color`` is the IHDR color type (0 grayscale, 2 RGB,
     3 palette — adds a deterministic 256-entry PLTE, 4 gray+alpha —
     the mode PIL reports as LA, which the reference's OCR mode
     whitelist rejects). ``interlace=1`` writes the raster as the seven
-    Adam7 filtered sub-images. Pixel bytes deterministic: the full
-    raster is (y*width*ch + x) % 251 regardless of interlacing."""
+    Adam7 filtered sub-images. ``depth=16`` writes big-endian 16-bit
+    samples whose HIGH byte is the 8-bit pattern (so the decoder's
+    16->8 reduction reproduces the depth-8 raster exactly). Pixel bytes
+    deterministic: the full raster is (y*width*ch + x) % 251 regardless
+    of interlacing."""
     import struct
     import zlib
 
@@ -862,17 +865,20 @@ def make_png(width: int, height: int, color: int = 0,
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0,
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0,
                        interlace)
     ch = _PNG_CHANNELS[color]
     stride = width * ch
 
     def px_row(y, xs=0, xstep=1):
         # one scanline of the (possibly sub-sampled) raster, filter 0
-        return b"\x00" + bytes(
-            (y * stride + (xs + i * xstep) * ch + c) % 251
-            for i in range((width - xs + xstep - 1) // xstep)
-            for c in range(ch))
+        vals = [(y * stride + (xs + i * xstep) * ch + c) % 251
+                for i in range((width - xs + xstep - 1) // xstep)
+                for c in range(ch)]
+        if depth == 8:
+            return b"\x00" + bytes(vals)
+        return b"\x00" + b"".join(
+            bytes((v, v * 7 % 253)) for v in vals)
 
     if interlace == 0:
         raw = b"".join(px_row(y) for y in range(height))

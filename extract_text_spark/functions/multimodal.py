@@ -795,11 +795,14 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     concatenated IDAT inflate (stored AND Huffman deflate both land in
     zlib.decompress) -> per-row filter reversal, Adam7 deinterlace,
     PLTE palette expansion. Returns (width, height, channels, raw
-    scanlines without filter bytes); palette images come back as RGB.
+    scanlines without filter bytes); palette images come back as RGB
+    and 16-bit samples reduce to 8-bit by taking the most significant
+    byte (PNG samples are big-endian; the standard 16->8 reduction).
 
-    Supported: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette,
-    gray+alpha, RGBA), interlace 0 or 1 (Adam7). 16-bit and sub-byte
-    depths raise DecoderUnavailable — the documented plan-only seam."""
+    Supported: depths 8 and 16 for color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA), depth 8 for type 3 (palette — the spec maximum),
+    interlace 0 or 1 (Adam7). Sub-byte depths raise DecoderUnavailable
+    — the documented plan-only seam."""
     import struct
     import zlib
 
@@ -809,14 +812,16 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecoderUnavailable("first chunk is not IHDR")
     w, h = struct.unpack_from(">II", payload, 16)
     depth, color, comp, filt, interlace = payload[24:29]
-    if depth != 8 or color not in _PNG_BPP or comp or filt \
-            or interlace > 1:
+    if (depth not in (8, 16) or color not in _PNG_BPP or comp or filt
+            or interlace > 1 or (depth == 16 and color == 3)):
         raise DecoderUnavailable(
             f"unsupported PNG shape depth={depth} color={color} "
             f"interlace={interlace}")
     if w == 0 or h == 0:
         raise DecoderUnavailable("zero-dimension PNG")
-    bpp = _PNG_BPP[color]
+    # filter arithmetic operates on BYTES per pixel, so a 16-bit image
+    # simply doubles bpp; samples reduce to their high byte at the end
+    bpp = _PNG_BPP[color] * (depth // 8)
     # chunk walk: IDAT payloads form ONE zlib stream when concatenated
     idat, plte, pos = [], None, 8
     while pos + 8 <= len(payload):
@@ -873,7 +878,10 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                 raise DecoderUnavailable("palette index out of range")
             rgb[3 * k:3 * k + 3] = plte[3 * idx:3 * idx + 3]
         return w, h, 3, bytes(rgb)
-    return w, h, bpp, bytes(out)
+    if depth == 16:
+        # big-endian samples: the even bytes ARE the 8-bit reduction
+        out = out[0::2]
+    return w, h, _PNG_BPP[color], bytes(out)
 
 
 def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
@@ -1104,10 +1112,10 @@ def resize_png(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     """REAL nearest-neighbour PNG resize, pure stdlib: decode the actual
     IDAT raster (stored or Huffman deflate), floor-map source pixels
     (PIL NEAREST: src = dst*src_dim//dst_dim), re-encode filter-0 +
-    stored-deflate. Palette sources come back from the decoder as RGB
-    (channel expansion is part of the decode) and interlaced sources as
-    a plain raster, so both resize for real; 16-bit depth still raises
-    DecoderUnavailable — the documented out-of-scope shape."""
+    stored-deflate. Palette sources come back from the decoder as RGB,
+    interlaced as a plain raster, and 16-bit reduced to 8-bit high
+    bytes, so all of them resize for real; only sub-byte depths raise
+    DecoderUnavailable."""
     src_w, src_h, ch, raw = decode_png_pixels(payload)
     src_stride = src_w * ch
     out = bytearray(dst_h * dst_w * ch)
@@ -1151,10 +1159,10 @@ def _resize_batches(max_dim: int):
                         continue
                     except DecoderUnavailable:
                         pass
-                # compressed rasters outside the real-decode envelope
-                # (16-bit PNG, header-only/partial-frame GIF): the PLAN
-                # (real header dims -> target dims) is emitted; pixel
-                # work stays behind the stub seam.
+                # rasters outside the real-decode envelope (sub-byte
+                # PNG depths, header-only/partial-frame GIF, corrupt
+                # streams): the PLAN (real header dims -> target dims)
+                # is emitted; pixel work stays behind the stub seam.
                 rows.append((ref, "planned", w, h, dw, dh, sm, None, None))
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in RESIZE_SCHEMA.fields])

@@ -3185,14 +3185,15 @@ MM_FRAME_INTERVAL_MS = 250
 def mm_resize(spark, sf_dir):
     """Image resize plumbing (multimodal.resize_media): uncompressed
     BMPs, deflate-compressed PNGs (alternating plain / Adam7-interlaced
-    / palette shapes), AND real-LZW GIFs (plain and interlaced) all
-    resized for REAL — stdlib nearest-neighbour over the
-    actually-decoded raster; resized_n_bytes verifies the emitted
+    / palette / 16-bit-depth shapes), AND real-LZW GIFs (plain and
+    interlaced) all resized for REAL — stdlib nearest-neighbour over
+    the actually-decoded raster; resized_n_bytes verifies the emitted
     container against the BMP / encode_png closed forms (GIF and
     palette PNG normalize to RGB PNG, so their byte size proves the
-    channel expansion ran). WAV/opaque payloads route to 'unsupported'.
-    The aspect-preserving dimension math is pure floor division, so the
-    whole plan is under the value-hash gate."""
+    channel expansion ran; 16-bit arms only reach status='resized' if
+    the 16->8 sample reduction decoded). WAV/opaque payloads route to
+    'unsupported'. The aspect-preserving dimension math is pure floor
+    division, so the whole plan is under the value-hash gate."""
     from .bytecorpus import make_bmp, make_gif, make_png, make_wav
     from .functions.multimodal import MEDIA_SCHEMA, resize_media
     d = _t(spark, sf_dir, "documents")
@@ -3211,7 +3212,8 @@ def mm_resize(spark, sf_dir):
                 elif m == 3:
                     payload = make_png((doc_id % 300) + 3, (doc_id % 200) + 2,
                                        color=3 if doc_id % 10 < 3 else 0,
-                                       interlace=1 if doc_id % 4 < 2 else 0)
+                                       interlace=1 if doc_id % 4 < 2 else 0,
+                                       depth=16 if doc_id % 10 >= 8 else 8)
                 elif m == 4:
                     payload = make_gif((doc_id % 100) + 3, (doc_id % 60) + 2,
                                        raster=True,

@@ -632,6 +632,17 @@ def test_resize_png_real_raster():
     assert (pw_, ph_, pch_) == (9, 5, 3)
     assert (praw_ == decode_png_pixels(make_png(9, 5, color=3))[3]
             and len(praw_) == 9 * 5 * 3)
+    # 16-bit samples reduce to their high byte == the depth-8 raster,
+    # plain and Adam7, gray and RGB; 16-bit palette fails closed
+    for c16, il16 in ((0, 0), (2, 1), (6, 0)):
+        assert decode_png_pixels(
+            make_png(11, 6, color=c16, interlace=il16, depth=16)) == \
+            decode_png_pixels(make_png(11, 6, color=c16, interlace=il16))
+    try:
+        decode_png_pixels(make_png(4, 4, color=3, depth=16))
+        raise AssertionError("expected DecoderUnavailable")
+    except DecoderUnavailable:
+        pass
     # a FORGED interlace flag over a plain-layout stream still fails
     # closed (pass arithmetic can't consume the stream), as does garbage
     inter = bytearray(make_png(4, 2))
