@@ -912,17 +912,77 @@ def make_jpeg(width: int, height: int, ncomp: int = 3) -> bytes:
 
 
 def make_tiff(width: int, height: int, samples: int = 1,
-              big_endian: bool = False) -> bytes:
+              big_endian: bool = False, raster: bool = False) -> bytes:
     """Minimal single-IFD TIFF: ImageWidth/ImageLength/SamplesPerPixel
-    SHORT entries, no strip data; 50 bytes."""
+    SHORT entries, no strip data; 50 bytes. ``raster=True`` writes a
+    full baseline-uncompressed image instead: 8-bit samples
+    (BitsPerSample goes through a value OFFSET when samples==3 — the
+    three-SHORT case every RGB TIFF exercises), Compression=1,
+    chunky planar, and the pixel data split across up-to-3 strips
+    (RowsPerStrip = ceil(height/3)) with StripOffsets/StripByteCounts
+    arrays. Deterministic pixels (y*width*samples + x*samples + c) %
+    251 — the PNG/BMP fixture pattern family."""
     import struct
     bo = ">" if big_endian else "<"
     head = (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(bo + "I", 8)
-    entries = b"".join(
-        struct.pack(bo + "HHIHH", tag, 3, 1, val, 0)
-        for tag, val in ((256, width), (257, height), (277, samples))
-    )
-    return head + struct.pack(bo + "H", 3) + entries + struct.pack(bo + "I", 0)
+    if not raster:
+        entries = b"".join(
+            struct.pack(bo + "HHIHH", tag, 3, 1, val, 0)
+            for tag, val in ((256, width), (257, height), (277, samples))
+        )
+        return (head + struct.pack(bo + "H", 3) + entries
+                + struct.pack(bo + "I", 0))
+
+    rps = (height + 2) // 3
+    strips = [(s, min(rps, height - s)) for s in range(0, height, rps)]
+    n = len(strips)
+    stride = width * samples
+    n_entries = 9
+    ifd_size = 2 + 12 * n_entries + 4
+    ext = 8 + ifd_size                  # external arrays start here
+    ext_blobs = []
+    if samples == 3:                    # 3 SHORTs > 4 bytes -> offset
+        bits_val, bits_count = ext, 3
+        ext_blobs.append(struct.pack(bo + "HHH", 8, 8, 8))
+        ext += 6
+    else:
+        bits_val, bits_count = 8, 1
+    if n > 1:
+        off_pos, cnt_pos = ext, ext + 4 * n
+        data_start = cnt_pos + 4 * n
+    else:
+        data_start = ext
+    offsets, counts, pos = [], [], data_start
+    for _, rows in strips:
+        offsets.append(pos)
+        counts.append(rows * stride)
+        pos += rows * stride
+    if n > 1:
+        ext_blobs.append(struct.pack(bo + "I" * n, *offsets))
+        ext_blobs.append(struct.pack(bo + "I" * n, *counts))
+
+    def entry(tag, typ, count, val):
+        e = struct.pack(bo + "HHI", tag, typ, count)
+        if typ == 3 and count == 1:
+            return e + struct.pack(bo + "HH", val, 0)
+        return e + struct.pack(bo + "I", val)
+
+    entries = b"".join([
+        entry(256, 3, 1, width),
+        entry(257, 3, 1, height),
+        entry(258, 3, bits_count, bits_val),
+        entry(259, 3, 1, 1),            # uncompressed
+        entry(262, 3, 1, 2 if samples == 3 else 1),
+        entry(273, 4, n, offsets[0] if n == 1 else off_pos),
+        entry(277, 3, 1, samples),
+        entry(278, 3, 1, rps),
+        entry(279, 4, n, counts[0] if n == 1 else cnt_pos),
+    ])
+    raw = bytes((y * stride + x * samples + c) % 251
+                for y in range(height) for x in range(width)
+                for c in range(samples))
+    return (head + struct.pack(bo + "H", n_entries) + entries
+            + struct.pack(bo + "I", 0) + b"".join(ext_blobs) + raw)
 
 
 def make_webp_vp8x(width: int, height: int) -> bytes:

@@ -1066,13 +1066,11 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int] | None:
     return frames, delay_cs * 10
 
 
-def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:
-    """REAL nearest-neighbour GIF resize: LZW-decode the first frame,
-    floor-map source pixels, re-encode as a filter-0 stored-deflate PNG
-    (``encode_png``) — the training-pipeline normalization choice: one
-    deterministic, closed-form output container for every compressed
-    raster instead of re-implementing an LZW *encoder* tier."""
-    src_w, src_h, ch, raw = decode_gif_pixels(payload)
+def _nn_resize_raw(raw: bytes, src_w: int, src_h: int, ch: int,
+                   dst_w: int, dst_h: int) -> bytes:
+    """Nearest-neighbour floor mapping over a packed raster (PIL
+    NEAREST: src = dst*src_dim//dst_dim) — the shared pixel loop behind
+    every real resize arm."""
     src_stride = src_w * ch
     out = bytearray(dst_h * dst_w * ch)
     for y in range(dst_h):
@@ -1081,7 +1079,105 @@ def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:
         for x in range(dst_w):
             s = base + ch * (x * src_w // dst_w)
             out[obase + ch * x:obase + ch * (x + 1)] = raw[s:s + ch]
-    return encode_png(dst_w, dst_h, ch, bytes(out))
+    return bytes(out)
+
+
+def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbour GIF resize: LZW-decode the first frame,
+    floor-map source pixels, re-encode as a filter-0 stored-deflate PNG
+    (``encode_png``) — the training-pipeline normalization choice: one
+    deterministic, closed-form output container for every compressed
+    raster instead of re-implementing an LZW *encoder* tier."""
+    src_w, src_h, ch, raw = decode_gif_pixels(payload)
+    return encode_png(dst_w, dst_h, ch,
+                      _nn_resize_raw(raw, src_w, src_h, ch, dst_w, dst_h))
+
+
+def decode_tiff_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL baseline-TIFF raster decode (TIFF 6.0 §3): first-IFD entry
+    walk with proper count/offset handling (a value field is an OFFSET
+    whenever count*type_size > 4 — e.g. RGB's three-SHORT
+    BitsPerSample), Compression must be 1 (none), all samples 8-bit,
+    chunky planar config; pixel data is the concatenation of the strips
+    named by StripOffsets/StripByteCounts in order. Returns (width,
+    height, samples, packed raster). LZW/JPEG/deflate-compressed TIFFs
+    raise DecoderUnavailable — codec-library territory."""
+    import struct
+
+    if len(payload) < 8:
+        raise DecoderUnavailable("not a TIFF")
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise DecoderUnavailable("not a TIFF")
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise DecoderUnavailable("IFD offset out of range")
+    (n_entries,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    type_size = {3: 2, 4: 4}
+
+    def read_values(typ, count, e):
+        sz = type_size.get(typ)
+        if sz is None:
+            return None
+        if count * sz <= 4:
+            off = e + 8
+        else:
+            (off,) = struct.unpack_from(bo + "I", payload, e + 8)
+        if off + count * sz > len(payload):
+            return None
+        fmt = bo + ("H" if typ == 3 else "I") * count
+        return list(struct.unpack_from(fmt, payload, off))
+
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd_off + 2 + 12 * i
+        if e + 12 > len(payload):
+            raise DecoderUnavailable("truncated IFD")
+        tag, typ = struct.unpack_from(bo + "HH", payload, e)
+        (count,) = struct.unpack_from(bo + "I", payload, e + 4)
+        vals = read_values(typ, count, e)
+        if vals is not None:
+            tags[tag] = vals
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    w, h = one(256), one(257)
+    if not w or not h:
+        raise DecoderUnavailable("TIFF without dimensions")
+    if one(259, 1) != 1:
+        raise DecoderUnavailable("compressed TIFF (codec library)")
+    if one(284, 1) != 1:
+        raise DecoderUnavailable("planar TIFF not supported")
+    samples = one(277, 1)
+    bits = tags.get(258, [8])
+    if len(bits) not in (1, samples) or any(b != 8 for b in bits):
+        raise DecoderUnavailable(f"non-8-bit TIFF samples {bits}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise DecoderUnavailable("TIFF without strip layout")
+    raw = bytearray()
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise DecoderUnavailable("strip out of range")
+        raw += payload[off:off + cnt]
+    if len(raw) != w * h * samples:
+        raise DecoderUnavailable("strip bytes != w*h*samples")
+    return w, h, samples, bytes(raw)
+
+
+def resize_tiff(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL nearest-neighbour TIFF resize, normalized to a filter-0
+    stored-deflate PNG like the GIF arm (one deterministic closed-form
+    output container for every decoded raster)."""
+    src_w, src_h, ch, raw = decode_tiff_pixels(payload)
+    return encode_png(dst_w, dst_h, ch,
+                      _nn_resize_raw(raw, src_w, src_h, ch, dst_w, dst_h))
 
 
 def encode_png(width: int, height: int, channels: int,
@@ -1117,15 +1213,8 @@ def resize_png(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     bytes, so all of them resize for real; only sub-byte depths raise
     DecoderUnavailable."""
     src_w, src_h, ch, raw = decode_png_pixels(payload)
-    src_stride = src_w * ch
-    out = bytearray(dst_h * dst_w * ch)
-    for y in range(dst_h):
-        base = (y * src_h // dst_h) * src_stride
-        obase = y * dst_w * ch
-        for x in range(dst_w):
-            s = base + ch * (x * src_w // dst_w)
-            out[obase + ch * x:obase + ch * (x + 1)] = raw[s:s + ch]
-    return encode_png(dst_w, dst_h, ch, bytes(out))
+    return encode_png(dst_w, dst_h, ch,
+                      _nn_resize_raw(raw, src_w, src_h, ch, dst_w, dst_h))
 
 
 def _resize_batches(max_dim: int):
@@ -1141,7 +1230,9 @@ def _resize_batches(max_dim: int):
                        else decode_png_header(payload)
                        if sniffed == "image/png"
                        else decode_gif_header(payload)
-                       if sniffed == "image/gif" else None)
+                       if sniffed == "image/gif"
+                       else decode_tiff_header(payload)
+                       if sniffed == "image/tiff" else None)
                 if hdr is None:
                     rows.append((ref, "unsupported", None, None, None, None,
                                  None, None, None))
@@ -1150,7 +1241,8 @@ def _resize_batches(max_dim: int):
                 dw, dh, sm = plan_resize_dims(w, h, max_dim)
                 resizer = {"image/bmp": resize_bmp,
                            "image/png": resize_png,
-                           "image/gif": resize_gif}.get(sniffed)
+                           "image/gif": resize_gif,
+                           "image/tiff": resize_tiff}.get(sniffed)
                 if resizer is not None:
                     try:
                         rz = resizer(payload, dw, dh)

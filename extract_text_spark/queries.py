@@ -3185,16 +3185,20 @@ MM_FRAME_INTERVAL_MS = 250
 def mm_resize(spark, sf_dir):
     """Image resize plumbing (multimodal.resize_media): uncompressed
     BMPs, deflate-compressed PNGs (alternating plain / Adam7-interlaced
-    / palette / 16-bit-depth shapes), AND real-LZW GIFs (plain and
-    interlaced) all resized for REAL — stdlib nearest-neighbour over
-    the actually-decoded raster; resized_n_bytes verifies the emitted
+    / palette / 16-bit-depth shapes), real-LZW GIFs (plain and
+    interlaced), AND baseline-uncompressed TIFFs (gray + RGB, both byte
+    orders, multi-strip with offset-valued BitsPerSample arrays) all
+    resized for REAL — stdlib nearest-neighbour over the
+    actually-decoded raster; resized_n_bytes verifies the emitted
     container against the BMP / encode_png closed forms (GIF and
-    palette PNG normalize to RGB PNG, so their byte size proves the
-    channel expansion ran; 16-bit arms only reach status='resized' if
-    the 16->8 sample reduction decoded). WAV/opaque payloads route to
-    'unsupported'. The aspect-preserving dimension math is pure floor
-    division, so the whole plan is under the value-hash gate."""
-    from .bytecorpus import make_bmp, make_gif, make_png, make_wav
+    palette PNG normalize to RGB PNG, TIFF keeps its sample count, so
+    the byte sizes prove the channel handling ran; 16-bit arms only
+    reach status='resized' if the 16->8 sample reduction decoded).
+    WAV/opaque payloads route to 'unsupported'. The aspect-preserving
+    dimension math is pure floor division, so the whole plan is under
+    the value-hash gate."""
+    from .bytecorpus import (make_bmp, make_gif, make_png, make_tiff,
+                             make_wav)
     from .functions.multimodal import MEDIA_SCHEMA, resize_media
     d = _t(spark, sf_dir, "documents")
 
@@ -3205,7 +3209,13 @@ def mm_resize(spark, sf_dir):
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 doc_id = int(doc_id)
                 m = doc_id % 5
-                if m == 0:
+                if m == 0 and doc_id % 10 >= 5:
+                    payload = make_tiff((doc_id % 150) + 2,
+                                        (doc_id % 90) + 2,
+                                        samples=3 if doc_id % 3 == 2 else 1,
+                                        big_endian=doc_id % 2 == 1,
+                                        raster=True)
+                elif m == 0:
                     payload = make_bmp((doc_id % 200) + 1, (doc_id % 140) + 1)
                 elif m == 1:
                     payload = make_wav(((doc_id % 50) + 1) * 800)
@@ -3237,23 +3247,30 @@ def mm_resize(spark, sf_dir):
 MM_RESIZE_SQL = f"""
 WITH f AS (
   SELECT doc_id, doc_id % 5 AS m,
-         CASE doc_id % 5 WHEN 0 THEN (doc_id % 200) + 1
-              WHEN 3 THEN (doc_id % 300) + 3
-              WHEN 4 THEN (doc_id % 100) + 3 END AS w,
-         CASE doc_id % 5 WHEN 0 THEN (doc_id % 140) + 1
-              WHEN 3 THEN (doc_id % 200) + 2
-              WHEN 4 THEN (doc_id % 60) + 2 END AS h,
+         doc_id % 5 = 0 AND doc_id % 10 >= 5 AS tif,
+         CASE WHEN doc_id % 5 = 0 THEN
+                CASE WHEN doc_id % 10 >= 5 THEN (doc_id % 150) + 2
+                     ELSE (doc_id % 200) + 1 END
+              WHEN doc_id % 5 = 3 THEN (doc_id % 300) + 3
+              WHEN doc_id % 5 = 4 THEN (doc_id % 100) + 3 END AS w,
+         CASE WHEN doc_id % 5 = 0 THEN
+                CASE WHEN doc_id % 10 >= 5 THEN (doc_id % 90) + 2
+                     ELSE (doc_id % 140) + 1 END
+              WHEN doc_id % 5 = 3 THEN (doc_id % 200) + 2
+              WHEN doc_id % 5 = 4 THEN (doc_id % 60) + 2 END AS h,
          -- output channels of the re-encoded container: BMP stays BGR
          -- (counted separately below); PNG keeps its decoded channel
          -- count (palette fixtures expand to RGB, grayscale stays 1);
-         -- GIF always normalizes to RGB
-         CASE doc_id % 5 WHEN 3 THEN CASE WHEN doc_id % 10 < 3
-                                          THEN 3 ELSE 1 END
-              WHEN 4 THEN 3 END AS ch
+         -- GIF always normalizes to RGB; TIFF keeps its sample count
+         CASE WHEN doc_id % 5 = 0 AND doc_id % 10 >= 5 THEN
+                CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END
+              WHEN doc_id % 5 = 3 THEN
+                CASE WHEN doc_id % 10 < 3 THEN 3 ELSE 1 END
+              WHEN doc_id % 5 = 4 THEN 3 END AS ch
   FROM documents
 ),
 p AS (
-  SELECT doc_id, m, ch, w::INT AS w, h::INT AS h,
+  SELECT doc_id, m, tif, ch, w::INT AS w, h::INT AS h,
          CASE WHEN w IS NULL THEN NULL
               WHEN greatest(w, h) <= {MM_RESIZE_MAX_DIM} THEN w
               ELSE greatest(1, (w * {MM_RESIZE_MAX_DIM}) // greatest(w, h))
@@ -3272,14 +3289,16 @@ SELECT concat('m://', doc_id::VARCHAR) AS media_ref,
        CASE m WHEN 0 THEN 'resized' WHEN 3 THEN 'resized'
               WHEN 4 THEN 'resized' ELSE 'unsupported' END AS status,
        w AS src_w, h AS src_h, dw AS dst_w, dh AS dst_h, sm AS scale_milli,
-       -- BMP: header + padded BGR rows. PNG and GIF re-encode through
-       -- encode_png: closed form 63 + 5*ceil(L/65535) + L with
+       -- BMP: header + padded BGR rows. PNG, GIF and TIFF re-encode
+       -- through encode_png: closed form 63 + 5*ceil(L/65535) + L with
        -- L = dh*(dw*ch+1) filter-0 scanlines in stored-deflate; ch
-       -- carries the decode-side channel expansion (palette/GIF -> 3).
-       CASE m WHEN 0 THEN CAST(54 + dh * (((3 * dw + 3) // 4) * 4) AS BIGINT)
-              ELSE CAST(63 + 5 * ((dh * (dw * ch + 1) + 65534) // 65535)
-                          + dh * (dw * ch + 1) AS BIGINT)
-              END AS resized_n_bytes
+       -- carries the decode-side channel expansion (palette/GIF -> 3,
+       -- TIFF -> its sample count).
+       CASE WHEN m = 0 AND NOT tif
+              THEN CAST(54 + dh * (((3 * dw + 3) // 4) * 4) AS BIGINT)
+            ELSE CAST(63 + 5 * ((dh * (dw * ch + 1) + 65534) // 65535)
+                        + dh * (dw * ch + 1) AS BIGINT)
+            END AS resized_n_bytes
 FROM p ORDER BY media_ref
 """
 

@@ -676,6 +676,51 @@ def test_resize_bmp_nearest_neighbour_pixels():
     assert resize_bmp(src, 4, 2) == src    # identity resize is byte-exact
 
 
+def test_tiff_raster_decode_and_resize():
+    """REAL baseline-TIFF decode: both byte orders, gray and RGB (whose
+    three-SHORT BitsPerSample rides an external value offset),
+    multi-strip reassembly in StripOffsets order; resize normalizes to
+    PNG with the sample count preserved; header-only and compressed
+    shapes fail closed."""
+    import struct
+
+    from extract_text_spark.bytecorpus import make_tiff
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, decode_png_pixels, decode_tiff_pixels,
+        resize_tiff)
+
+    for be in (False, True):
+        for samples in (1, 3):
+            t = make_tiff(13, 9, samples=samples, big_endian=be,
+                          raster=True)
+            w, h, ch, raw = decode_tiff_pixels(t)
+            stride = 13 * samples
+            assert (w, h, ch) == (13, 9, samples)
+            assert raw == bytes(
+                (y * stride + x * samples + c) % 251
+                for y in range(9) for x in range(13)
+                for c in range(samples))
+    # resize keeps channels; pixels are the floor map of the raster
+    out = resize_tiff(make_tiff(40, 30, samples=3, raster=True), 20, 15)
+    ow, oh, och, oraw = decode_png_pixels(out)
+    assert (ow, oh, och) == (20, 15, 3)
+    src = decode_tiff_pixels(make_tiff(40, 30, samples=3, raster=True))[3]
+    assert oraw[:3] == src[:3] and oraw[-3:] == \
+        src[3 * ((14 * 30 // 15) * 40 + (19 * 40 // 20)):][:3]
+    # fail-closed: header-only fixture (no strips), LZW compression tag
+    full = make_tiff(6, 4, raster=True)
+    lzw = bytearray(full)
+    # entry 4 (Compression) value low byte sits at 8+2+3*12+8 = 54
+    assert struct.unpack_from("<H", lzw, 54)[0] == 1
+    struct.pack_into("<H", lzw, 54, 5)       # 5 = LZW
+    for bad in (make_tiff(6, 4), bytes(lzw)):
+        try:
+            decode_tiff_pixels(bad)
+            raise AssertionError("expected DecoderUnavailable")
+        except DecoderUnavailable:
+            pass
+
+
 def test_gif_lzw_decode_and_resize():
     """REAL GIF decode: the fixture's LZW stream (encoder bumps code
     width one slot after the decoder — the off-by-one every codec pair
