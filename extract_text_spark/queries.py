@@ -1629,6 +1629,55 @@ SELECT * FROM r ORDER BY sitemap_id, coalesce(loc, '')
 """
 
 
+def url_sitemaps(spark, sf_dir):
+    """Sitemap discovery from robots.txt (graph.sitemap_directives —
+    the sitemaps.org cross-submission record, group-independent per
+    RFC 9309 §2.2.4). Arms: doc_id %% 4 == 0 two absolute directives
+    after rule lines (line provenance 2 and 3); == 1 a BOM-prefixed
+    first line in SiTeMaP-case with a trailing comment (BOM strip +
+    case-insensitive key + comment strip all load-bearing); == 2 a
+    rules-only file (no rows); == 3 a relative value (kept, flagged
+    is_absolute=false — the frontier owns the repair) plus an
+    empty-valued directive (dropped). Pure Catalyst — zero Python,
+    zero shuffles before the output sort."""
+    from .functions.graph import sitemap_directives
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(4))
+    base = F.concat(F.lit("https://h"), k, F.lit(".example"))
+    robots = (
+        F.when(m == 0, F.concat(
+            F.lit("User-agent: *\nDisallow: /tmp\nSitemap: "), base,
+            F.lit("/sitemap.xml\nSitemap: "), base, F.lit("/s2.xml.gz\n")))
+        .when(m == 1, F.concat(
+            F.lit("\ufeff" + "SiTeMaP : "), base,
+            F.lit("/a.xml # index\nUser-agent: *\nDisallow:\n")))
+        .when(m == 2, F.lit("User-agent: *\nAllow: /\n"))
+        .otherwise(F.lit("sitemap:/sitemap_local.xml\nsitemap:\n")))
+    robots_df = d.select(F.concat(F.lit("h"), k).alias("host"),
+                         robots.alias("robots_txt"))
+    return (sitemap_directives(robots_df)
+            .orderBy("host", "line_no"))
+
+
+URL_SITEMAPS_SQL = """
+WITH f AS (SELECT doc_id, doc_id % 4 AS m, 'h' || doc_id::VARCHAR AS host,
+                  'https://h' || doc_id::VARCHAR || '.example' AS base
+           FROM documents),
+r AS (
+  SELECT host, 2 AS line_no, base || '/sitemap.xml' AS sitemap_url,
+         TRUE AS is_absolute FROM f WHERE m = 0
+  UNION ALL
+  SELECT host, 3, base || '/s2.xml.gz', TRUE FROM f WHERE m = 0
+  UNION ALL
+  SELECT host, 0, base || '/a.xml', TRUE FROM f WHERE m = 1
+  UNION ALL
+  SELECT host, 0, '/sitemap_local.xml', FALSE FROM f WHERE m = 3
+)
+SELECT * FROM r ORDER BY host, line_no
+"""
+
+
 def crawl_frontier(spark, sf_dir):
     """The crawl-tier capstone: operators COMPOSE into a frontier
     pipeline the way corpus_curation composes the curation side —
@@ -4440,7 +4489,6 @@ QUERIES = {
     "mm_ocr_gates": mm_ocr_gates,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
-    "dedup_exact": dedup_exact,
     "dedup_url": dedup_url,
     "dedup_bloom": dedup_bloom,
     "ta_bpe": ta_bpe,
@@ -4449,6 +4497,7 @@ QUERIES = {
     "sample_dsir": sample_dsir,
     "url_filter": url_filter,
     "url_robots": url_robots,
+    "url_sitemaps": url_sitemaps,
     "ext_sitemap": ext_sitemap,
     "ext_wet_roundtrip": ext_wet_roundtrip,
     "ext_outlinks": ext_outlinks,
@@ -4479,11 +4528,13 @@ QUERIES = {
     # query, base64 is ext_url_images' emit path, ta_langid_multi covers
     # ta_langid, dedup_simhash_pairs covers dedup_simhash, q1/q3 cover
     # q5, events_hourly/sessions cover events_rollup, kmeans rides
-    # sim_semdedup) — and since r6, tests/test_oracle_tail.py
-    # hash-checks ALL of them on every pytest run, so nothing below
-    # ships unchecked either way.
+    # sim_semdedup, dedup_exact's md5 groupBy is the exact tier inside
+    # dedup_incremental and corpus_curation) — and since r6,
+    # tests/test_oracle_tail.py hash-checks ALL of them on every pytest
+    # run, so nothing below ships unchecked either way.
     # ------------------------------------------------------------------
     "crawl_frontier": crawl_frontier,
+    "dedup_exact": dedup_exact,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4548,6 +4599,7 @@ ORACLES = {
     "dedup_bloom": DEDUP_BLOOM_SQL,
     "ta_bpe": TA_BPE_SQL,
     "ta_bpe_train": TA_BPE_TRAIN_SQL,
+    "url_sitemaps": URL_SITEMAPS_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

@@ -1204,6 +1204,34 @@ def test_robots_decision_rfc9309_semantics():
                            "x", "/a/deep/x.json")
 
 
+def test_sitemap_directives_discovery(spark):
+    """Sitemap: lines are group-independent records: found anywhere in
+    the file (before any group, between groups, after rules),
+    case-insensitive key, comment-stripped value, BOM-stripped first
+    line, relative values kept but flagged, empty values dropped."""
+    from extract_text_spark.functions.graph import sitemap_directives
+
+    robots = "\ufeff" + (
+        "SiTeMaP : https://a.example/one.xml # primary\n"
+        "User-agent: *\r\n"
+        "Disallow: /tmp\r"
+        "sitemap:\n"                       # empty value: dropped
+        "Sitemap: /rel.xml\n"
+        "User-agent: other\n"
+        "SITEMAP:https://a.example/two.xml.gz\n")
+    df = spark.createDataFrame([("a.example", robots),
+                                ("b.example", "User-agent: *\n")],
+                               "host string, robots_txt string")
+    got = [(r.host, r.line_no, r.sitemap_url, r.is_absolute)
+           for r in sitemap_directives(df)
+           .orderBy("host", "line_no").collect()]
+    assert got == [
+        ("a.example", 0, "https://a.example/one.xml", True),
+        ("a.example", 4, "/rel.xml", False),
+        ("a.example", 6, "https://a.example/two.xml.gz", True),
+    ]
+
+
 def test_robots_filter_broadcast_join(spark):
     from extract_text_spark.functions.graph import robots_filter
     frontier = spark.createDataFrame(

@@ -482,6 +482,18 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    sm = QUERIES["url_sitemaps"](spark, SF)
+    add("url_sitemaps — scan-side directive extraction", sm, [
+        ("single scan of the robots source", one_scan),
+        ("no Python anywhere (split/posexplode/regexp are Catalyst)",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("no join or aggregate — pure generate+filter projection",
+         lambda t: "Join" not in t and "HashAggregate" not in t),
+        ("the only exchange is the output sort's range partition",
+         lambda t: len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)",
+                                      t))) == 1),
+    ])
+
     cf = QUERIES["crawl_frontier"](spark, SF)
     add("crawl_frontier — canonicalize, dedup, robots-gate, compose", cf, [
         ("canonicalization + dedup is one map-side-combined groupBy on "
