@@ -409,6 +409,46 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def ccnet_buckets(df, id_col: str = "doc_id",
+                  score_col: str = "score_milli"):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): cut
+    the integer score distribution at the 1/3 and 2/3 mass points and
+    assign each document by comparison against the two cut scores —
+    exactly how CCNet applies percentile thresholds, so documents with
+    EQUAL scores always land in the same bucket (ties never straddle a
+    cut). Lower score = more "fluent"/common = head.
+
+    Cut scores are defined as the smallest score whose cumulative count
+    reaches ceil(N/3) (resp. 2N/3), via integer cross-multiplication
+    (cum*3 >= N) — no rounding ambiguity. The whole thing is
+    declarative: the cumulative walk runs over the DISTINCT-SCORE
+    distribution table (bounded by score cardinality, not corpus rows —
+    the documented single-partition window, same bound as
+    ``sample_split``'s cumulative ranges), the two cuts plus N reduce
+    to ONE row that broadcasts back, and the corpus itself never
+    shuffles — zero driver state.
+    """
+    from pyspark.sql import Window as _W
+
+    s = df.select(F.col(id_col).alias("id"),
+                  F.col(score_col).cast("long").alias("s"))
+    counts = s.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    w = _W.orderBy("s").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    cum = counts.withColumn("cum", F.sum("c").over(w))
+    total = counts.agg(F.sum("c").cast("long").alias("n"))
+    cuts = (cum.crossJoin(F.broadcast(total))
+            .agg(F.min(F.when(F.col("cum") * 3 >= F.col("n"),
+                              F.col("s"))).alias("cut1"),
+                 F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"),
+                              F.col("s"))).alias("cut2")))
+    return (s.crossJoin(F.broadcast(cuts))
+            .select(F.col("id").alias(id_col),
+                    F.col("s").alias(score_col),
+                    F.when(F.col("s") <= F.col("cut1"), "head")
+                    .when(F.col("s") <= F.col("cut2"), "middle")
+                    .otherwise("tail").alias("bucket")))
+
+
 def bm25_score(df, query_terms: list[str], id_col: str = "doc_id",
                text_col: str = "text", k1_milli: int = 1_200_000,
                b_milli: int = 750_000):

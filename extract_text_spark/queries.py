@@ -328,6 +328,56 @@ def ta_rarity(spark, sf_dir):
         .orderBy("doc_id"))
 
 
+def ta_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail assignment (text_stats.ccnet_buckets)
+    over the integer rarity score — the full Wenzek et al. 2020
+    pipeline shape: score with the (log-free) corpus LM, cut the score
+    distribution at 1/3 and 2/3 mass, assign by comparison. The cuts
+    reduce to one broadcast row, so the corpus never shuffles for the
+    assignment; ties share a bucket by construction. Because the
+    upstream rarity chain feeds the scores verbatim, this query also
+    re-exercises ta_rarity's arithmetic under the hash gate."""
+    d = _t(spark, sf_dir, "documents")
+    s = text_stats.rarity_score(d).select(
+        "doc_id",
+        F.call_function("div", F.lit(1_000_000) * F.col("rarity_sum"),
+                        F.col("n_tokens")).alias("score_milli"))
+    return text_stats.ccnet_buckets(s).orderBy("doc_id")
+
+
+TA_CCNET_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+tot AS (SELECT sum(c)::BIGINT AS n_total FROM cnt),
+scored AS (
+  SELECT doc_id, (1000000 * n_total) // c AS r
+  FROM tok JOIN cnt USING (tok) CROSS JOIN tot
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         sum(r)::BIGINT AS rarity_sum
+  FROM scored GROUP BY doc_id
+),
+sc AS (SELECT doc_id, (1000000 * rarity_sum) // n_tokens AS score_milli
+       FROM agg),
+dist AS (SELECT score_milli AS s, count(*) AS c FROM sc GROUP BY 1),
+cum AS (SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS cum
+        FROM dist),
+n AS (SELECT count(*)::BIGINT AS n FROM sc),
+cuts AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS cut1,
+                min(CASE WHEN cum * 3 >= 2 * n THEN s END) AS cut2
+         FROM cum, n)
+SELECT doc_id, score_milli::BIGINT AS score_milli,
+       CASE WHEN score_milli <= cut1 THEN 'head'
+            WHEN score_milli <= cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc, cuts ORDER BY doc_id
+"""
+
+
 BM25_QUERY = ["join", "filter", "window"]
 
 
@@ -4512,7 +4562,7 @@ QUERIES = {
     "dedup_embedding_lsh": dedup_embedding_lsh,
     "decontaminate": decontaminate,
     "sim_semdedup": sim_semdedup,
-    "ta_rarity": ta_rarity,
+    "ta_ccnet_buckets": ta_ccnet_buckets,
     "ta_classifier": ta_classifier,
     "ta_c4": ta_c4,
     "ta_bm25": ta_bm25,
@@ -4529,12 +4579,15 @@ QUERIES = {
     # ta_langid, dedup_simhash_pairs covers dedup_simhash, q1/q3 cover
     # q5, events_hourly/sessions cover events_rollup, kmeans rides
     # sim_semdedup, dedup_exact's md5 groupBy is the exact tier inside
-    # dedup_incremental and corpus_curation) — and since r6,
+    # dedup_incremental and corpus_curation, ta_rarity's full scoring
+    # chain feeds ta_ccnet_buckets' hash-gated scores verbatim) — and
+    # since r6,
     # tests/test_oracle_tail.py hash-checks ALL of them on every pytest
     # run, so nothing below ships unchecked either way.
     # ------------------------------------------------------------------
     "crawl_frontier": crawl_frontier,
     "dedup_exact": dedup_exact,
+    "ta_rarity": ta_rarity,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4600,6 +4653,7 @@ ORACLES = {
     "ta_bpe": TA_BPE_SQL,
     "ta_bpe_train": TA_BPE_TRAIN_SQL,
     "url_sitemaps": URL_SITEMAPS_SQL,
+    "ta_ccnet_buckets": TA_CCNET_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

@@ -537,6 +537,32 @@ def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
     assert out["3"].encoded == "4 2|! !"
 
 
+def test_ccnet_buckets_cut_semantics(spark):
+    """Head/middle/tail cuts land at the 1/3 and 2/3 MASS points of the
+    score distribution, equal scores never straddle a cut, and a
+    degenerate single-score distribution is all head."""
+    # 9 docs, scores 10x3, 20x3, 30x3 -> cut1=10, cut2=20
+    rows = [(i, s) for i, s in enumerate([10] * 3 + [20] * 3 + [30] * 3)]
+    df = spark.createDataFrame(rows, "doc_id long, score_milli long")
+    got = {r.doc_id: r.bucket for r in
+           text_stats.ccnet_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3)
+    # a fat tie spanning the 1/3 point pulls the whole score into head:
+    # scores 5x5, 9x1 -> cum(5)=5, 5*3 >= 6 -> cut1=5, cut2=5
+    rows2 = [(i, 5) for i in range(5)] + [(5, 9)]
+    got2 = {r.doc_id: r.bucket for r in text_stats.ccnet_buckets(
+        spark.createDataFrame(rows2, "doc_id long, score_milli long")
+    ).collect()}
+    assert [got2[i] for i in range(5)] == ["head"] * 5
+    assert got2[5] == "tail"            # 9 > cut2=5
+    # single distinct score: everything is head
+    one = spark.createDataFrame([(0, 7), (1, 7)],
+                                "doc_id long, score_milli long")
+    assert {r.bucket for r in text_stats.ccnet_buckets(one).collect()} \
+        == {"head"}
+
+
 def test_bpe_train_matches_sennrich_replica(spark):
     """bpe_train == a pure-Python learn_bpe (overlap-inclusive pair
     counts, greedy left-to-right merge application, lexicographic

@@ -482,6 +482,19 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    cb = QUERIES["ta_ccnet_buckets"](spark, SF)
+    add("ta_ccnet_buckets — distribution cuts broadcast back", cb, [
+        ("the cut row broadcasts onto the scored corpus (assignment "
+         "never shuffles the corpus)", r"BroadcastExchange"),
+        ("the cumulative walk runs over the distinct-score table "
+         "(a Window after a score groupBy, not over corpus rows)",
+         lambda t: "Window" in t and "HashAggregate" in t),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian (the scalar cross joins are broadcast "
+         "single-row)", lambda t: "CartesianProduct" not in t),
+    ])
+
     sm = QUERIES["url_sitemaps"](spark, SF)
     add("url_sitemaps — scan-side directive extraction", sm, [
         ("single scan of the robots source", one_scan),
