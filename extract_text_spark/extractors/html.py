@@ -295,6 +295,55 @@ def find_hrefs(html: str, cap: int | None = None) -> list[str]:
     return _find_attr_values(html, "a", "href", cap)
 
 
+def find_title(html: str) -> str | None:
+    """First ``<title>`` element's RCDATA content: raw text up to the
+    case-insensitive ``</title`` close, entity-unescaped, whitespace
+    collapsed to single spaces. Same non-element skip rules as the
+    attribute walker (comments/CDATA/doctype are not tags; titles
+    inside script/style raw text are not elements). An UNCLOSED title
+    returns None — the RCDATA rule would swallow the rest of the
+    document, and a megabyte "title" is noise, not metadata."""
+    from html import unescape as _unescape
+
+    i, n = 0, len(html)
+    low = None
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            return None
+        if html.startswith("<!--", lt):
+            end = html.find("-->", lt + 4)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<![CDATA[", lt):
+            end = html.find("]]>", lt + 9)
+            i = n if end < 0 else end + 3
+            continue
+        if html.startswith("<!", lt) or html.startswith("<?", lt):
+            end = html.find(">", lt)
+            i = n if end < 0 else end + 1
+            continue
+        nxt = html[lt + 1 : lt + 2]
+        if not (nxt.isalpha() or nxt == "/"):
+            i = lt + 1
+            continue
+        j, name, is_end, _sc = _scan_tag(html, lt)
+        if low is None:
+            low = html.translate(_ASCII_LOWER)
+        if not is_end and name == "title":
+            close = low.find("</title", j)
+            if close < 0:
+                return None
+            return " ".join(_unescape(html[j:close]).split())
+        if not is_end and name in _RAWTEXT:
+            close = low.find(f"</{name}", j)
+            if close < 0:
+                return None
+            j, _, _, _ = _scan_tag(html, close)
+        i = j
+    return None
+
+
 _FILE_DROP = frozenset({"script", "style"})
 _PAGE_DROP = frozenset({"script", "style", "nav", "header", "footer", "aside"})
 

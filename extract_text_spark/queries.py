@@ -1597,6 +1597,84 @@ FROM documents ORDER BY record_id
 """
 
 
+def ext_wat_export(spark, sf_dir):
+    """WAT metadata export (warcsource.wat_records_df — the metadata
+    twin of the WET sink): closed-form pages write through the engine's
+    own WAT sink (doc_id %% 4 == 3 as gzip members) and a verification
+    kernel parses the records back with parse_warc_records, surfacing
+    the full JSON envelope string. Arms: (0) title with an entity +
+    two links, (1) NO title, a bare-attribute href ("" — lxml parity)
+    and a fragment href (WAT stores hrefs RAW), (2) entity +
+    whitespace-collapse title, zero links, (3) a script-wrapped fake
+    title that must NOT match (rawtext is not element soup) + one
+    link, round-tripped through a gzip member. The oracle is the JSON
+    literal itself, so sort_keys/separator byte layout is gated."""
+    from .warcsource import parse_warc_records, wat_records_df
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    m = F.pmod("doc_id", F.lit(4))
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<html><head><title>Doc "), k,
+            F.lit(" &amp; Co</title></head><body><a href=\"/a"), k,
+            F.lit("\">x</a><a href=\"http://e.example/b?id="), k,
+            F.lit("\">y</a></body></html>")))
+        .when(m == 1, F.lit('<a href>x</a><a href="#f">y</a>'))
+        .when(m == 2, F.lit("<head><title> A&lt;B  \n C </title></head>"))
+        .otherwise(F.concat(
+            F.lit('<script>var t="<title>fake</title>"</script>'
+                  '<a href="/z'), k, F.lit('">l</a>'))))
+    pages = d.select(
+        F.concat(F.lit("http://p.example/page"), k).alias("uri"),
+        html.alias("html"), (m == 3).alias("gz"))
+    wat = wat_records_df(pages, gzip_member_col="gz")
+
+    def verify(batches: Iterator) -> Iterator:
+        import pandas as pd
+        for b in batches:
+            rows = []
+            for uri, payload in zip(b["uri"], b["wat"]):
+                recs = parse_warc_records(bytes(payload))
+                for r in recs:
+                    rows.append((r["uri"], r["type"], r["content_type"],
+                                 r["payload"].decode("utf-8")))
+            yield pd.DataFrame(rows, columns=[
+                "record_uri", "warc_type", "content_type",
+                "payload_json"])
+
+    return (wat.mapInPandas(verify, schema=(
+        "record_uri string, warc_type string, content_type string, "
+        "payload_json string"))
+        .orderBy("record_uri"))
+
+
+_WAT_PRE = ('{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+            '{"HTML-Metadata":{')
+_WAT_POST = ('}}},"WARC-Header-Metadata":{"WARC-Target-URI":'
+             '"http://p.example/page')
+
+EXT_WAT_SQL = f"""
+WITH f AS (SELECT doc_id, doc_id % 4 AS m, doc_id::VARCHAR AS k
+           FROM documents)
+SELECT 'http://p.example/page' || k AS record_uri,
+       'metadata' AS warc_type,
+       'application/json' AS content_type,
+       '{_WAT_PRE}' ||
+       CASE m
+         WHEN 0 THEN '"Head":{{"Title":"Doc ' || k || ' & Co"}},'
+                     || '"Links":[{{"path":"A@/href","url":"/a' || k
+                     || '"}},{{"path":"A@/href","url":'
+                     || '"http://e.example/b?id=' || k || '"}}]'
+         WHEN 1 THEN '"Links":[{{"path":"A@/href","url":""}},'
+                     || '{{"path":"A@/href","url":"#f"}}]'
+         WHEN 2 THEN '"Head":{{"Title":"A<B C"}},"Links":[]'
+         ELSE '"Links":[{{"path":"A@/href","url":"/z' || k || '"}}]'
+       END ||
+       '{_WAT_POST}' || k || '","WARC-Type":"response"}}}}}}' AS payload_json
+FROM f ORDER BY record_uri
+"""
+
+
 def ext_sitemap(spark, sf_dir):
     """Sitemap ingestion (graph.sitemap_frontier, sitemaps.org
     protocol): doc_id %% 4 builds (0) a namespaced urlset with a
@@ -4521,7 +4599,6 @@ QUERIES = {
     "extract_flagship": extract_flagship,
     "ext_pdf_bytes": ext_pdf_bytes,
     "ext_office_bytes": ext_office_bytes,
-    "ext_zip_fanout": ext_zip_fanout,
     "ext_archive_guards": ext_archive_guards,
     "ext_rar7z_fanout": ext_rar7z_fanout,
     "ext_url_source": ext_url_source,
@@ -4550,6 +4627,7 @@ QUERIES = {
     "url_sitemaps": url_sitemaps,
     "ext_sitemap": ext_sitemap,
     "ext_wet_roundtrip": ext_wet_roundtrip,
+    "ext_wat_export": ext_wat_export,
     "ext_outlinks": ext_outlinks,
     "host_pagerank": host_pagerank,
     "dedup_paragraphs": dedup_paragraphs,
@@ -4580,14 +4658,17 @@ QUERIES = {
     # q5, events_hourly/sessions cover events_rollup, kmeans rides
     # sim_semdedup, dedup_exact's md5 groupBy is the exact tier inside
     # dedup_incremental and corpus_curation, ta_rarity's full scoring
-    # chain feeds ta_ccnet_buckets' hash-gated scores verbatim) — and
-    # since r6,
+    # chain feeds ta_ccnet_buckets' hash-gated scores verbatim,
+    # ext_zip_fanout's single-scan JVM fan-out runs inside
+    # extract_flagship's archive docs and ext_archive_guards gates the
+    # guard arms) — and since r6,
     # tests/test_oracle_tail.py hash-checks ALL of them on every pytest
     # run, so nothing below ships unchecked either way.
     # ------------------------------------------------------------------
     "crawl_frontier": crawl_frontier,
     "dedup_exact": dedup_exact,
     "ta_rarity": ta_rarity,
+    "ext_zip_fanout": ext_zip_fanout,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4654,6 +4735,7 @@ ORACLES = {
     "ta_bpe_train": TA_BPE_TRAIN_SQL,
     "url_sitemaps": URL_SITEMAPS_SQL,
     "ta_ccnet_buckets": TA_CCNET_SQL,
+    "ext_wat_export": EXT_WAT_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

@@ -247,6 +247,79 @@ def build_wet_record(uri: str, text: str, date: str = WET_DATE,
     return gzip.compress(record, mtime=0) if gzip_member else record
 
 
+def build_wat_record(uri: str, html: str, date: str = WET_DATE,
+                     gzip_member: bool = False) -> bytes:
+    """One fetched page -> a ``metadata`` record in the CommonCrawl WAT
+    interchange shape: a JSON envelope carrying the target URI, the
+    page ``<title>`` (RCDATA, entity-unescaped — html.find_title) and
+    the document-order RAW ``<a href>`` list as ``{"path": "A@/href",
+    "url": ...}`` entries (WAT stores the href verbatim; scheme
+    filtering and resolution are the frontier's job, graph.py). JSON is
+    dumped with sorted keys and compact separators and the record id
+    derives from the URI, so re-exports are byte-identical — the same
+    idempotency contract as ``build_wet_record``."""
+    import gzip
+    import hashlib
+    import json
+
+    from .extractors.html import find_hrefs, find_title
+
+    title = find_title(html or "")
+    html_meta: dict = {
+        "Links": [{"path": "A@/href", "url": h}
+                  for h in find_hrefs(html or "")],
+    }
+    if title is not None:
+        html_meta["Head"] = {"Title": title}
+    env = {"Envelope": {
+        "WARC-Header-Metadata": {"WARC-Target-URI": uri,
+                                 "WARC-Type": "response"},
+        "Payload-Metadata": {
+            "HTTP-Response-Metadata": {"HTML-Metadata": html_meta}},
+    }}
+    body = json.dumps(env, separators=(",", ":"),
+                      sort_keys=True).encode("utf-8")
+    rid = hashlib.md5(("wat:" + uri).encode("utf-8")).hexdigest()
+    hdr = [b"WARC/1.0", b"WARC-Type: metadata",
+           f"WARC-Record-ID: <urn:uuid:{rid}>".encode(),
+           f"WARC-Date: {date}".encode(),
+           f"WARC-Target-URI: {uri}".encode(),
+           b"Content-Type: application/json",
+           f"Content-Length: {len(body)}".encode()]
+    record = b"\r\n".join(hdr) + b"\r\n\r\n" + body + b"\r\n\r\n"
+    return gzip.compress(record, mtime=0) if gzip_member else record
+
+
+def wat_records_df(df: DataFrame, uri_col: str = "uri",
+                   html_col: str = "html", date: str = WET_DATE,
+                   gzip_members: bool = True,
+                   gzip_member_col: str | None = None) -> DataFrame:
+    """(uri, html) rows -> (uri, wat: binary) metadata records — the
+    WAT twin of ``wet_records_df``: one Arrow kernel, no shuffle, sink
+    tasks concatenate a partition into one .warc.wat.gz. Same
+    ``gzip_member_col`` per-row override so mixed exports stay one
+    kernel over one scan."""
+    from collections.abc import Iterator as _It
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+    gz = (F.col(gzip_member_col).cast("boolean")
+          if gzip_member_col else F.lit(bool(gzip_members)))
+    src = df.select(F.col(uri_col).cast("string").alias("uri"),
+                    F.col(html_col).alias("html"), gz.alias("gz"))
+    schema = StructType([StructField("uri", StringType(), False),
+                         StructField("wat", BinaryType())])
+
+    def kernel(batches: _It) -> _It:
+        import pandas as pd
+        for b in batches:
+            rows = [(uri, build_wat_record(uri, html or "", date=date,
+                                           gzip_member=bool(g)))
+                    for uri, html, g in zip(b["uri"], b["html"], b["gz"])]
+            yield pd.DataFrame(rows, columns=["uri", "wat"])
+
+    return src.mapInPandas(kernel, schema=schema)
+
+
 def wet_records_df(df: DataFrame, uri_col: str = "uri",
                    text_col: str = "text", date: str = WET_DATE,
                    gzip_members: bool = True,

@@ -29,10 +29,14 @@ def test_queries_oracles_aligned():
     # registry, so both dicts must share the criticality-ranked order
     # (see the comment above QUERIES in queries.py)
     assert list(qs) == list(oracles)
+    # ext_zip_fanout moved to the tail in r6 (its fan-out runs inside
+    # extract_flagship's archive docs; ext_archive_guards keeps the
+    # archive family in the prefix) — see the boundary comment.
     critical_prefix = {"extract_flagship", "ext_pdf_bytes",
-                       "ext_office_bytes", "ext_zip_fanout",
+                       "ext_office_bytes", "ext_archive_guards",
                        "dedup_substring", "dedup_incremental"}
     assert critical_prefix <= set(list(qs)[:50])
+    assert "ext_zip_fanout" in qs
 
 
 @pytest.mark.parametrize("kind", ["plain", "html"])

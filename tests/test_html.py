@@ -219,3 +219,22 @@ def test_find_hrefs_document_order_and_rawtext():
             '<a href>4</a><a href="/three">5</a>')
     assert find_hrefs(html) == ["/one", "/two", "", "/three"]
     assert find_hrefs(html, cap=2) == ["/one", "/two"]
+
+
+def test_find_title_rcdata_rules():
+    """find_title: first real <title> only, entity-unescaped and
+    whitespace-collapsed; comment/script-wrapped titles are not
+    elements; unclosed titles (which would swallow the document under
+    the RCDATA rule) yield None instead of a megabyte 'title'."""
+    from extract_text_spark.extractors.html import find_title
+
+    assert find_title("<title>  A &amp; B \n C </title>") == "A & B C"
+    assert find_title("<TITLE>caps</title>x") == "caps"
+    assert find_title("<!--<title>no</title>--><title>yes</title>") == "yes"
+    assert find_title(
+        '<script>"<title>fake</title>"</script><title>real</title>'
+    ) == "real"
+    assert find_title("<title>never closed") is None
+    assert find_title("<p>none</p>") is None
+    assert find_title("<titlex>not a title</titlex>") is None
+    assert find_title("<title></title>") == ""

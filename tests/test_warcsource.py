@@ -127,6 +127,44 @@ def test_wet_writer_roundtrip_and_packaging():
     assert build_wet_record("u", "t") == build_wet_record("u", "t")
 
 
+def test_wat_writer_envelope_and_title_rules():
+    """WAT records carry a deterministic sorted-key JSON envelope:
+    title from the first real <title> (script-wrapped fakes are not
+    elements, unclosed titles yield no Head), hrefs RAW in document
+    order including the bare-attribute empty string, and re-export is
+    byte-identical (idempotency, like the WET writer)."""
+    import json
+
+    from extract_text_spark.warcsource import (
+        build_wat_record, parse_warc_records)
+
+    html = ('<script>var t="<title>fake</title>"</script>'
+            "<head><title> T &amp; U </title></head>"
+            '<a href="/x">a</a><a href>b</a><a href="#f">c</a>')
+    rec = build_wat_record("http://w.example/p", html)
+    assert rec == build_wat_record("http://w.example/p", html)
+    (r,) = parse_warc_records(rec)
+    assert (r["type"], r["content_type"]) == ("metadata",
+                                              "application/json")
+    assert r["uri"] == "http://w.example/p"
+    env = json.loads(r["payload"])
+    hm = env["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Head"]["Title"] == "T & U"
+    assert [x["url"] for x in hm["Links"]] == ["/x", "", "#f"]
+    assert all(x["path"] == "A@/href" for x in hm["Links"])
+    # sorted keys + compact separators = reproducible bytes
+    assert r["payload"] == json.dumps(
+        env, separators=(",", ":"), sort_keys=True).encode()
+    # no title -> no Head key at all; gzip member round-trips
+    (r2,) = parse_warc_records(build_wat_record(
+        "http://w.example/q", "<title>open forever", gzip_member=True))
+    env2 = json.loads(r2["payload"])
+    hm2 = env2["Envelope"]["Payload-Metadata"][
+        "HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert "Head" not in hm2 and hm2["Links"] == []
+
+
 def test_sitemap_frontier_rows(spark):
     import gzip
     from extract_text_spark.functions.graph import sitemap_frontier

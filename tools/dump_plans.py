@@ -482,6 +482,20 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    wt = QUERIES["ext_wat_export"](spark, SF)
+    add("ext_wat_export — write kernel + verify kernel, no shuffle "
+        "between", wt, [
+        ("single scan of the documents table", one_scan),
+        ("exactly two Arrow kernels (the WAT writer and the round-trip "
+         "verifier), no row-at-a-time Python",
+         lambda t: len(set(re.findall(r"MapInPandas \((\d+)\)", t))) == 2
+         and "BatchEvalPython" not in t),
+        ("the only exchange is the output sort's range partition "
+         "(records never shuffle between write and verify)",
+         lambda t: len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)",
+                                      t))) == 1),
+    ])
+
     cb = QUERIES["ta_ccnet_buckets"](spark, SF)
     add("ta_ccnet_buckets — distribution cuts broadcast back", cb, [
         ("the cut row broadcasts onto the scored corpus (assignment "
