@@ -127,6 +127,8 @@ HEADLINERS = [
     "ta_bpe", "mm_audio_headers", "mm_video_headers", "url_robots",
     "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
     "ta_bm25", "sample_split", "mm_resize",
+    "ta_bpe_train", "url_sitemaps", "ta_ccnet_buckets", "ext_wat_export",
+    "mm_frame_sample",
 ]
 
 HEADLINE_CPUS = int(os.environ.get("SPARK_GRAFT_HEADLINE_CPUS", "8"))

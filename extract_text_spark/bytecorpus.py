@@ -826,6 +826,18 @@ def _cfb_container(stream_name: str, stream: bytes) -> bytes:
     return make_ole({stream_name: stream})
 
 
+_PAT251 = bytes(range(251))
+
+
+def _cyc251(start: int, n: int) -> bytes:
+    """``bytes(k % 251 for k in range(start, start + n))`` without the
+    per-byte Python loop: consecutive indices mod 251 are just a slice
+    of the repeating 0..250 pattern. The fixture rasters are all this
+    pattern, so every writer builds them at C speed."""
+    s = start % 251
+    return (_PAT251 * ((s + n) // 251 + 1))[s:s + n]
+
+
 def make_bmp(width: int, height: int) -> bytes:
     """Uncompressed 24-bit bottom-up BMP with deterministic pixel bytes."""
     import struct
@@ -834,7 +846,7 @@ def make_bmp(width: int, height: int) -> bytes:
     header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
     dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
                       data_size, 2835, 2835, 0, 0)
-    return header + dib + bytes(i % 251 for i in range(data_size))
+    return header + dib + _cyc251(0, data_size)
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -872,13 +884,20 @@ def make_png(width: int, height: int, color: int = 0,
 
     def px_row(y, xs=0, xstep=1):
         # one scanline of the (possibly sub-sampled) raster, filter 0
-        vals = [(y * stride + (xs + i * xstep) * ch + c) % 251
-                for i in range((width - xs + xstep - 1) // xstep)
-                for c in range(ch)]
+        if depth == 8 and xs == 0 and xstep == 1:
+            # a full row is consecutive indices mod 251 — C-speed slice
+            return b"\x00" + _cyc251(y * stride, stride)
+        import numpy as np
+        npx = (width - xs + xstep - 1) // xstep
+        v = ((y * stride
+              + (xs + np.arange(npx, dtype=np.int64) * xstep)[:, None] * ch
+              + np.arange(ch, dtype=np.int64)[None, :]) % 251).ravel()
         if depth == 8:
-            return b"\x00" + bytes(vals)
-        return b"\x00" + b"".join(
-            bytes((v, v * 7 % 253)) for v in vals)
+            return b"\x00" + v.astype(np.uint8).tobytes()
+        pair = np.empty(v.size * 2, dtype=np.uint8)
+        pair[0::2] = v
+        pair[1::2] = v * 7 % 253
+        return b"\x00" + pair.tobytes()
 
     if interlace == 0:
         raw = b"".join(px_row(y) for y in range(height))
@@ -978,9 +997,7 @@ def make_tiff(width: int, height: int, samples: int = 1,
         entry(278, 3, 1, rps),
         entry(279, 4, n, counts[0] if n == 1 else cnt_pos),
     ])
-    raw = bytes((y * stride + x * samples + c) % 251
-                for y in range(height) for x in range(width)
-                for c in range(samples))
+    raw = _cyc251(0, height * stride)       # consecutive ks mod 251
     return (head + struct.pack(bo + "H", n_entries) + entries
             + struct.pack(bo + "I", 0) + b"".join(ext_blobs) + raw)
 
@@ -1073,8 +1090,8 @@ def make_gif(width: int, height: int, comment_len: int = 0,
                 + bytes(i % 251 for i in range(comment_len)) + b"\x00")
     if raster:
         iflags = 0x40 if interlaced else 0
-        idx = bytes((y * width + x) % 128
-                    for y in range(height) for x in range(width))
+        n_px = width * height           # consecutive ks mod 128
+        idx = (bytes(range(128)) * (n_px // 128 + 1))[:n_px]
         if interlaced:
             idx = b"".join(idx[y * width:(y + 1) * width]
                            for start, step in _GIF_INTERLACE_PASSES

@@ -727,14 +727,17 @@ def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     out = bytearray(b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54))
     out += struct.pack("<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0,
                        data_size, 2835, 2835, 0, 0)
-    for y in range(dst_h):
-        sy = y * src_h // dst_h
-        base = pix_off + sy * src_row
-        row = bytearray(dst_row)
-        for x in range(dst_w):
-            sx = base + 3 * (x * src_w // dst_w)
-            row[3 * x:3 * x + 3] = payload[sx:sx + 3]
-        out += row
+    # vectorized gather in STORED (bottom-up) row order — byte-identical
+    # to the original per-pixel loop, pad bytes zero
+    import numpy as np
+    a = (np.frombuffer(payload, dtype=np.uint8, count=src_row * src_h,
+                       offset=pix_off)
+         .reshape(src_h, src_row)[:, :3 * src_w].reshape(src_h, src_w, 3))
+    ys = np.arange(dst_h, dtype=np.int64) * src_h // dst_h
+    xs = np.arange(dst_w, dtype=np.int64) * src_w // dst_w
+    rows = np.zeros((dst_h, dst_row), dtype=np.uint8)
+    rows[:, :3 * dst_w] = a[ys][:, xs].reshape(dst_h, 3 * dst_w)
+    out += rows.tobytes()
     return bytes(out)
 
 
@@ -852,8 +855,11 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         out, _ = _png_unfilter(data, 0, w, h, bpp)
     else:
         # Adam7: seven independently-filtered sub-images, scattered
-        # back onto the full raster by each pass's start/step grid
+        # back onto the full raster by each pass's start/step grid —
+        # the scatter is a strided numpy view assignment, not a loop
+        import numpy as np
         out = bytearray(h * stride)
+        oa = np.frombuffer(out, dtype=np.uint8).reshape(h, w, bpp)
         dpos = 0
         for xs, ys, xstep, ystep in _ADAM7:
             pw = (w - xs + xstep - 1) // xstep
@@ -861,23 +867,20 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             if pw <= 0 or ph <= 0:
                 continue
             sub, dpos = _png_unfilter(data, dpos, pw, ph, bpp)
-            for j in range(ph):
-                oy = ys + j * ystep
-                for i in range(pw):
-                    ox = (xs + i * xstep) * bpp
-                    out[oy * stride + ox:oy * stride + ox + bpp] = \
-                        sub[(j * pw + i) * bpp:(j * pw + i + 1) * bpp]
+            oa[ys::ystep, xs::xstep] = np.frombuffer(
+                bytes(sub), dtype=np.uint8).reshape(ph, pw, bpp)
         if dpos != len(data):
             raise DecoderUnavailable("Adam7 stream length mismatch")
     if color == 3:
-        # palette expansion: indices -> RGB (normalizes to channels=3)
+        # palette expansion: indices -> RGB (normalizes to channels=3);
+        # numpy gather — one C-level lookup instead of a per-pixel loop
+        import numpy as np
         n = len(plte) // 3
-        rgb = bytearray(w * h * 3)
-        for k, idx in enumerate(out):
-            if idx >= n:
-                raise DecoderUnavailable("palette index out of range")
-            rgb[3 * k:3 * k + 3] = plte[3 * idx:3 * idx + 3]
-        return w, h, 3, bytes(rgb)
+        idx = np.frombuffer(bytes(out), dtype=np.uint8)
+        if idx.size and int(idx.max()) >= n:
+            raise DecoderUnavailable("palette index out of range")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(n, 3)
+        return w, h, 3, pal[idx].tobytes()
     if depth == 16:
         # big-endian samples: the even bytes ARE the 8-bit reduction
         out = out[0::2]
@@ -1002,13 +1005,13 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
                     rows[y * iw:(y + 1) * iw] = idx[src:src + iw]
                     src += iw
             idx = bytes(rows)
+        import numpy as np
         npal = len(pal) // 3
-        rgb = bytearray(iw * ih * 3)
-        for k, i in enumerate(idx):
-            if i >= npal:
-                raise DecoderUnavailable("palette index out of range")
-            rgb[3 * k:3 * k + 3] = pal[3 * i:3 * i + 3]
-        return iw, ih, 3, bytes(rgb)
+        ia = np.frombuffer(idx, dtype=np.uint8)
+        if ia.size and int(ia.max()) >= npal:
+            raise DecoderUnavailable("palette index out of range")
+        pa = np.frombuffer(pal[:npal * 3], dtype=np.uint8).reshape(npal, 3)
+        return iw, ih, 3, pa[ia].tobytes()
     raise DecoderUnavailable("GIF has no image data")
 
 
@@ -1069,17 +1072,14 @@ def decode_gif_animation(payload: bytes) -> tuple[int, int] | None:
 def _nn_resize_raw(raw: bytes, src_w: int, src_h: int, ch: int,
                    dst_w: int, dst_h: int) -> bytes:
     """Nearest-neighbour floor mapping over a packed raster (PIL
-    NEAREST: src = dst*src_dim//dst_dim) — the shared pixel loop behind
-    every real resize arm."""
-    src_stride = src_w * ch
-    out = bytearray(dst_h * dst_w * ch)
-    for y in range(dst_h):
-        base = (y * src_h // dst_h) * src_stride
-        obase = y * dst_w * ch
-        for x in range(dst_w):
-            s = base + ch * (x * src_w // dst_w)
-            out[obase + ch * x:obase + ch * (x + 1)] = raw[s:s + ch]
-    return bytes(out)
+    NEAREST: src = dst*src_dim//dst_dim) — the shared gather behind
+    every real resize arm, vectorized with numpy (int64 floor division
+    is exact, uint8 fancy indexing is a C-level gather)."""
+    import numpy as np
+    a = np.frombuffer(raw, dtype=np.uint8).reshape(src_h, src_w, ch)
+    ys = np.arange(dst_h, dtype=np.int64) * src_h // dst_h
+    xs = np.arange(dst_w, dtype=np.int64) * src_w // dst_w
+    return a[ys][:, xs].tobytes()
 
 
 def resize_gif(payload: bytes, dst_w: int, dst_h: int) -> bytes:

@@ -3387,10 +3387,12 @@ def mm_resize(spark, sf_dir):
                 doc_id = int(doc_id)
                 m = doc_id % 5
                 if m == 0 and doc_id % 10 >= 5:
+                    # the m==0 TIFF half is always doc_id%10==5 (odd),
+                    # so cycle byte order on %4 (1/3 alternate), not %2
                     payload = make_tiff((doc_id % 150) + 2,
                                         (doc_id % 90) + 2,
                                         samples=3 if doc_id % 3 == 2 else 1,
-                                        big_endian=doc_id % 2 == 1,
+                                        big_endian=doc_id % 4 < 2,
                                         raster=True)
                 elif m == 0:
                     payload = make_bmp((doc_id % 200) + 1, (doc_id % 140) + 1)
@@ -3414,7 +3416,11 @@ def mm_resize(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "payload", "mime", "width", "height"])
 
-    media = d.select("doc_id", "text").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    # mapInPandas inherits the input-file splits — a one-file documents
+    # table would run the whole pixel tier as ONE task without this
+    n = d.sparkSession.sparkContext.defaultParallelism * 2
+    media = (d.select("doc_id", "text").repartition(n, F.col("doc_id"))
+             .mapInPandas(kernel, schema=MEDIA_SCHEMA))
     return resize_media(media, MM_RESIZE_MAX_DIM).select(
         "media_ref", "status", "src_w", "src_h", "dst_w", "dst_h",
         "scale_milli", "resized_n_bytes",
@@ -3516,7 +3522,9 @@ def mm_frame_sample(spark, sf_dir):
             yield pd.DataFrame(rows, columns=[
                 "media_ref", "payload", "mime", "width", "height"])
 
-    media = d.select("doc_id").mapInPandas(kernel, schema=MEDIA_SCHEMA)
+    n = d.sparkSession.sparkContext.defaultParallelism * 2
+    media = (d.select("doc_id").repartition(n, F.col("doc_id"))
+             .mapInPandas(kernel, schema=MEDIA_SCHEMA))
     return sample_frames(media, MM_FRAME_INTERVAL_MS).orderBy("media_ref")
 
 
