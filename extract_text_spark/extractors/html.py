@@ -331,9 +331,19 @@ def find_title(html: str) -> str | None:
         if low is None:
             low = html.translate(_ASCII_LOWER)
         if not is_end and name == "title":
-            close = low.find("</title", j)
-            if close < 0:
-                return None
+            # RCDATA end-tag rule: "</title" only closes when followed
+            # by whitespace, "/" or ">" (else "</titles>" would cut the
+            # title short — the end-tag-open state keeps scanning)
+            close = j
+            while True:
+                close = low.find("</title", close)
+                if close < 0:
+                    return None
+                nxt8 = low[close + 7 : close + 8]
+                if nxt8 in " \t\n\r\f/>" and nxt8:
+                    break
+                close += 1      # "</titles..." or EOF-truncated: not a
+                #                 real end tag, keep scanning (-> None)
             return " ".join(_unescape(html[j:close]).split())
         if not is_end and name in _RAWTEXT:
             close = low.find(f"</{name}", j)

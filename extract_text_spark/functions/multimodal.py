@@ -892,7 +892,10 @@ def _gif_lzw_decode(min_code: int, data: bytes, n_pixels: int) -> bytes:
     packing, code width starts min_code+1 and grows when the next free
     slot crosses a power of two, capped at 12 bits until a CLEAR;
     deferred clear (full table, no reset) tolerated."""
-    if not 2 <= min_code <= 11:
+    # spec max is 8: pixels are palette BYTES, so the root table can
+    # never exceed 256 entries (a larger claim would also break the
+    # bytes([i]) root-entry construction below)
+    if not 2 <= min_code <= 8:
         raise DecoderUnavailable(f"bad LZW min code size {min_code}")
     clear, end = 1 << min_code, (1 << min_code) + 1
     table: dict[int, bytes] = {}
@@ -977,6 +980,8 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             continue
         if b != 0x2C:
             raise DecoderUnavailable(f"bad GIF block 0x{b:02x}")
+        if pos + 10 > len(payload):     # truncated image descriptor
+            raise DecoderUnavailable("truncated GIF descriptor")
         left, top, iw, ih = struct.unpack_from("<HHHH", payload, pos + 1)
         iflags = payload[pos + 9]
         pos += 10
@@ -985,10 +990,14 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
             n = 2 << (iflags & 0x7)
             pal = payload[pos:pos + 3 * n]
             pos += 3 * n
+            if len(pal) < 3 * n:
+                raise DecoderUnavailable("truncated GIF local palette")
         if left or top or iw != w or ih != h or not iw or not ih:
             raise DecoderUnavailable("partial-frame GIF")
         if pal is None:
             raise DecoderUnavailable("GIF image without a palette")
+        if pos >= len(payload):         # no LZW minimum-code byte
+            raise DecoderUnavailable("truncated GIF image data")
         min_code = payload[pos]
         pos += 1
         chunks = []
@@ -1217,6 +1226,10 @@ def resize_png(payload: bytes, dst_w: int, dst_h: int) -> bytes:
                       _nn_resize_raw(raw, src_w, src_h, ch, dst_w, dst_h))
 
 
+_RESIZERS = {"image/bmp": resize_bmp, "image/png": resize_png,
+             "image/gif": resize_gif, "image/tiff": resize_tiff}
+
+
 def _resize_batches(max_dim: int):
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1239,10 +1252,7 @@ def _resize_batches(max_dim: int):
                     continue
                 w, h = hdr["width"], hdr["height"]
                 dw, dh, sm = plan_resize_dims(w, h, max_dim)
-                resizer = {"image/bmp": resize_bmp,
-                           "image/png": resize_png,
-                           "image/gif": resize_gif,
-                           "image/tiff": resize_tiff}.get(sniffed)
+                resizer = _RESIZERS.get(sniffed)
                 if resizer is not None:
                     try:
                         rz = resizer(payload, dw, dh)

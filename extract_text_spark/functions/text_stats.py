@@ -426,12 +426,19 @@ def ccnet_buckets(df, id_col: str = "doc_id",
     the documented single-partition window, same bound as
     ``sample_split``'s cumulative ranges), the two cuts plus N reduce
     to ONE row that broadcasts back, and the corpus itself never
-    shuffles — zero driver state.
+    shuffles — zero driver state. The scored input is persisted for the
+    duration (the pagerank pattern: ContextCleaner reclaims it once the
+    returned plan is unreferenced), because it feeds BOTH the
+    distribution pass and the final assignment — without the persist an
+    expensive upstream scoring chain (e.g. rarity) would re-execute
+    once per reference.
     """
+    from pyspark import StorageLevel
     from pyspark.sql import Window as _W
 
     s = df.select(F.col(id_col).alias("id"),
-                  F.col(score_col).cast("long").alias("s"))
+                  F.col(score_col).cast("long").alias("s")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     counts = s.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
     w = _W.orderBy("s").rowsBetween(_W.unboundedPreceding, _W.currentRow)
     cum = counts.withColumn("cum", F.sum("c").over(w))

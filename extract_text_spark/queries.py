@@ -575,13 +575,19 @@ def ta_bpe_train(spark, sf_dir):
             .orderBy("merge_rank"))
 
 
-def _bpe_train_ctes(n_rounds: int, src: str = "documents") -> str:
+def _bpe_train_ctes(n_rounds: int, src: str = "documents",
+                    min_count: int = 2) -> str:
     """Unrolled learn_bpe rounds for DuckDB. Words ride as
     chr(30)-delimited symbol strings — chr(30) wrapped around every
     symbol and DOUBLED between symbols, so replace()'s left-to-right
     non-overlapping scan is exactly greedy BPE merge application and
     adjacent matches never share delimiter bytes (mirrors
-    text_stats.bpe_train's encoding choice byte-for-byte)."""
+    text_stats.bpe_train's encoding choice byte-for-byte). The engine's
+    ``min_count`` early stop is mirrored structurally: each round's
+    best-pair CTE filters ``cnt >= min_count``, and an empty best-pair
+    row EMPTIES the next working table through the cross join — so once
+    one round stops, every later round emits nothing, exactly the
+    sequential break."""
     re_lit = text_stats._BPE_TOKEN_RE.replace("'", "''")
     ctes = [f"""bt_w0 AS (
   SELECT count(*)::BIGINT AS freq,
@@ -604,7 +610,8 @@ def _bpe_train_ctes(n_rounds: int, src: str = "documents") -> str:
              unnest(range(1, len(q.l))) AS t(i))
   GROUP BY a, b
 ),
-bt_b{r} AS (SELECT a, b, cnt FROM bt_p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+bt_b{r} AS (SELECT a, b, cnt FROM bt_p{r} WHERE cnt >= {min_count}
+            ORDER BY cnt DESC, a, b LIMIT 1),
 bt_w{r} AS (
   SELECT q.freq,
          replace(q.s, chr(30) || m.a || chr(30) || chr(30) || m.b
@@ -3399,10 +3406,13 @@ def mm_resize(spark, sf_dir):
                 elif m == 1:
                     payload = make_wav(((doc_id % 50) + 1) * 800)
                 elif m == 3:
+                    # m == 3 forces doc_id % 10 into {3, 8}: palette on
+                    # the 3s, 16-bit grayscale on the 8s — both halves
+                    # actually fire (a `< 3` guard here would be DEAD)
                     payload = make_png((doc_id % 300) + 3, (doc_id % 200) + 2,
-                                       color=3 if doc_id % 10 < 3 else 0,
+                                       color=3 if doc_id % 10 == 3 else 0,
                                        interlace=1 if doc_id % 4 < 2 else 0,
-                                       depth=16 if doc_id % 10 >= 8 else 8)
+                                       depth=16 if doc_id % 10 == 8 else 8)
                 elif m == 4:
                     payload = make_gif((doc_id % 100) + 3, (doc_id % 60) + 2,
                                        raster=True,
@@ -3448,7 +3458,7 @@ WITH f AS (
          CASE WHEN doc_id % 5 = 0 AND doc_id % 10 >= 5 THEN
                 CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 1 END
               WHEN doc_id % 5 = 3 THEN
-                CASE WHEN doc_id % 10 < 3 THEN 3 ELSE 1 END
+                CASE WHEN doc_id % 10 = 3 THEN 3 ELSE 1 END
               WHEN doc_id % 5 = 4 THEN 3 END AS ch
   FROM documents
 ),

@@ -630,6 +630,21 @@ def test_bpe_train_matches_sennrich_replica(spark):
                                min_count=1).collect()
     assert [(r.pair_left, r.pair_right, r.pair_count)
             for r in one] == [("a", "b", 1)]
+    # the ORACLE mirrors the min_count stop structurally: an empty
+    # best-pair round empties the chain, so a degenerate corpus yields
+    # zero rows on BOTH sides (engine breaks, SQL filter + cross join)
+    import duckdb
+    from extract_text_spark.queries import (TA_BPE_TRAIN_SQL,
+                                            _bpe_train_ctes)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 0::BIGINT AS doc_id,"
+                " 'ab cd ef' AS text")
+    assert con.execute(TA_BPE_TRAIN_SQL).fetchall() == []
+    # and with min_count=1 the same corpus learns sequentially
+    sql1 = ("WITH " + _bpe_train_ctes(2, min_count=1)
+            + "\nSELECT a, b, cnt FROM bt_b1 UNION ALL "
+              "SELECT a, b, cnt FROM bt_b2")
+    assert con.execute(sql1).fetchall() == [("a", "b", 1), ("c", "d", 1)]
 
 
 def test_fix_text_rules():

@@ -235,6 +235,10 @@ def test_find_title_rcdata_rules():
         '<script>"<title>fake</title>"</script><title>real</title>'
     ) == "real"
     assert find_title("<title>never closed") is None
+    # RCDATA end-tag boundary: "</titles>" is NOT a close tag
+    assert find_title("<title>a</titles>b</title>x") == "a</titles>b"
+    assert find_title("<title>a</title") is None   # EOF-truncated close
+    assert find_title("<title>a</title/>rest") == "a"
     assert find_title("<p>none</p>") is None
     assert find_title("<titlex>not a title</titlex>") is None
     assert find_title("<title></title>") == ""
