@@ -243,3 +243,166 @@ def kmeans_fit(
         cent_rows, "cluster int, centroid array<double>")
     v.unpersist(blocking=False)
     return assigned, cent_df
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory-bound scale path
+# ---------------------------------------------------------------------------
+
+def quant_milli_col(a: Column) -> Column:
+    """array<float> -> array<long> integer millionths via the repo's
+    portable rounding convention floor(x*1e6 + 0.5) (round() half-way
+    behaviour differs between engines; floor of an IEEE double does
+    not). All PQ arithmetic downstream is exact integer math."""
+    return F.transform(a, lambda x: F.floor(
+        x.cast("double") * 1000000.0 + F.lit(0.5)).cast("long"))
+
+
+def l2_milli_col(a: Column, b: Column) -> Column:
+    """Exact squared-L2 distance between two integer-millionth arrays.
+    Order-free integer sum — (2e6)^2 per dim times any practical
+    subspace width stays far inside BIGINT."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's `//` and
+    Spark's `div` truncate, Python's `//` floors; centroid coordinates
+    go negative, so the driver-side mean must truncate to match."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def pq_fit(vectors: DataFrame, dim: int, m: int = 2, k: int = 4,
+           iters: int = 2, id_col: str = "vec_id",
+           vec_col: str = "embedding") -> list:
+    """Train a product-quantization codebook: split each vector into
+    ``m`` equal subspaces and run deterministic integer Lloyd's with
+    squared-L2 distance independently per subspace (Jégou et al. 2011
+    §II). Determinism: inputs quantize to integer millionths once;
+    init is the k lowest-id subvectors as clusters 0..k-1; assignment
+    argmin ties to the lowest cluster id; the centroid update is a
+    per-dimension integer sum with ONE truncating division (exact and
+    order-free — the kmeans-oracle trick, L2 flavour); an emptied
+    cluster keeps its previous centroid.
+
+    Scale shape: per round each subspace does one map-side-combined
+    (cluster, dim) aggregate over the corpus; driver state is the
+    m*k*(dim/m) = k*dim codebook itself — exactly MLlib's KMeans
+    contract. Returns codebooks[m][k][dim//m] (Python ints)."""
+    sub = dim // m
+    if sub * m != dim:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    spark = vectors.sparkSession
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[F.slice(quant_milli_col(F.col(vec_col)), j * sub + 1, sub)
+          .alias(f"s{j}") for j in range(m)]).persist()
+    init = (v.orderBy("vec_id").limit(k)
+            .select("vec_id", *[f"s{j}" for j in range(m)]).collect())
+    init = sorted(init, key=lambda r: r["vec_id"])
+    books = [[list(r[f"s{j}"]) for r in init] for j in range(m)]
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d").asc(), F.col("cluster").asc())
+    for _ in range(iters):
+        for j in range(m):
+            cent = spark.createDataFrame(
+                [(c, books[j][c]) for c in range(k)],
+                "cluster int, centroid array<long>")
+            assigned = (
+                v.select("vec_id", F.col(f"s{j}").alias("sv"))
+                .crossJoin(F.broadcast(cent))
+                .withColumn("d", l2_milli_col(F.col("sv"),
+                                              F.col("centroid")))
+                .withColumn("r", F.row_number().over(w))
+                .filter(F.col("r") == 1))
+            sums = (assigned
+                    .select("cluster", F.posexplode("sv")
+                            .alias("i", "x"))
+                    .groupBy("cluster", "i")
+                    .agg(F.sum("x").alias("sx"),
+                         F.count(F.lit(1)).alias("n"))
+                    .collect())
+            acc: dict = {}
+            for r in sums:
+                acc.setdefault(r["cluster"], {})[r["i"]] = (
+                    _trunc_div(int(r["sx"]), int(r["n"])))
+            for c in range(k):
+                if c in acc:
+                    books[j][c] = [acc[c][i] for i in range(sub)]
+    v.unpersist(blocking=False)
+    return books
+
+
+def _pq_code_col(sv: Column, book: list) -> Column:
+    """Scan-side argmin over a literal sub-codebook: an array of
+    (distance, cluster) structs reduced with array_min (lexicographic —
+    ties to the lowest cluster id). ZERO shuffle: encoding 100 TB of
+    vectors is a pure projection."""
+    entries = [F.struct(
+        l2_milli_col(sv, F.array(*[F.lit(x) for x in cent])).alias("d"),
+        F.lit(c).alias("c"))
+        for c, cent in enumerate(book)]
+    return F.array_min(F.array(*entries)).getField("c")
+
+
+def pq_encode(vectors: DataFrame, codebooks: list, dim: int,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, vector) -> (vec_id, code0..code{m-1}): each subvector maps
+    to its nearest sub-centroid. The codebook rides the plan as
+    literals, so the whole encode is whole-stage-codegen projection —
+    no join, no shuffle, no Python."""
+    m = len(codebooks)
+    sub = dim // m
+    q = quant_milli_col(F.col(vec_col))
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        *[_pq_code_col(F.slice(q, j * sub + 1, sub), codebooks[j])
+          .alias(f"code{j}") for j in range(m)])
+
+
+def pq_adc_topk(vectors: DataFrame, queries: DataFrame, codebooks: list,
+                dim: int, k: int = 3, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance top-k (ADC, Jégou et al. 2011 §III): the
+    corpus is searched through its PQ codes only — per query, the
+    distance to each sub-centroid is computed ONCE (an m*k table that
+    rides the broadcast row), and a candidate's score is m table
+    lookups + a sum, never a d-dimensional computation. Output:
+    (query_id, neighbor_id, rnk, adist_milli2) with adist ascending,
+    ties to the lowest neighbor id.
+
+    Scale: codes are (m * log2(k)/8) bytes per vector — 100 TB of
+    float32 embeddings compress ~256x at production m/k, which is the
+    entire point: the scan that brute force cannot afford runs over
+    codes that fit in memory. Exact-rerank of the ADC head (fetching
+    true vectors for the top candidates) composes with cosine_topk."""
+    m = len(codebooks)
+    sub = dim // m
+    codes = pq_encode(vectors, codebooks, dim, id_col, vec_col)
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[F.slice(quant_milli_col(F.col(vec_col)), j * sub + 1, sub)
+          .alias(f"q{j}") for j in range(m)])
+    # per-query distance tables: dt{j} = [d(q_sub, centroid_c)]_c
+    qq = qq.select("query_id", *[
+        F.array(*[l2_milli_col(F.col(f"q{j}"),
+                               F.array(*[F.lit(x) for x in cent]))
+                  for cent in codebooks[j]]).alias(f"dt{j}")
+        for j in range(m)])
+    adist = None
+    for j in range(m):
+        term = F.element_at(F.col(f"dt{j}"), F.col(f"code{j}") + 1)
+        adist = term if adist is None else adist + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_milli2").asc(), F.col("neighbor_id").asc())
+    return (codes.withColumnRenamed("vec_id", "neighbor_id")
+            .crossJoin(F.broadcast(qq))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("adist_milli2", adist)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "rnk", "adist_milli2"))

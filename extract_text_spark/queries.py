@@ -2777,6 +2777,145 @@ SIM_ANN_KMEANS_SQL = (
 )
 
 
+PQ_M = 2
+PQ_K = 4
+PQ_ITERS = 2
+
+
+def sim_pq(spark, sf_dir):
+    """Product quantization end-to-end (similarity.pq_fit/pq_encode/
+    pq_adc_topk, Jégou et al. 2011): integer-millionth squared-L2
+    Lloyd's per subspace (deterministic: lowest-id init, argmin ties to
+    the lowest cluster, truncating-division centroid means), scan-side
+    literal-codebook encoding, and asymmetric-distance top-k where each
+    query's m*k distance table rides a broadcast row and every
+    candidate costs m lookups + a sum. The oracle unrolls BOTH
+    subspaces' training rounds as chained CTEs, so the full
+    train -> encode -> ADC pipeline sits hash-exact — an iterative
+    vector-quantization TRAINING algorithm under the value gate."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(e, EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    q = e.filter(F.col("vec_id") < N_QUERIES)
+    out = similarity.pq_adc_topk(e, q, books, EMB_DIM, k=TOP_K)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("adist_milli2").cast("long").alias("adist_milli2"),
+    ).orderBy("query_id", "rnk")
+
+
+def sim_pq_codes(spark, sf_dir):
+    """The code table itself (similarity.pq_encode): every vector's
+    per-subspace nearest-centroid assignment against the trained
+    codebook — the artifact a 100 TB deployment stores instead of raw
+    vectors. Zero-shuffle scan projection (codebook rides as
+    literals); feeds sim_pq's gated ADC search verbatim."""
+    e = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(e, EMB_DIM, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    out = similarity.pq_encode(e, books, EMB_DIM)
+    return out.select(
+        "vec_id",
+        *[F.col(f"code{j}").cast("long").alias(f"code{j}")
+          for j in range(PQ_M)]).orderBy("vec_id")
+
+
+def _pq_l2_sql(a: str, b: str, sub: int) -> str:
+    return (f"list_aggregate(list_transform(range(1, {sub} + 1), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')")
+
+
+def _pq_ctes(m: int, k: int, iters: int, dim: int,
+             src: str = "SELECT vec_id, embedding FROM embeddings") -> str:
+    """Unrolled per-subspace integer-L2 Lloyd's mirroring
+    similarity.pq_fit: quantize once to integer millionths (the FLOAT32
+    value widened to double, exactly Spark's cast chain), init from the
+    k lowest-id subvectors, assignment argmin with ties to the lowest
+    cluster, centroid update = per-dim integer sum with ONE truncating
+    division (DuckDB's // and Spark's div both truncate toward zero —
+    the driver mirrors that, NOT Python floor //), empty clusters keep
+    their centroid. ``pe{j}``/``enc`` encode against the FINAL
+    codebooks."""
+    sub = dim // m
+    ctes = [
+        f"""pv AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS q
+  FROM ({src}))""",
+        "psv AS (SELECT vec_id, "
+        + ", ".join(f"q[{j * sub + 1}:{(j + 1) * sub}] AS s{j}"
+                    for j in range(m))
+        + " FROM pv)",
+    ]
+    for j in range(m):
+        ctes.append(f"""pc{j}_0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         s{j} AS centroid
+  FROM (SELECT vec_id, s{j} FROM psv ORDER BY vec_id LIMIT {k}))""")
+        for t in range(1, iters + 1):
+            l2 = _pq_l2_sql(f"v.s{j}", "c.centroid", sub)
+            ctes.append(f"""pa{j}_{t} AS (
+  SELECT vec_id, sv, cluster FROM (
+    SELECT v.vec_id, v.s{j} AS sv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2} ASC, c.cluster ASC) AS r
+    FROM psv v CROSS JOIN pc{j}_{t - 1} c) WHERE r = 1)""")
+            ctes.append(f"""pn{j}_{t} AS (
+  SELECT cluster, i, (sum(sv[i]) // count(*))::BIGINT AS ci
+  FROM pa{j}_{t}, unnest(range(1, {sub} + 1)) AS u(i)
+  GROUP BY cluster, i)""")
+            ctes.append(f"""pc{j}_{t} AS (
+  SELECT p.cluster, coalesce(n.centroid, p.centroid) AS centroid
+  FROM pc{j}_{t - 1} p LEFT JOIN (
+    SELECT cluster, list(ci ORDER BY i) AS centroid
+    FROM pn{j}_{t} GROUP BY cluster) n ON n.cluster = p.cluster)""")
+        l2f = _pq_l2_sql(f"v.s{j}", "c.centroid", sub)
+        ctes.append(f"""pe{j} AS (
+  SELECT vec_id, cluster AS code{j} FROM (
+    SELECT v.vec_id, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {l2f} ASC, c.cluster ASC) AS r
+    FROM psv v CROSS JOIN pc{j}_{iters} c) WHERE r = 1)""")
+    enc_joins = " JOIN ".join(
+        [f"pe0"] + [f"pe{j} USING (vec_id)" for j in range(1, m)])
+    ctes.append("enc AS (SELECT vec_id, "
+                + ", ".join(f"code{j}" for j in range(m))
+                + f" FROM {enc_joins})")
+    return ",\n".join(ctes)
+
+
+def _pq_search_sql(m: int, k: int, iters: int, dim: int) -> str:
+    sub = dim // m
+    dist_terms = " + ".join(
+        _pq_l2_sql(f"q.s{j}", f"cc{j}.centroid", sub) for j in range(m))
+    cent_joins = " ".join(
+        f"JOIN pc{j}_{iters} cc{j} ON cc{j}.cluster = e.code{j}"
+        for j in range(m))
+    return f"""adc AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ({dist_terms})::BIGINT AS adist_milli2
+  FROM enc e {cent_joins}
+  CROSS JOIN (SELECT * FROM psv WHERE vec_id < {N_QUERIES}) q
+  WHERE e.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, adist_milli2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist_milli2 ASC, neighbor_id ASC)
+           AS rnk
+  FROM adc)
+SELECT query_id, neighbor_id, rnk::BIGINT AS rnk, adist_milli2
+FROM ranked WHERE rnk <= {TOP_K} ORDER BY query_id, rnk"""
+
+
+SIM_PQ_SQL = ("WITH " + _pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)
+              + ",\n" + _pq_search_sql(PQ_M, PQ_K, PQ_ITERS, EMB_DIM))
+
+SIM_PQ_CODES_SQL = (
+    "WITH " + _pq_ctes(PQ_M, PQ_K, PQ_ITERS, EMB_DIM)
+    + "\nSELECT vec_id, "
+    + ", ".join(f"code{j}::BIGINT AS code{j}" for j in range(PQ_M))
+    + " FROM enc ORDER BY vec_id")
+
+
 # SemDeDup duplicate arms: the synthetic embeddings have no natural
 # near-dups (max pairwise cosine ~0.51), so the query plants them the way
 # dedup_incremental plants its new-batch rows — +1000000 ids get dim-0
@@ -4663,7 +4802,7 @@ QUERIES = {
     "ta_c4": ta_c4,
     "ta_bm25": ta_bm25,
     "sample_mixture": sample_mixture,
-    "sample_split": sample_split,
+    "sim_pq": sim_pq,
     # ------------------------------------------------------------------
     # driver-prefix boundary (oraclecompare.DRIVER_PREFIX = 50): every
     # entry above gets a driver-produced CORRECTNESS row; entries below
@@ -4679,7 +4818,9 @@ QUERIES = {
     # chain feeds ta_ccnet_buckets' hash-gated scores verbatim,
     # ext_zip_fanout's single-scan JVM fan-out runs inside
     # extract_flagship's archive docs and ext_archive_guards gates the
-    # guard arms) — and since r6,
+    # guard arms, sample_split shares the scan-side md5-bucket
+    # mechanism with sample_stratified/pack_batches, sim_pq_codes
+    # feeds sim_pq's gated ADC search verbatim) — and since r6,
     # tests/test_oracle_tail.py hash-checks ALL of them on every pytest
     # run, so nothing below ships unchecked either way.
     # ------------------------------------------------------------------
@@ -4687,6 +4828,8 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "ta_rarity": ta_rarity,
     "ext_zip_fanout": ext_zip_fanout,
+    "sample_split": sample_split,
+    "sim_pq_codes": sim_pq_codes,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4754,6 +4897,8 @@ ORACLES = {
     "url_sitemaps": URL_SITEMAPS_SQL,
     "ta_ccnet_buckets": TA_CCNET_SQL,
     "ext_wat_export": EXT_WAT_SQL,
+    "sim_pq": SIM_PQ_SQL,
+    "sim_pq_codes": SIM_PQ_CODES_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

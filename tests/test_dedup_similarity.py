@@ -124,6 +124,79 @@ def test_ivf_topk_matches_bruteforce_here(spark, vectors):
     assert key(ivf) == key(bf)
 
 
+def test_pq_matches_python_replica(spark):
+    """pq_fit/pq_encode/pq_adc_topk == a pure-Python PQ replica:
+    float32-widened millionth quantization, per-subspace integer-L2
+    Lloyd's with lowest-id init and TRUNCATING-division centroid means
+    (DuckDB // and Spark div truncate; Python // floors — the driver
+    must mirror the engines), lexicographic argmin ties, and ADC
+    distances that equal the code-centroid L2 sums exactly."""
+    import math
+    import random
+    import struct as st
+
+    from extract_text_spark.functions import similarity as sim
+
+    random.seed(5)
+    DIM, M, K, IT = 8, 2, 3, 2
+    rows = [(i, [random.uniform(-1, 1) for _ in range(DIM)])
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = sim.pq_fit(df, DIM, m=M, k=K, iters=IT)
+
+    def quant(v):       # float32 storage -> double -> millionths
+        return [math.floor(st.unpack("f", st.pack("f", x))[0]
+                           * 1000000.0 + 0.5) for x in v]
+
+    def trunc(a, b):
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    sub = DIM // M
+    qv = {i: quant(v) for i, v in rows}
+    exp = [[qv[i][j * sub:(j + 1) * sub] for i in range(K)]
+           for j in range(M)]
+    for _ in range(IT):
+        for j in range(M):
+            groups: dict = {}
+            for i, _v in rows:
+                sv = qv[i][j * sub:(j + 1) * sub]
+                best = min((sum((a - b) ** 2 for a, b in zip(sv, c)), ci)
+                           for ci, c in enumerate(exp[j]))
+                groups.setdefault(best[1], []).append(sv)
+            for c in range(K):
+                if c in groups:
+                    g = groups[c]
+                    exp[j][c] = [trunc(sum(x[i] for x in g), len(g))
+                                 for i in range(sub)]
+    assert books == exp
+    codes = {r.vec_id: (r.code0, r.code1)
+             for r in sim.pq_encode(df, books, DIM).collect()}
+    for i, _v in rows:
+        want = tuple(min(
+            (sum((a - b) ** 2 for a, b in
+                 zip(qv[i][j * sub:(j + 1) * sub], c)), ci)
+            for ci, c in enumerate(books[j]))[1] for j in range(M))
+        assert codes[i] == want
+    top = sim.pq_adc_topk(df, df.filter("vec_id < 2"), books,
+                          DIM, k=3).collect()
+    assert len(top) == 6
+    for r in top:
+        d = sum(sum((a - b) ** 2 for a, b in zip(
+            qv[r.query_id][j * sub:(j + 1) * sub],
+            books[j][codes[r.neighbor_id][j]])) for j in range(M))
+        assert d == r.adist_milli2
+    # ranks ascend in adist within each query, ties to lowest id
+    for q in (0, 1):
+        rs = sorted((r for r in top if r.query_id == q),
+                    key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == [1, 2, 3]
+        assert all(
+            (a.adist_milli2, a.neighbor_id) < (b.adist_milli2,
+                                               b.neighbor_id)
+            for a, b in zip(rs, rs[1:]))
+
+
 def test_kmeans_recovers_clusters_and_unlabeled_ivf(spark, vectors):
     """Lloyd's on 3 clean clusters must recover the partition (up to
     cluster-id renaming), and label-free IVF must match brute force.

@@ -482,6 +482,29 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    pq = QUERIES["sim_pq"](spark, SF)
+    add("sim_pq — literal codebooks, broadcast query distance tables",
+        pq, [
+        ("the query side (with its per-query ADC distance tables) is "
+         "broadcast — the code table never shuffles for the search",
+         r"BroadcastExchange|BroadcastNestedLoopJoin"),
+        ("top-k is a windowed rank over per-query partitions",
+         r"Window|RunningWindowFunction"),
+        ("no Python anywhere (encode + ADC are pure projections)",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
+    pqc = QUERIES["sim_pq_codes"](spark, SF)
+    add("sim_pq_codes — zero-shuffle scan-side encoding", pqc, [
+        ("no join anywhere: the codebook rides the plan as literals",
+         lambda t: "Join" not in t),
+        ("the only exchange is the output sort's range partition",
+         lambda t: len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)",
+                                      t))) == 1),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     wt = QUERIES["ext_wat_export"](spark, SF)
     add("ext_wat_export — write kernel + verify kernel, no shuffle "
         "between", wt, [
