@@ -128,7 +128,7 @@ HEADLINERS = [
     "crawl_frontier", "ext_sitemap", "ext_wet_roundtrip", "ta_fixtext",
     "ta_bm25", "sample_split", "mm_resize",
     "ta_bpe_train", "url_sitemaps", "ta_ccnet_buckets", "ext_wat_export",
-    "mm_frame_sample", "sim_pq",
+    "mm_frame_sample", "sim_pq", "ta_lm_backoff",
 ]
 
 HEADLINE_CPUS = int(os.environ.get("SPARK_GRAFT_HEADLINE_CPUS", "8"))

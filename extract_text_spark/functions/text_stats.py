@@ -409,6 +409,88 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def stupid_backoff_score(df, train_df, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         alpha_milli: int = 400_000):
+    """Stupid Backoff bigram LM scoring (Brants et al. 2007 §4 — the
+    LM Google built FOR distributed web-scale counting: no discounting,
+    no normalization, so every model statistic is a raw count and every
+    score term is one integer division). Counts come from
+    ``train_df``; each scored document's bigram transition (w1, w2)
+    contributes
+
+        S(w2|w1) = (1e6 * c(w1 w2)) div c(w1)          if the bigram
+                                                        was seen, else
+                   (alpha * ((1e6 * c(w2)) div N)) div 1e6   (backoff
+                                     to the unigram relative frequency;
+                                     alpha = 0.4 in the paper), else 0.
+
+    Bigram arrays build IN-ROW from pre-shifted slices (zip_with
+    evaluates each argument once — never element_at inside a transform,
+    the O(L²) trap), so the only shuffles are the two count groupBys
+    and the count joins: unigrams are Zipf-tiny (broadcast), bigrams
+    join on uniform keys, and N rides a broadcast single-row. Output:
+    (id, n_transitions, n_backoff, lm_score_milli) with the score an
+    order-free integer sum — hash-exact by construction."""
+    toks = F.split(F.col(text_col), " ")
+    uni = (train_df.select(F.explode(
+        F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).alias("c1")))
+    n_total = uni.agg(F.sum("c1").cast("long").alias("n_total"))
+    tt = F.split(F.col(text_col), " ")
+    bi = (train_df
+          .select(F.explode(F.zip_with(
+              F.slice(tt, 1, F.size(tt) - 1),
+              F.slice(tt, 2, F.size(tt) - 1),
+              lambda a, b: F.concat_ws(" ", a, b))).alias("bg"))
+          .groupBy("bg").agg(F.count(F.lit(1)).alias("c2")))
+    # w1/w2 ride the exploded struct instead of re-splitting bg: Java
+    # split drops TRAILING empty tokens, so "a " would lose its empty
+    # w2 and silently diverge from the SQL twin
+    scored = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(F.zip_with(
+                      F.slice(toks, 1, F.size(toks) - 1),
+                      F.slice(toks, 2, F.size(toks) - 1),
+                      lambda a, b: F.struct(
+                          a.alias("w1"), b.alias("w2"),
+                          F.concat_ws(" ", a, b).alias("bg")))).alias("p"))
+        .select("id", F.col("p.w1").alias("w1"),
+                F.col("p.w2").alias("w2"), F.col("p.bg").alias("bg"))
+        .join(bi, "bg", "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c1", "c1_w1")), "w1", "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c1", "c1_w2")), "w2", "left")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "id",
+            F.when(F.col("c2").isNotNull(), F.call_function(
+                "div", F.lit(1_000_000) * F.col("c2"), F.col("c1_w1")))
+            .when(F.col("c1_w2").isNotNull(), F.call_function(
+                "div",
+                F.lit(alpha_milli) * F.call_function(
+                    "div", F.lit(1_000_000) * F.col("c1_w2"),
+                    F.col("n_total")),
+                F.lit(1_000_000)))
+            .otherwise(F.lit(0).cast("long")).alias("term"),
+            F.col("c2").isNull().cast("int").alias("is_backoff"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"),
+             F.sum("is_backoff").cast("long").alias("n_backoff"),
+             F.sum("term").cast("long").alias("lm_score_milli"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(scored, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("n_transitions", F.lit(0)).cast("long")
+                    .alias("n_transitions"),
+                    F.coalesce("n_backoff", F.lit(0)).cast("long")
+                    .alias("n_backoff"),
+                    F.coalesce("lm_score_milli", F.lit(0)).cast("long")
+                    .alias("lm_score_milli")))
+
+
 def ccnet_buckets(df, id_col: str = "doc_id",
                   score_col: str = "score_milli"):
     """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): cut

@@ -555,6 +555,62 @@ FROM documents ORDER BY doc_id
 """
 
 
+def ta_lm_backoff(spark, sf_dir):
+    """Stupid Backoff bigram LM scoring
+    (text_stats.stupid_backoff_score, Brants et al. 2007 — the LM
+    built FOR distributed web-scale counting: raw counts, no
+    normalization, every score term one integer division). The model
+    trains on the EVEN doc_ids and scores the whole corpus, so odd
+    documents genuinely exercise the unseen-bigram backoff branch
+    (n_backoff > 0) while even ones score fully in-model. Bigram
+    transitions build in-row from pre-shifted slices; unigram counts
+    broadcast; the score is an order-free integer sum — hash-exact."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    return text_stats.stupid_backoff_score(d, train).orderBy("doc_id")
+
+
+TA_LM_BACKOFF_SQL = """
+WITH tr AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+uni AS (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tr) GROUP BY w),
+ntot AS (SELECT sum(c1)::BIGINT AS n FROM uni),
+bi AS (
+  SELECT bg, count(*)::BIGINT AS c2 FROM (
+    SELECT l[i] || ' ' || l[i + 1] AS bg
+    FROM (SELECT string_split(text, ' ') AS l FROM tr),
+         unnest(range(1, len(l))) AS t(i)) GROUP BY bg),
+dt AS (
+  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2,
+         l[i] || ' ' || l[i + 1] AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       unnest(range(1, len(l))) AS t(i)),
+terms AS (
+  SELECT doc_id,
+         CASE WHEN b.c2 IS NOT NULL THEN (1000000 * b.c2) // u1.c1
+              WHEN u2.c1 IS NOT NULL
+                THEN (400000 * ((1000000 * u2.c1) // n)) // 1000000
+              ELSE 0 END AS term,
+         CASE WHEN b.c2 IS NULL THEN 1 ELSE 0 END AS is_b
+  FROM dt LEFT JOIN bi b USING (bg)
+          LEFT JOIN uni u1 ON u1.w = dt.w1
+          LEFT JOIN uni u2 ON u2.w = dt.w2
+          CROSS JOIN ntot),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_transitions,
+         sum(is_b)::BIGINT AS n_backoff,
+         sum(term)::BIGINT AS lm_score_milli
+  FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(a.n_transitions, 0)::BIGINT AS n_transitions,
+       coalesce(a.n_backoff, 0)::BIGINT AS n_backoff,
+       coalesce(a.lm_score_milli, 0)::BIGINT AS lm_score_milli
+FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 BPE_TRAIN_MERGES = 6
 
 
@@ -4773,8 +4829,8 @@ QUERIES = {
     "mm_ocr_gates": mm_ocr_gates,
     "mm_resize": mm_resize,
     "mm_frame_sample": mm_frame_sample,
-    "dedup_url": dedup_url,
     "dedup_bloom": dedup_bloom,
+    "ta_lm_backoff": ta_lm_backoff,
     "ta_bpe": ta_bpe,
     "ta_bpe_train": ta_bpe_train,
     "ta_fixtext": ta_fixtext,
@@ -4820,7 +4876,9 @@ QUERIES = {
     # extract_flagship's archive docs and ext_archive_guards gates the
     # guard arms, sample_split shares the scan-side md5-bucket
     # mechanism with sample_stratified/pack_batches, sim_pq_codes
-    # feeds sim_pq's gated ADC search verbatim) — and since r6,
+    # feeds sim_pq's gated ADC search verbatim, dedup_url's canonical
+    # key runs inside crawl_frontier's canonicalize stage) — and since
+    # r6,
     # tests/test_oracle_tail.py hash-checks ALL of them on every pytest
     # run, so nothing below ships unchecked either way.
     # ------------------------------------------------------------------
@@ -4830,6 +4888,7 @@ QUERIES = {
     "ext_zip_fanout": ext_zip_fanout,
     "sample_split": sample_split,
     "sim_pq_codes": sim_pq_codes,
+    "dedup_url": dedup_url,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4899,6 +4958,7 @@ ORACLES = {
     "ext_wat_export": EXT_WAT_SQL,
     "sim_pq": SIM_PQ_SQL,
     "sim_pq_codes": SIM_PQ_CODES_SQL,
+    "ta_lm_backoff": TA_LM_BACKOFF_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

@@ -537,6 +537,34 @@ def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
     assert out["3"].encoded == "4 2|! !"
 
 
+def test_stupid_backoff_terms(spark):
+    """Hand-computed Stupid Backoff terms: seen bigram = integer
+    conditional frequency, unseen bigram with a seen w2 = 0.4 * unigram
+    relative frequency (staged integer divisions), unseen w2 = 0, and a
+    one-token document scores zero transitions."""
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], "doc_id long, text string")
+    # train counts: c(a)=2 c(b)=2 c(c)=1, N=5; c(a b)=2 c(b a)=1 c(b c)=1
+    score = spark.createDataFrame(
+        [(0, "a b c"),        # seen: a-b and b-c
+         (1, "c a"),          # unseen bigram, both unigrams seen
+         (2, "a z"),          # unseen bigram, unseen w2 -> 0
+         (3, "a")],           # no transitions at all
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in text_stats.stupid_backoff_score(
+        score, train).collect()}
+    # doc0: (1e6*2)//2 + (1e6*1)//2 = 1_000_000 + 500_000
+    assert (got[0].n_transitions, got[0].n_backoff,
+            got[0].lm_score_milli) == (2, 0, 1_500_000)
+    # doc1: backoff for 'c a': (400000 * ((1e6*2)//5)) // 1e6 = 160000
+    assert (got[1].n_transitions, got[1].n_backoff,
+            got[1].lm_score_milli) == (1, 1, 160_000)
+    assert (got[2].n_transitions, got[2].n_backoff,
+            got[2].lm_score_milli) == (1, 1, 0)
+    assert (got[3].n_transitions, got[3].n_backoff,
+            got[3].lm_score_milli) == (0, 0, 0)
+
+
 def test_ccnet_buckets_cut_semantics(spark):
     """Head/middle/tail cuts land at the 1/3 and 2/3 MASS points of the
     score distribution, equal scores never straddle a cut, and a

@@ -482,6 +482,20 @@ def main():
          lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
     ])
 
+    lm = QUERIES["ta_lm_backoff"](spark, SF)
+    add("ta_lm_backoff — broadcast unigrams, uniform-key bigram join",
+        lm, [
+        ("unigram count tables broadcast onto the transitions (the "
+         "corpus never shuffles for the w1/w2 lookups)",
+         r"BroadcastHashJoin"),
+        ("count aggregates are map-side partial before their exchange",
+         lambda t: t.count("partial_count") >= 2),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+        ("never cartesian (the N scalar rides a broadcast single-row)",
+         lambda t: "CartesianProduct" not in t),
+    ])
+
     pq = QUERIES["sim_pq"](spark, SF)
     add("sim_pq — literal codebooks, broadcast query distance tables",
         pq, [
