@@ -257,3 +257,59 @@ def test_outlink_resolution_total(hrefs, base_tail):
         for idx, href, resolved, host in rows:
             assert host and host == host.lower()
             assert "#" not in resolved
+
+
+@given(st.integers(1, 40), st.integers(1, 25),
+       st.binary(min_size=0, max_size=0) | st.binary(max_size=64))
+@settings(max_examples=40, deadline=None)
+def test_png_encode_decode_roundtrip_property(w, h, seed):
+    """encode_png(decode) is the identity on arbitrary rasters: any
+    random pixel content survives the filter-0/stored-deflate container
+    byte-exactly, for every channel count."""
+    import hashlib
+
+    from extract_text_spark.functions.multimodal import (
+        decode_png_pixels, encode_png)
+
+    for ch in (1, 2, 3, 4):
+        n = w * h * ch
+        # deterministic pseudo-random raster from the seed
+        raw = (hashlib.sha256(seed + bytes([ch])).digest()
+               * (n // 32 + 1))[:n]
+        png = encode_png(w, h, ch, raw)
+        assert decode_png_pixels(png) == (w, h, ch, raw)
+
+
+@given(st.integers(2, 8), st.binary(min_size=1, max_size=400))
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_encode_decode_roundtrip_property(min_code, payload):
+    """_gif_lzw_encode -> _gif_lzw_decode is the identity for any pixel
+    stream whose values fit the code size — including streams long
+    enough to hit width growth and the 4096-entry CLEAR/reset."""
+    from extract_text_spark.bytecorpus import _gif_lzw_encode
+    from extract_text_spark.functions.multimodal import _gif_lzw_decode
+
+    pixels = bytes(b % (1 << min_code) for b in payload) * 30
+    data = _gif_lzw_encode(min_code, pixels)
+    assert _gif_lzw_decode(min_code, data, len(pixels)) == pixels
+
+
+@given(st.binary(max_size=600))
+@settings(max_examples=80, deadline=None)
+def test_raster_decoders_fail_closed_property(blob):
+    """No arbitrary byte blob may escape the typed decoder error from
+    any raster decoder (the Spark-task-kill guard): DecoderUnavailable
+    or a clean result, never struct/Index/Value errors."""
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, decode_gif_animation, decode_gif_pixels,
+        decode_png_pixels, decode_tiff_pixels)
+
+    for prefix in (b"", b"GIF89a", b"\x89PNG\r\n\x1a\n", b"II*\x00"):
+        data = prefix + blob
+        for fn in (decode_gif_pixels, decode_png_pixels,
+                   decode_tiff_pixels):
+            try:
+                fn(data)
+            except DecoderUnavailable:
+                pass
+        decode_gif_animation(data)      # must return, never raise
