@@ -205,3 +205,33 @@ def dsir_sample(df: DataFrame, target: DataFrame, nbuckets: int = 1 << 20,
     return agg.select(
         F.col("id").alias(id_col), "n_features", "importance_milli",
         (hash_bucket_col("id", salt="dsir") < rate).alias("keep"))
+
+
+def exact_k_per_stratum(df: DataFrame, k: int,
+                        strata_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXACTLY k rows per stratum, deterministically — the eval-set
+    carving rate-based sampling can't give you (a rate draws a
+    binomially-varying count; a fixed-size held-out set needs exactly
+    k). Selection order is the md5 hash-bucket of the id (uniform,
+    reproducible across reruns/engines/partitionings like every sampler
+    here) with the raw id as the total-order tie-break, so corpus
+    GROWTH only displaces rows at the boundary — a new document evicts
+    at most one previous member per stratum.
+
+    Scale shape: one shuffle on the stratum key, then a per-stratum
+    window rank — the ``part_topk_per_brand`` pattern; strata are
+    bounded (sources/domains/languages), and a production run over a
+    giant stratum pre-prunes candidates with ``hash_bucket_col(id) <
+    threshold`` sized generously above k/N before the exact rank, so
+    the window never sorts the full stratum. Returns the selected rows
+    as (id, stratum, sel_bucket, sel_rank 1..k).
+    """
+    from pyspark.sql.window import Window
+    bucket = hash_bucket_col(id_col, salt="exactk")
+    w = Window.partitionBy("stratum").orderBy(
+        F.col("sel_bucket").asc(), F.col(id_col).asc())
+    return (df.select(F.col(id_col), F.col(strata_col).alias("stratum"),
+                      bucket.alias("sel_bucket"))
+            .withColumn("sel_rank", F.row_number().over(w))
+            .where(F.col("sel_rank") <= k))

@@ -1272,6 +1272,40 @@ GROUP BY source ORDER BY source
 """
 
 
+EXACT_K = 25
+
+
+def sample_exact_k(spark, sf_dir):
+    """Exactly-k-per-stratum carving (sampling.exact_k_per_stratum):
+    the fixed-SIZE held-out sets rate-based sampling can't produce —
+    selection order is the md5 hash bucket with the raw id as total
+    tie-break, so every selected row, its bucket and its rank are all
+    under the hash gate (the part_topk_per_brand window pattern on the
+    sampling side)."""
+    d = _t(spark, sf_dir, "documents")
+    return (sampling.exact_k_per_stratum(d, EXACT_K)
+            .orderBy("stratum", "sel_rank"))
+
+
+SAMPLE_EXACT_K_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source AS stratum,
+         ('0x' || substr(md5('exactk:' || doc_id::VARCHAR), 1, 8))::BIGINT
+           % 1000000 AS sel_bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, stratum, sel_bucket,
+         row_number() OVER (PARTITION BY stratum
+                            ORDER BY sel_bucket ASC, doc_id ASC)
+           AS sel_rank
+  FROM b
+)
+SELECT doc_id, stratum, sel_bucket, sel_rank::INT AS sel_rank
+FROM r WHERE sel_rank <= {EXACT_K} ORDER BY stratum, sel_rank
+"""
+
+
 def sample_split(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.split_assign):
     each holdout split owns a cumulative md5 bucket range, train takes
@@ -4889,6 +4923,7 @@ QUERIES = {
     "sample_split": sample_split,
     "sim_pq_codes": sim_pq_codes,
     "dedup_url": dedup_url,
+    "sample_exact_k": sample_exact_k,
     "corpus_curation": corpus_curation,
     "mm_decode_headers": mm_decode_headers,
     "ext_sanitize_filename": ext_sanitize_filename,
@@ -4959,6 +4994,7 @@ ORACLES = {
     "sim_pq": SIM_PQ_SQL,
     "sim_pq_codes": SIM_PQ_CODES_SQL,
     "ta_lm_backoff": TA_LM_BACKOFF_SQL,
+    "sample_exact_k": SAMPLE_EXACT_K_SQL,
     "ta_fixtext": TA_FIXTEXT_SQL,
     "sample_dsir": SAMPLE_DSIR_SQL,
     "url_filter": URL_FILTER_SQL,

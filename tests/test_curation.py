@@ -537,6 +537,36 @@ def test_bpe_encode_df_matches_pretokenizer_and_python(spark):
     assert out["3"].encoded == "4 2|! !"
 
 
+def test_exact_k_per_stratum_count_and_growth(spark):
+    """exact_k_per_stratum returns exactly min(k, |stratum|) rows per
+    stratum in hash order, and corpus growth displaces AT MOST one
+    previous member per stratum (the boundary-eviction contract)."""
+    from extract_text_spark.functions import sampling
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    sel = sampling.exact_k_per_stratum(df, 5).collect()
+    by = {}
+    for r in sel:
+        by.setdefault(r.stratum, []).append(r)
+    assert {s: len(v) for s, v in by.items()} == {"a": 5, "b": 5}
+    for v in by.values():
+        ordered = sorted(v, key=lambda r: r.sel_rank)
+        assert [(r.sel_bucket, r.doc_id) for r in ordered] == sorted(
+            (r.sel_bucket, r.doc_id) for r in v)
+    # tiny stratum: returns all of it
+    small = spark.createDataFrame([(1, "x"), (2, "x")],
+                                  "doc_id long, source string")
+    assert sampling.exact_k_per_stratum(small, 5).count() == 2
+    # growth: one added doc changes each stratum's set by <= 1 member
+    grown = spark.createDataFrame(rows + [(999, "a")],
+                                  "doc_id long, source string")
+    sel2 = {(r.stratum, r.doc_id)
+            for r in sampling.exact_k_per_stratum(grown, 5).collect()}
+    sel1 = {(r.stratum, r.doc_id) for r in sel}
+    assert len(sel1 - sel2) <= 1 and len(sel2 - sel1) <= 1
+
+
 def test_stupid_backoff_terms(spark):
     """Hand-computed Stupid Backoff terms: seen bigram = integer
     conditional frequency, unseen bigram with a seen w2 = 0.4 * unigram
