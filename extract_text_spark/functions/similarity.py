@@ -220,22 +220,29 @@ def kmeans_fit(
                  for i, r in enumerate(sorted(init_rows,
                                               key=lambda r: r["vec_id"]))]
 
-    def _assign(cent_df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("s").desc(), F.col("cluster").asc())
-        return (
-            v.crossJoin(F.broadcast(cent_df))
-            .withColumn("s", score_milli_col(F.col("nv"), F.col("centroid")))
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .select("vec_id", "nv", "cluster")
-        )
+    def _assign(rows: list) -> DataFrame:
+        # Centroids are bounded driver state (k x dim doubles, exactly
+        # MLlib's KMeans contract), so they ride the plan as LITERALS:
+        # argmax is array_min over (negated score, cluster) structs —
+        # lexicographic, so ties go to the lowest cluster id, identical
+        # to the former row_number() over (s DESC, cluster ASC) — and
+        # the assignment is a zero-shuffle projection instead of a
+        # crossJoin + Window Exchange of the k-times-inflated corpus.
+        entries = [
+            F.struct(
+                (-score_milli_col(
+                    F.col("nv"), F.array(*[F.lit(x) for x in cent])))
+                .alias("negs"),
+                F.lit(c).alias("cluster"))
+            for c, cent in rows
+        ]
+        best = F.array_min(F.array(*entries))
+        return v.select("vec_id", "nv",
+                        best.getField("cluster").alias("cluster"))
 
     assigned = None
     for _ in range(iters):
-        cent_df = spark.createDataFrame(
-            cent_rows, "cluster int, centroid array<double>")
-        assigned = _assign(cent_df)
+        assigned = _assign(cent_rows)
         new = {r["cluster"]: list(r["centroid"])
                for r in _milli_centroids(assigned).collect()}
         cent_rows = [(c, new.get(c, prev)) for c, prev in cent_rows]
@@ -295,7 +302,6 @@ def pq_fit(vectors: DataFrame, dim: int, m: int = 2, k: int = 4,
     sub = dim // m
     if sub * m != dim:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
-    spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         *[F.slice(quant_milli_col(F.col(vec_col)), j * sub + 1, sub)
@@ -304,20 +310,19 @@ def pq_fit(vectors: DataFrame, dim: int, m: int = 2, k: int = 4,
             .select("vec_id", *[f"s{j}" for j in range(m)]).collect())
     init = sorted(init, key=lambda r: r["vec_id"])
     books = [[list(r[f"s{j}"]) for r in init] for j in range(m)]
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("d").asc(), F.col("cluster").asc())
     for _ in range(iters):
         for j in range(m):
-            cent = spark.createDataFrame(
-                [(c, books[j][c]) for c in range(k)],
-                "cluster int, centroid array<long>")
-            assigned = (
-                v.select("vec_id", F.col(f"s{j}").alias("sv"))
-                .crossJoin(F.broadcast(cent))
-                .withColumn("d", l2_milli_col(F.col("sv"),
-                                              F.col("centroid")))
-                .withColumn("r", F.row_number().over(w))
-                .filter(F.col("r") == 1))
+            # Training assignment reuses the scan-side literal-codebook
+            # argmin (`_pq_code_col`: array_min over (d, cluster)
+            # structs — ties to the lowest cluster id, identical to the
+            # former row_number() over (d ASC, cluster ASC)): the
+            # codebook is bounded driver state between rounds, so each
+            # round is a zero-shuffle projection + one map-side-combined
+            # aggregate instead of a crossJoin + Window Exchange of the
+            # k-times-inflated corpus.
+            assigned = v.select(
+                "vec_id", F.col(f"s{j}").alias("sv"),
+                _pq_code_col(F.col(f"s{j}"), books[j]).alias("cluster"))
             sums = (assigned
                     .select("cluster", F.posexplode("sv")
                             .alias("i", "x"))
