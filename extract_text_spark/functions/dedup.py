@@ -294,7 +294,7 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
     dimension, and inferring it would mean running a hidden Spark job
     (``first()``) inside a lazy operator.
     """
-    from .similarity import score_milli_col
+    from .similarity import dot_col, norm_col, score_milli_pre_col
 
     if dim is None:
         raise ValueError(
@@ -333,13 +333,19 @@ def embedding_lsh_pairs(df: DataFrame, threshold: float,
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
-    va = v.select(F.col("id").alias("a_id"), F.col("v").alias("va"))
-    vb = v.select(F.col("id").alias("b_id"), F.col("v").alias("vb"))
+    # Norms hoisted (score_milli_pre_col): one fold per vector on each
+    # verification side instead of one per candidate pair; (a_n * b_n)
+    # keeps the score_milli_col(va, vb) order — scores bit-identical.
+    va = v.select(F.col("id").alias("a_id"), F.col("v").alias("va"),
+                  norm_col(F.col("v")).alias("a_n"))
+    vb = v.select(F.col("id").alias("b_id"), F.col("v").alias("vb"),
+                  norm_col(F.col("v")).alias("b_n"))
     t_milli = int(threshold * 1_000_000)
     return (
         cand.join(va, "a_id").join(vb, "b_id")
         .withColumn("score_milli",
-                    score_milli_col(F.col("va"), F.col("vb")))
+                    score_milli_pre_col(dot_col(F.col("va"), F.col("vb")),
+                                        F.col("a_n"), F.col("b_n")))
         .filter(F.col("score_milli") >= t_milli)
         .select("a_id", "b_id", "score_milli")
     )
@@ -392,22 +398,34 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
     from pyspark.sql.window import Window
     from pyspark.storagelevel import StorageLevel
 
-    from .similarity import kmeans_fit, score_milli_col
+    from .similarity import dot_col, kmeans_fit, norm_col, \
+        score_milli_pre_col
 
     assigned, cents = kmeans_fit(vectors, k=k, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("cluster").orderBy(
         F.col("cent_milli").asc(), F.col("vec_id").asc())
+    # Norms hoisted (score_milli_pre_col): ||nv|| folds ONCE per vector
+    # into the persisted ranked table and ||centroid|| once per centroid
+    # row on the broadcast side, so centroid scoring costs 1 fold per
+    # row and the within-cluster pair sweep 1 fold per pair instead of
+    # 3. (na * cn) / (a.na * b.na) keep the score_milli_col argument
+    # order, so every score is bit-identical and the oracle stays exact.
     ranked = (
-        assigned.join(F.broadcast(cents), "cluster")
+        assigned.withColumn("na", norm_col(F.col("nv")))
+        .join(F.broadcast(cents.withColumn(
+            "cn", norm_col(F.col("centroid")))), "cluster")
         .withColumn("cent_milli",
-                    score_milli_col(F.col("nv"), F.col("centroid")))
+                    score_milli_pre_col(
+                        dot_col(F.col("nv"), F.col("centroid")),
+                        F.col("na"), F.col("cn")))
         .withColumn("rnk", F.row_number().over(w))
         .withColumn("sub",
                     F.floor((F.col("rnk") - 1) / max_cluster_size)
                     .cast("long") if max_cluster_size
                     else F.lit(0).cast("long"))
-        .select("cluster", "vec_id", "nv", "cent_milli", "rnk", "sub")
+        .select("cluster", "vec_id", "nv", "na", "cent_milli", "rnk",
+                "sub")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a, b = ranked.alias("a"), ranked.alias("b")
@@ -415,7 +433,9 @@ def semantic_dedup(vectors: DataFrame, tau_milli: int = 800000,
         a.join(b, (F.col("a.cluster") == F.col("b.cluster"))
                & (F.col("a.sub") == F.col("b.sub"))
                & (F.col("b.rnk") < F.col("a.rnk")))
-        .withColumn("pm", score_milli_col(F.col("a.nv"), F.col("b.nv")))
+        .withColumn("pm", score_milli_pre_col(
+            dot_col(F.col("a.nv"), F.col("b.nv")),
+            F.col("a.na"), F.col("b.na")))
         .filter(F.col("pm") >= tau_milli)
         .select(F.col("a.vec_id").alias("vec_id"),
                 F.col("b.vec_id").alias("b_id"), "pm")

@@ -15,6 +15,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -49,10 +51,15 @@ def cosine_topk(
     Output: (query_id, neighbor_id, rank, score). Ties broken by neighbor
     id ascending on the rounded score, so ranking is engine-portable.
     """
+    # Norms hoisted to one fold per query / per vector (instead of one
+    # per scored pair): score_milli_pre_col keeps the (qn * nn) order of
+    # the cosine_col(qv, nv) site, so scores are bit-identical.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv")) \
+        .withColumn("qn", norm_col(F.col("qv")))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("nv"))
+                       F.col(vec_col).alias("nv")) \
+        .withColumn("nn", norm_col(F.col("nv")))
     # score in integer millionths: floor(cos*1e6+0.5) of bit-identical
     # doubles is engine-portable; round() half-way behaviour is not.
     scored = (
@@ -60,8 +67,8 @@ def cosine_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "score_milli",
-            F.floor(cosine_col(F.col("qv"), F.col("nv")) * 1000000.0 + 0.5)
-            .cast("long"),
+            score_milli_pre_col(dot_col(F.col("qv"), F.col("nv")),
+                                F.col("qn"), F.col("nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -77,6 +84,18 @@ def cosine_topk(
 def score_milli_col(a: Column, b: Column) -> Column:
     """Cosine in integer millionths — the engine-portable ranking unit."""
     return F.floor(cosine_col(a, b) * 1000000.0 + 0.5).cast("long")
+
+
+def score_milli_pre_col(dot: Column, na: Column, nb: Column) -> Column:
+    """``score_milli_col`` with the two norms PRE-computed (hoisted to
+    one materialized column per side instead of one fold per scored
+    pair — Catalyst does not CSE across HOF folds, so a pair join that
+    scores with ``score_milli_col`` pays 3 array folds per pair where 1
+    suffices). Callers must pass ``na``/``nb`` in the same order as the
+    ``score_milli_col(a, b)`` site they replace: the expression shape
+    ``dot / (na * nb) * 1e6 + 0.5`` is exactly ``cosine_col``'s, so the
+    result is bit-identical and every oracle stays hash-exact."""
+    return F.floor(dot / (na * nb) * 1000000.0 + 0.5).cast("long")
 
 
 def _milli_centroids(assigned: DataFrame, vec_col: str = "nv") -> DataFrame:
@@ -113,24 +132,34 @@ def _ivf_search(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
+    # Norms hoisted (score_milli_pre_col): one fold per query vector /
+    # per centroid / per corpus vector instead of one per scored pair;
+    # (qn * cn) / (qn * nn) keep the score_milli_col argument order, so
+    # every probe and fine score is bit-identical.
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).alias("qv"))
+                       F.col(vec_col).alias("qv")) \
+        .withColumn("qn", norm_col(F.col("qv")))
+    cents = centroids.withColumn("cn", norm_col(F.col("centroid")))
+    vv = v.withColumn("nn", norm_col(F.col("nv")))
     probe_w = Window.partitionBy("query_id").orderBy(
         F.col("cscore_milli").desc(), F.col("cluster").asc()
     )
     probes = (
-        q.crossJoin(F.broadcast(centroids))
+        q.crossJoin(F.broadcast(cents))
         .withColumn("cscore_milli",
-                    score_milli_col(F.col("qv"), F.col("centroid")))
+                    score_milli_pre_col(
+                        dot_col(F.col("qv"), F.col("centroid")),
+                        F.col("qn"), F.col("cn")))
         .withColumn("prank", F.row_number().over(probe_w))
         .filter(F.col("prank") <= nprobe)
-        .select("query_id", "qv", "cluster")
+        .select("query_id", "qv", "qn", "cluster")
     )
     fine = (
-        v.join(F.broadcast(probes), "cluster")
+        vv.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("score_milli",
-                    score_milli_col(F.col("qv"), F.col("nv")))
+                    score_milli_pre_col(dot_col(F.col("qv"), F.col("nv")),
+                                        F.col("qn"), F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_milli").desc(), F.col("neighbor_id").asc()
@@ -228,17 +257,32 @@ def kmeans_fit(
         # to the former row_number() over (s DESC, cluster ASC) — and
         # the assignment is a zero-shuffle projection instead of a
         # crossJoin + Window Exchange of the k-times-inflated corpus.
-        entries = [
-            F.struct(
-                (-score_milli_col(
-                    F.col("nv"), F.array(*[F.lit(x) for x in cent])))
-                .alias("negs"),
-                F.lit(c).alias("cluster"))
-            for c, cent in rows
-        ]
+        #
+        # Catalyst does not CSE across HOF folds (CLAUDE.md), so the
+        # shared subexpressions are hoisted by hand: ||nv|| becomes ONE
+        # materialized column instead of one fold per centroid entry,
+        # and each ||centroid|| is folded on the driver — Python floats
+        # ARE IEEE doubles and the left-to-right acc + x*x / math.sqrt
+        # sequence is exactly Spark's aggregate fold + sqrt, so the
+        # literal is bit-identical to the former runtime norm_col and
+        # every downstream floor(cos*1e6+0.5) is unchanged. Per-row
+        # work drops from 3k folds to k+1.
+        entries = []
+        for c, cent in rows:
+            acc = 0.0
+            for x in cent:
+                acc = acc + x * x
+            nb = math.sqrt(acc)
+            s = F.floor(
+                dot_col(F.col("nv"), F.array(*[F.lit(x) for x in cent]))
+                / (F.col("na") * F.lit(nb)) * 1000000.0 + 0.5
+            ).cast("long")
+            entries.append(F.struct((-s).alias("negs"),
+                                    F.lit(c).alias("cluster")))
         best = F.array_min(F.array(*entries))
-        return v.select("vec_id", "nv",
-                        best.getField("cluster").alias("cluster"))
+        return (v.select("vec_id", "nv", norm_col(F.col("nv")).alias("na"))
+                .select("vec_id", "nv",
+                        best.getField("cluster").alias("cluster")))
 
     assigned = None
     for _ in range(iters):
