@@ -209,7 +209,9 @@ def dsir_sample(df: DataFrame, target: DataFrame, nbuckets: int = 1 << 20,
 
 def exact_k_per_stratum(df: DataFrame, k: int,
                         strata_col: str = "source",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        candidate_bucket_limit: int | None = None
+                        ) -> DataFrame:
     """EXACTLY k rows per stratum, deterministically — the eval-set
     carving rate-based sampling can't give you (a rate draws a
     binomially-varying count; a fixed-size held-out set needs exactly
@@ -221,17 +223,41 @@ def exact_k_per_stratum(df: DataFrame, k: int,
 
     Scale shape: one shuffle on the stratum key, then a per-stratum
     window rank — the ``part_topk_per_brand`` pattern; strata are
-    bounded (sources/domains/languages), and a production run over a
-    giant stratum pre-prunes candidates with ``hash_bucket_col(id) <
-    threshold`` sized generously above k/N before the exact rank, so
-    the window never sorts the full stratum. Returns the selected rows
-    as (id, stratum, sel_bucket, sel_rank 1..k).
+    bounded (sources/domains/languages). ``candidate_bucket_limit`` is
+    the giant-stratum guard: rows with ``sel_bucket >=`` the limit are
+    pruned BEFORE the window, so the rank never sorts the full stratum
+    — size it generously above ``k / n_stratum * 1_000_000``. Pruning
+    is provably lossless for any stratum that keeps >= k candidates
+    (every pruned row sorts after every kept row, the sort key being
+    sel_bucket first); a stratum left under k candidates — the limit
+    was sized too low for it — falls back to ranking its full,
+    unpruned membership, decided by a map-side-combined per-stratum
+    count (bounded output) broadcast back as a semi/anti join. Output
+    is therefore IDENTICAL to the unpruned rank for every stratum.
+    Default None preserves the original single-window plan. Returns the
+    selected rows as (id, stratum, sel_bucket, sel_rank 1..k).
     """
     from pyspark.sql.window import Window
     bucket = hash_bucket_col(id_col, salt="exactk")
     w = Window.partitionBy("stratum").orderBy(
         F.col("sel_bucket").asc(), F.col(id_col).asc())
-    return (df.select(F.col(id_col), F.col(strata_col).alias("stratum"),
-                      bucket.alias("sel_bucket"))
+    base = df.select(F.col(id_col), F.col(strata_col).alias("stratum"),
+                     bucket.alias("sel_bucket"))
+    if candidate_bucket_limit is None:
+        cand = base
+    else:
+        keep = F.col("sel_bucket") < candidate_bucket_limit
+        # counted over base, not the kept rows: a stratum whose every
+        # row is pruned must fall back too, and it has no kept rows to
+        # be counted from
+        short = (base.groupBy("stratum")
+                 .agg(F.sum(keep.cast("int")).alias("n_kept"))
+                 .where(F.col("n_kept") < k).select("stratum"))
+        cand = (base.where(keep)
+                .join(F.broadcast(short), "stratum", "left_anti")
+                .unionByName(
+                    base.join(F.broadcast(short), "stratum",
+                              "left_semi")))
+    return (cand
             .withColumn("sel_rank", F.row_number().over(w))
             .where(F.col("sel_rank") <= k))

@@ -411,7 +411,8 @@ def rarity_score(df, id_col: str = "doc_id", text_col: str = "text",
 
 def stupid_backoff_score(df, train_df, id_col: str = "doc_id",
                          text_col: str = "text",
-                         alpha_milli: int = 400_000):
+                         alpha_milli: int = 400_000,
+                         broadcast_vocab: bool = True):
     """Stupid Backoff bigram LM scoring (Brants et al. 2007 §4 — the
     LM Google built FOR distributed web-scale counting: no discounting,
     no normalization, so every model statistic is a raw count and every
@@ -447,6 +448,19 @@ def stupid_backoff_score(df, train_df, id_col: str = "doc_id",
     # w1/w2 ride the exploded struct instead of re-splitting bg: Java
     # split drops TRAILING empty tokens, so "a " would lose its empty
     # w2 and silently diverge from the SQL twin
+    #
+    # broadcast_vocab=False is the documented web-scale fallback
+    # (mirrors rarity_score): a unigram vocabulary that outgrows the
+    # driver — 100M+ rows for a web corpus — takes the shuffle
+    # hash-join on uniform word keys instead of an unconditional
+    # broadcast collect. Same rows either way; ta_lm_backoff's oracle
+    # is join-strategy-agnostic.
+    uni_w1 = uni.withColumnRenamed("w", "w1").withColumnRenamed(
+        "c1", "c1_w1")
+    uni_w2 = uni.withColumnRenamed("w", "w2").withColumnRenamed(
+        "c1", "c1_w2")
+    if broadcast_vocab:
+        uni_w1, uni_w2 = F.broadcast(uni_w1), F.broadcast(uni_w2)
     scored = (
         df.select(F.col(id_col).alias("id"),
                   F.explode(F.zip_with(
@@ -458,10 +472,8 @@ def stupid_backoff_score(df, train_df, id_col: str = "doc_id",
         .select("id", F.col("p.w1").alias("w1"),
                 F.col("p.w2").alias("w2"), F.col("p.bg").alias("bg"))
         .join(bi, "bg", "left")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w1")
-                          .withColumnRenamed("c1", "c1_w1")), "w1", "left")
-        .join(F.broadcast(uni.withColumnRenamed("w", "w2")
-                          .withColumnRenamed("c1", "c1_w2")), "w2", "left")
+        .join(uni_w1, "w1", "left")
+        .join(uni_w2, "w2", "left")
         .crossJoin(F.broadcast(n_total))
         .select(
             "id",

@@ -567,6 +567,56 @@ def test_exact_k_per_stratum_count_and_growth(spark):
     assert len(sel1 - sel2) <= 1 and len(sel2 - sel1) <= 1
 
 
+def test_exact_k_candidate_bucket_limit_lossless(spark):
+    """candidate_bucket_limit pre-prunes the window input but the output
+    is IDENTICAL to the unpruned rank: a giant stratum with plenty of
+    kept candidates uses only pruned rows, a stratum that the limit
+    starves below k (including one pruned to ZERO candidates) falls
+    back to its full membership."""
+    from extract_text_spark.functions import sampling
+
+    # 'giant' has 300 members (plenty survive any reasonable limit);
+    # 'rare' has 3 — with k=5 it is under-k even unpruned, exercising
+    # the fallback including the all-rows-pruned corner for limit=0.
+    rows = [(i, "giant") for i in range(300)] + [
+        (1000 + i, "rare") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    want = sorted(
+        (r.stratum, r.doc_id, r.sel_bucket, r.sel_rank)
+        for r in sampling.exact_k_per_stratum(df, 5).collect())
+    for limit in (0, 1, 50_000, 200_000, 1_000_000):
+        got = sorted(
+            (r.stratum, r.doc_id, r.sel_bucket, r.sel_rank)
+            for r in sampling.exact_k_per_stratum(
+                df, 5, candidate_bucket_limit=limit).collect())
+        assert got == want, f"limit={limit} diverged"
+    # the prune really bounds the window input: at limit L the kept
+    # candidate pool for 'giant' is its rows with sel_bucket < L
+    pruned_pool = sampling.exact_k_per_stratum(
+        df, 5, candidate_bucket_limit=200_000)
+    base_buckets = [
+        r.sel_bucket for r in df.select(
+            sampling.hash_bucket_col("doc_id", salt="exactk")
+            .alias("sel_bucket")).collect()]
+    assert sum(1 for b in base_buckets if b < 200_000) < len(rows)
+    assert pruned_pool.count() == 5 + 3
+
+
+def test_stupid_backoff_broadcast_vocab_fallback(spark):
+    """broadcast_vocab=False (the web-scale shuffle-join path) returns
+    byte-identical rows to the default broadcast path."""
+    train = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b c d")], "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(0, "a b c"), (1, "c a"), (2, "a z"), (3, "a")],
+        "doc_id long, text string")
+    want = sorted(map(tuple, text_stats.stupid_backoff_score(
+        score, train).collect()))
+    got = sorted(map(tuple, text_stats.stupid_backoff_score(
+        score, train, broadcast_vocab=False).collect()))
+    assert got == want
+
+
 def test_stupid_backoff_terms(spark):
     """Hand-computed Stupid Backoff terms: seen bigram = integer
     conditional frequency, unseen bigram with a seen w2 = 0.4 * unigram
