@@ -844,11 +844,31 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
         raise DecoderUnavailable("no IDAT data")
     if color == 3 and (not plte or len(plte) % 3):
         raise DecoderUnavailable("palette image without a valid PLTE")
+    stride = w * bpp
+    # Bound the inflate by the EXACT stream length the header implies
+    # (h*(stride+1) scanline bytes non-interlaced; the sum of the seven
+    # Adam7 pass layouts otherwise) — an unbounded zlib.decompress over
+    # arbitrary crawl payloads lets a tiny decompression-bomb IDAT
+    # (valid IHDR, small declared dims, huge ratio) exhaust worker
+    # memory instead of failing closed to the 'planned' seam; arclite
+    # bounds every inflate the same way. Output past the expectation
+    # raises; undershoot falls through to the existing length checks.
+    if interlace == 0:
+        expected = h * (stride + 1)
+    else:
+        expected = 0
+        for xs, ys, xstep, ystep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * bpp + 1)
     try:
-        data = zlib.decompress(b"".join(idat))
+        data = zlib.decompressobj().decompress(b"".join(idat),
+                                               expected + 1)
     except zlib.error as exc:
         raise DecoderUnavailable(f"IDAT inflate failed: {exc}") from exc
-    stride = w * bpp
+    if len(data) > expected:
+        raise DecoderUnavailable("IDAT inflates past the scanline layout")
     if interlace == 0:
         if len(data) != h * (stride + 1):
             raise DecoderUnavailable("IDAT length != h*(stride+1)")

@@ -627,6 +627,42 @@ def test_semantic_dedup_cluster_size_cap(spark):
     assert {i for i, r in plain.items() if r.keep} == {0, 1}
 
 
+def test_png_decompression_bomb_fails_closed():
+    """A decompression-bomb IDAT (valid IHDR, tiny declared dims, huge
+    inflation ratio) must raise DecoderUnavailable via the bounded
+    inflate — never materialize the full inflated stream (the arclite
+    max_length convention, ADVICE r6) — plain and Adam7."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from extract_text_spark.bytecorpus import make_png
+    from extract_text_spark.functions.multimodal import (
+        DecoderUnavailable, decode_png_pixels)
+
+    def with_idat(png: bytes, idat: bytes) -> bytes:
+        # make_png layout: 8 sig + 25 IHDR chunk, then IDAT, IEND last
+        return (png[:33] + struct.pack(">I", len(idat)) + b"IDAT" + idat
+                + struct.pack(">I", zlib.crc32(b"IDAT" + idat))
+                + png[-12:])
+
+    bomb = zlib.compress(b"\x00" * 50_000_000, 9)   # ~48 KB -> 50 MB
+    assert len(bomb) < 100_000
+    for interlace in (0, 1):
+        src = make_png(2, 2, interlace=interlace)
+        with pytest.raises(DecoderUnavailable):
+            decode_png_pixels(with_idat(src, bomb))
+    # a stream one byte PAST the expected layout also fails closed
+    src = make_png(2, 2)
+    over = zlib.compress(b"\x00" * (2 * 3 + 1))
+    with pytest.raises(DecoderUnavailable):
+        decode_png_pixels(with_idat(src, over))
+    # and the exact layout still decodes
+    assert decode_png_pixels(make_png(2, 2))[3] == bytes(
+        (y * 2 + x) % 251 for y in range(2) for x in range(2))
+
+
 def test_resize_png_real_raster():
     """Real PNG raster resize: decode the inflated IDAT, nearest-
     neighbour floor mapping, re-encode — output pixels must re-decode to
