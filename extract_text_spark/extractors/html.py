@@ -26,6 +26,7 @@ Tokenizer tolerances: comments, doctype, CDATA, quoted attributes containing
 
 from __future__ import annotations
 
+import re
 import string
 from html import unescape
 
@@ -59,6 +60,9 @@ _STOPWORDS = frozenset(
 )
 
 
+_TAG_SCAN_RE = re.compile("[\"'>]")
+
+
 def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
     """Scan a tag starting at ``html[i] == '<'``.
 
@@ -75,19 +79,28 @@ def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
     while j < n and (html[j].isalnum() or html[j] in "-_:"):
         j += 1
     name = html[start:j].lower()
-    # Scan to the closing '>', honouring quoted attribute values.
-    quote = ""
+    # Scan to the closing '>', honouring quoted attribute values — via
+    # C-level find/search jumps instead of the former per-char loop:
+    # outside a quote the next interesting char is one of >"', inside a
+    # quote it is the closing quote; identical state machine, identical
+    # end position and unterminated-quote handling.
+    quote_open = False
     while j < n:
-        c = html[j]
-        if quote:
-            if c == quote:
-                quote = ""
-        elif c in "\"'":
-            quote = c
-        elif c == ">":
+        m = _TAG_SCAN_RE.search(html, j)
+        if m is None:
+            j = n
             break
-        j += 1
-    self_closing = j > i and html[j - 1 : j] == "/" and not quote
+        c = m.group()
+        j = m.start()
+        if c == ">":
+            break
+        k = html.find(c, j + 1)
+        if k < 0:
+            j = n
+            quote_open = True
+            break
+        j = k + 1
+    self_closing = j > i and html[j - 1 : j] == "/" and not quote_open
     return (j + 1 if j < n else n), name, is_end, self_closing
 
 
@@ -103,24 +116,27 @@ def tokenize(html: str):
             break
         if lt > i:
             yield ("text", unescape(html[i:lt]))
-        if html.startswith("<!--", lt):
-            end = html.find("-->", lt + 4)
-            i = n if end < 0 else end + 3
-            continue
-        if html.startswith("<![CDATA[", lt):
-            end = html.find("]]>", lt + 9)
-            if end < 0:
-                yield ("text", html[lt + 9 :])
-                i = n
-            else:
-                yield ("text", html[lt + 9 : end])
-                i = end + 3
-            continue
-        if html.startswith("<!", lt) or html.startswith("<?", lt):
+        # One char peek dispatches the three markup-declaration branches
+        # (all start "<!" or "<?"), so ordinary tags skip the startswith
+        # chain; branch order and semantics unchanged.
+        nxt = html[lt + 1 : lt + 2]
+        if nxt == "!" or nxt == "?":
+            if html.startswith("<!--", lt):
+                end = html.find("-->", lt + 4)
+                i = n if end < 0 else end + 3
+                continue
+            if html.startswith("<![CDATA[", lt):
+                end = html.find("]]>", lt + 9)
+                if end < 0:
+                    yield ("text", html[lt + 9 :])
+                    i = n
+                else:
+                    yield ("text", html[lt + 9 : end])
+                    i = end + 3
+                continue
             end = html.find(">", lt)
             i = n if end < 0 else end + 1
             continue
-        nxt = html[lt + 1 : lt + 2]
         if not (nxt.isalpha() or nxt == "/"):
             # Bare '<' — html.parser emits it as text.
             yield ("text", "<")

@@ -29,11 +29,28 @@ _INLINE_PATTERNS = [
     (re.compile(r"`([^`]+)`"), r"\1"),                   # inline code
 ]
 
+# Per-pattern trigger chars, applied IN THE ORIGINAL ORDER: a pattern
+# can only match when its literal trigger char is present in the
+# CURRENT text, so `trigger in text` before each sub skips the regex
+# scan with byte-identical output. (Do NOT group/reorder by trigger:
+# the `**`/`__`/`*`/`_` interleaving is load-bearing — `*` subs can
+# create new `__` adjacencies, e.g. '_*_*_x_*_*_', and running `__`
+# after `*` instead of before changes the result.)
+_INLINE_TRIGGERS = ["[", "[", "*", "_", "*", "_", "`"]
+
 
 def _inline(text: str) -> str:
-    for pat, rep in _INLINE_PATTERNS:
-        text = pat.sub(rep, text)
+    for trigger, (pat, rep) in zip(_INLINE_TRIGGERS, _INLINE_PATTERNS):
+        if trigger in text:
+            text = pat.sub(rep, text)
     return text
+
+
+# Block-structure patterns hoisted out of the per-line loop (module-level
+# compile skips the re-cache lookup per call; patterns unchanged).
+_ATX_RE = re.compile(r"^(#{1,6})\s+(.*?)\s*#*\s*$")
+_LIST_RE = re.compile(r"^[ ]{0,3}([-*+]|\d+\.)\s+(.*)$")
+_STRUCT_RE = re.compile(r"^([ ]{0,3}([-*+]|\d+\.)\s+|#{1,6}\s+|>)")
 
 
 def md_to_text(payload: str) -> str:
@@ -65,7 +82,7 @@ def md_to_text(payload: str) -> str:
             blocks.append("\n".join(code) + "\n")
             continue
         # ATX heading.
-        m = re.match(r"^(#{1,6})\s+(.*?)\s*#*\s*$", line)
+        m = _ATX_RE.match(line)
         if m:
             blocks.append(_inline(m.group(2)))
             i += 1
@@ -79,11 +96,11 @@ def md_to_text(payload: str) -> str:
             blocks.append("\n" + _inline(" ".join(q for q in quote if q)) + "\n")
             continue
         # List (flat): <ul>\n<li>a</li>\n<li>b</li>\n</ul>
-        m = re.match(r"^[ ]{0,3}([-*+]|\d+\.)\s+(.*)$", line)
+        m = _LIST_RE.match(line)
         if m:
             items: list[str] = []
             while i < n:
-                mm = re.match(r"^[ ]{0,3}([-*+]|\d+\.)\s+(.*)$", lines[i])
+                mm = _LIST_RE.match(lines[i])
                 if not mm:
                     break
                 items.append(_inline(mm.group(2).strip()))
@@ -92,8 +109,8 @@ def md_to_text(payload: str) -> str:
             continue
         # Paragraph: consecutive non-blank, non-structural lines joined "\n".
         para: list[str] = []
-        while i < n and lines[i].strip() and not re.match(
-            r"^([ ]{0,3}([-*+]|\d+\.)\s+|#{1,6}\s+|>)", lines[i]
+        while i < n and lines[i].strip() and not _STRUCT_RE.match(
+            lines[i]
         ) and not lines[i].startswith(("    ", "\t")):
             para.append(lines[i].strip())
             i += 1

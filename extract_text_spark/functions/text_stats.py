@@ -847,7 +847,17 @@ def _bpe_words(df, text_col: str = "text"):
     GPT-2 regex, strip leading spaces (the Ġ-less form), exclude
     delimiter-bearing words, and aggregate to the distinct-word
     frequency table with each word encoded as a ``\\x1e``-delimited
-    symbol string (delimiter doubled between symbols)."""
+    symbol string (delimiter doubled between symbols).
+
+    PINNED CONVENTION (ADVICE r6, alongside the ``\\x1e`` exclusion):
+    the symbol split regex ``'.'`` matches neither ``\\n`` nor ``\\r``
+    in Java regex or DuckDB RE2, so whitespace pretokens bearing
+    newlines ('\\n', '\\n\\n', '\\r\\n') collapse to empty symbol
+    strings and bpe_train never learns newline merges. Spark/DuckDB
+    parity is exact (the oracle CTEs mirror the same regex); flipping
+    both sides to dotall would change ``ta_bpe_train``'s pinned oracle
+    results, so the exclusion stays — newline-sensitive vocabularies
+    would pre-map newlines to printable sentinels upstream."""
     rs = _BPE_RS
     return (
         df.select(F.explode(F.regexp_extract_all(
