@@ -61,6 +61,10 @@ _STOPWORDS = frozenset(
 
 
 _TAG_SCAN_RE = re.compile("[\"'>]")
+# ASCII prefix of the tag-name charset (isalnum() | "-_:"); the char
+# loop below continues from the regex end, so non-ASCII Unicode
+# alphanumerics still take the exact original predicate.
+_NAME_ASCII_RE = re.compile(r"[A-Za-z0-9:_\-]*")
 
 
 def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
@@ -76,6 +80,7 @@ def _scan_tag(html: str, i: int) -> tuple[int, str, bool, bool]:
         is_end = True
         j += 1
     start = j
+    j = _NAME_ASCII_RE.match(html, j).end()
     while j < n and (html[j].isalnum() or html[j] in "-_:"):
         j += 1
     name = html[start:j].lower()
