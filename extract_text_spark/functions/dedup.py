@@ -97,35 +97,68 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float,
     worst-case quadratic — verifier use only).
 
     Plan shape: shingle-df groupBy (map-side combined) -> broadcast
-    anti-join of the tiny hot set -> id-only index self-join ->
-    dropDuplicates -> shingle arrays rejoined for exact verification (same
-    verify machinery as minhash_lsh_pairs).
+    anti-join of the tiny hot set -> index self-join whose groupBy IS
+    the verification: every shared cold shingle contributes exactly one
+    join row (the arrays are distinct), so ``count(*)`` per pair is the
+    exact cold intersection, map-side-combined before the pair shuffle,
+    and the full-set sizes ride the index as one int per row. Pairs
+    also sharing HOT shingles get the exact correction from a join
+    against the per-doc hot-shingle sets (tiny arrays: only shingles
+    with df > max_df). Nothing ever re-shuffles the shingle ARRAYS to
+    the candidate pairs — the former verify joins moved ~1 KB of array
+    per candidate and re-intersected them per pair (guide §2.3/§8:
+    decide with small rows); reported inter/na/nb/jaccard are
+    bit-identical.
     """
     s = _shingled(df, id_col, text_col)
-    inv = s.select("id", F.explode("sh").alias("shingle"))
+    inv = s.select("id", F.size("sh").alias("n"),
+                   F.explode("sh").alias("shingle"))
     if max_df is not None:
         hot = (
             inv.groupBy("shingle").agg(F.count("*").alias("df"))
             .filter(F.col("df") > max_df).select("shingle")
         )
-        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    a, b = inv.alias("a"), inv.alias("b")
+        cold = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        cold = inv
+    a, b = cold.alias("a"), cold.alias("b")
     cand = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("int").alias("inter_cold"),
+             F.first(F.col("a.n")).alias("na"),
+             F.first(F.col("b.n")).alias("nb"))
     )
-    sh_a = s.select(F.col("id").alias("a_id"), F.col("sh").alias("sha"))
-    sh_b = s.select(F.col("id").alias("b_id"), F.col("sh").alias("shb"))
-    pairs = (
-        cand.join(sh_a, "a_id").join(sh_b, "b_id")
-        .select(
-            "a_id", "b_id",
-            F.size(F.array_intersect("sha", "shb")).alias("inter"),
-            F.size("sha").alias("na"), F.size("shb").alias("nb"),
+    if max_df is not None:
+        # per-doc hot-shingle sets: one small array per doc that has
+        # any (df > max_df keeps them rare by construction), so the
+        # exact hot correction is a size(array_intersect) over tiny
+        # arrays — never a hot-side self-join (that quadratic blowup is
+        # what the cap exists to avoid)
+        hot_sets = (
+            inv.join(F.broadcast(hot), "shingle", "left_semi")
+            .groupBy("id").agg(F.collect_list("shingle").alias("hsh"))
         )
-        .withColumn(
+        ha = hot_sets.select(F.col("id").alias("a_id"),
+                             F.col("hsh").alias("hsh_a"))
+        hb = hot_sets.select(F.col("id").alias("b_id"),
+                             F.col("hsh").alias("hsh_b"))
+        cand = (
+            cand.join(ha, "a_id", "left").join(hb, "b_id", "left")
+            .withColumn(
+                "inter",
+                F.col("inter_cold")
+                + F.when(
+                    F.col("hsh_a").isNotNull()
+                    & F.col("hsh_b").isNotNull(),
+                    F.size(F.array_intersect("hsh_a", "hsh_b")))
+                .otherwise(F.lit(0)))
+        )
+    else:
+        cand = cand.withColumn("inter", F.col("inter_cold"))
+    pairs = (
+        cand.withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
