@@ -935,11 +935,22 @@ def bpe_train(df, n_merges: int, id_col: str = "doc_id",
     out_schema = ("merge_rank int, pair_left string, pair_right string, "
                   "pair_count long")
     cur = _bpe_words(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None
     merges: list = []
     try:
         for rank in range(1, n_merges + 1):
+            # this collect is also the action that materializes cur's
+            # persist, so the SUPERSEDED round can be released right
+            # after it — one job per round instead of the former
+            # collect + explicit count() materialization pair, with the
+            # same no-replay guarantee (round r still never recomputes
+            # rounds 1..r-1: its input was cached by this action before
+            # the predecessor is dropped)
             best = (_bpe_pairs(cur).orderBy(F.desc("cnt"), "l", "r")
                     .limit(1).collect())
+            if prev is not None:
+                prev.unpersist(blocking=False)
+                prev = None
             if not best or best[0]["cnt"] < min_count:
                 break
             a, b, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
@@ -948,10 +959,10 @@ def bpe_train(df, n_merges: int, id_col: str = "doc_id",
                 "s", F.lit(rs + a + rs + rs + b + rs),
                 F.lit(rs + a + b + rs),
             )).persist(StorageLevel.MEMORY_AND_DISK)
-            nxt.count()                       # materialize, then release
-            cur.unpersist(blocking=False)     # the superseded round
-            cur = nxt
+            prev, cur = cur, nxt
     finally:
+        if prev is not None:
+            prev.unpersist(blocking=False)
         cur.unpersist(blocking=False)
     return spark.createDataFrame(merges, out_schema)
 
