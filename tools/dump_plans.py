@@ -145,6 +145,23 @@ def main():
         ("MapInPandas present", r"MapInPandas"),
     ])
 
+    ka = QUERIES["sim_kmeans_assign"](spark, SF)
+    add("sim_kmeans_assign — zero-shuffle literal-codebook training "
+        "assignment", ka, [
+        ("the assignment is a pure projection over the scan: the ONLY "
+         "exchange in the plan is the output sort's range partition "
+         "(the former crossJoin + row_number argmin shuffled the "
+         "k-times-inflated corpus per iteration)",
+         lambda t: len(set(re.findall(r"Exchange(?:\w*)? \((\d+)\)",
+                                      t.split("\n\n(1)")[0]))) == 1),
+        ("no join anywhere: centroids ride the plan as literals",
+         lambda t: "Join" not in t.split("\n\n(1)")[0]),
+        ("no window/sort before the output ordering",
+         lambda t: "Window" not in t.split("\n\n(1)")[0]),
+        ("no Python anywhere",
+         lambda t: "BatchEvalPython" not in t and "MapInPandas" not in t),
+    ])
+
     ann = QUERIES["sim_ann_kmeans"](spark, SF)
     add("sim_ann_kmeans — broadcast centroids + probes, clustered fine "
         "search", ann, [
