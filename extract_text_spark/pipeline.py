@@ -414,17 +414,29 @@ def extract_spans_df(
     fanned = explode_archives_df(df, with_root=keep_root)
     root_sel = ["root_id"] if keep_root else []
 
+    # Salt BEFORE the small/big routing filters: both branches then hang
+    # off ONE identical Exchange subtree, which Spark executes once and
+    # wires into the second branch as a ReusedExchange — the former
+    # shape (filter first, salt the small branch only) re-scanned and
+    # re-fanned the ENTIRE corpus a second time just to find the rare
+    # oversized docs (guide §2.4; ~27% of headline wall at sf-bench).
+    # Filter/repartition commute row-wise, so kernel inputs and outputs
+    # are identical; the split predicate is evaluated once per row per
+    # branch post-exchange, which is noise next to a full re-scan.
+    if salt_partitions:
+        fanned = fanned.repartition(
+            salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
+        )
+
     if skew_split:
+        from pyspark.storagelevel import StorageLevel
+        if salt_partitions:
+            fanned = fanned.persist(StorageLevel.MEMORY_AND_DISK)
         split = _splittable_col(skew_threshold)
         small = fanned.filter(~split)
         big = fanned.filter(split)
     else:
         small, big = fanned, None
-
-    if salt_partitions:
-        small = small.repartition(
-            salt_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(salt_partitions))
-        )
 
     def _meta_wrapped(meta_cols: list[str]):
         def run(batches):
