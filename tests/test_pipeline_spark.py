@@ -72,6 +72,25 @@ def test_skew_split_equivalence(spark):
         assert "media" in kinds and "text" in kinds
 
 
+def test_skew_split_salted_persist_path_equivalence(spark):
+    """salt_partitions + skew_split is the single-scan persist route (the
+    fanned table is materialized once and BOTH branches read the cache):
+    with a forced-big threshold the output must still equal the unsplit
+    and the unsalted-split runs exactly."""
+    corpus = gen_corpus(400, seed=7)
+    docs = ([d for d in corpus if d["doc_id"].endswith("-skew")]
+            + [d for d in corpus if not d["doc_id"].endswith("-skew")][:40])
+    assert any(d["doc_id"].endswith("-skew") for d in docs)
+    df = corpus_to_df(spark, docs)
+    salted_split = _spanify(
+        extract_spans_df(df, salt_partitions=8, skew_split=True,
+                         skew_threshold=1).collect())
+    plain_split = _spanify(
+        extract_spans_df(df, skew_split=True, skew_threshold=1).collect())
+    unsplit = _spanify(extract_spans_df(df, skew_split=False).collect())
+    assert salted_split == plain_split == unsplit
+
+
 def test_skew_split_equivalence_with_erroring_chunk(spark):
     """An erroring chunk must poison the whole document exactly like the
     unsplit kernel does (empty spans, zero counts) — split and unsplit
